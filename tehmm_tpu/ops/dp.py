@@ -1,0 +1,294 @@
+"""Log-space HMM dynamic-programming kernels (forward/backward/Viterbi).
+
+TPU-first rebuild of the reference's pure-NumPy DP loops (reference:
+basehmm.py `_do_forward_pass` / `_do_backward_pass` / `_do_viterbi_pass`,
+O(L·S²) Python loops; SURVEY.md §2a, §3.1–3.2).  Design:
+
+* Time recurrence as ``jax.lax.scan`` with a ``[B, S]`` carry — the batch
+  dimension B (parallel genome chunks) gives the MXU/VPU wide tiles.
+* **Scaled scans**: the carry is a per-step max-normalized vector plus a
+  scalar cumulative log-normalizer.  Unnormalized log-alpha grows as
+  O(L·mean obs) (≈ -3700 at L=2048 already), so f32 rounding of the carry
+  costs ~1% in posteriors by a few thousand positions; the scaled form
+  keeps every per-position quantity O(1) and makes accuracy independent of
+  sequence length — measured posterior row-sum error drops from ~1e-2 to
+  ~1e-6 at L=2048.  The reference gets the same effect only by using
+  float64 everywhere.
+* Two math paths for the log-sum-exp contraction per step:
+  - ``matmul=True`` (default): ``exp`` then a ``[B,S] @ [S,S]`` matmul
+    against the probability-space transition matrix — runs on the MXU
+    (``Precision.HIGHEST``: the TPU default decomposes f32 into bf16
+    passes, which costs ~2-3 digits per step and compounds over the scan).
+  - ``matmul=False``: broadcast ``logsumexp`` over a ``[B,S,S]`` tensor —
+    association order matches a NumPy oracle (parity path).
+* Variable-length sequences: positions ``t >= length`` carry the DP state
+  through unchanged, so padded batches give bit-identical results to
+  per-sequence runs (tests assert this).
+* Viterbi ties break toward the lowest state index (``argmax`` first-hit),
+  matching NumPy semantics for bit-exact path parity (SURVEY.md §7 "Hard
+  parts" #1).  The Viterbi carry is also max-rescaled so that state-score
+  *differences* — which decide the path — are computed on O(1) floats.
+
+All public functions take batch-major ``obs[B, L, S]`` and return
+batch-major results; internally scans are time-major.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tehmm_tpu.utils.common import LOG_ZERO
+
+
+def _logdot(x: jax.Array, log_mat: jax.Array, mat_exp: jax.Array,
+            matmul: bool) -> jax.Array:
+    """LSE_i(x[b,i] + log_mat[i,j]) for x [B,S] -> [B,S].
+
+    ``mat_exp`` must equal exp(log_mat) (precomputed once per scan).
+    ``x`` is assumed pre-normalized to max 0 (scaled scan), so exp is safe.
+    """
+    if matmul:
+        p = jnp.exp(x)                                         # [B,S] <= 1
+        s = jnp.dot(p, mat_exp, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        return jnp.where(s > 0, jnp.log(s), LOG_ZERO)
+    y = x[:, :, None] + log_mat[None, :, :]                    # [B,S,S]
+    m = jnp.max(y, axis=1, keepdims=True)
+    m_safe = jnp.maximum(m, LOG_ZERO)
+    s = jnp.sum(jnp.exp(y - m_safe), axis=1)
+    return jnp.where(s > 0, jnp.log(s), LOG_ZERO) + m_safe[:, 0, :]
+
+
+def _renorm(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Split x[B,S] into (x - max, max); max clamped to stay finite."""
+    m = jnp.maximum(jnp.max(x, axis=-1), LOG_ZERO)             # [B]
+    return x - m[:, None], m
+
+
+def _mask_carry(new: jax.Array, old: jax.Array, valid_t: jax.Array):
+    """Carry ``old`` through for batch rows whose position t is padding."""
+    return jnp.where(valid_t[:, None], new, old)
+
+
+@partial(jax.jit, static_argnames=("matmul",))
+def forward_scaled(
+    log_start: jax.Array,
+    log_trans: jax.Array,
+    obs: jax.Array,
+    lengths: jax.Array | None = None,
+    matmul: bool = True,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Scaled forward pass (reference: basehmm.py `_do_forward_pass`).
+
+    Args:
+      log_start: f32[S]; log_trans: f32[S,S]; obs: f32[B,L,S];
+      lengths: optional int[B] valid lengths (default: all L).
+
+    Returns:
+      (alpha_hat[B,L,S], log_c[B,L], loglik[B]) with
+      ``log_alpha[b,t] = alpha_hat[b,t] + log_c[b,t]`` and every row of
+      alpha_hat having max 0.
+    """
+    B, L, S = obs.shape
+    lengths = jnp.full((B,), L) if lengths is None else lengths
+    obs_t = jnp.moveaxis(obs, 1, 0)                       # [L,B,S]
+    trans_exp = jnp.exp(log_trans)
+
+    a0 = log_start[None, :] + obs_t[0]
+    a0 = jnp.where((lengths > 0)[:, None], a0, LOG_ZERO)
+    a0_hat, c0 = _renorm(a0)
+
+    def step(a_hat, xs):
+        obs_row, t = xs
+        new = _logdot(a_hat, log_trans, trans_exp, matmul) + obs_row
+        new_hat, dm = _renorm(new)
+        valid_t = t < lengths
+        new_hat = _mask_carry(new_hat, a_hat, valid_t)
+        dm = jnp.where(valid_t, dm, 0.0)
+        return new_hat, (new_hat, dm)
+
+    ts = jnp.arange(1, L)
+    _, (a_hats, dms) = jax.lax.scan(step, a0_hat, (obs_t[1:], ts))
+    alpha_hat = jnp.concatenate([a0_hat[None], a_hats], axis=0)
+    # Cumulative normalizers are derived OUTSIDE the scan: the loglik uses
+    # a tree-order jnp.sum over the per-step increments (error O(log L))
+    # instead of a sequentially accumulated carry (error O(L)).
+    incs = jnp.concatenate([c0[None], dms], axis=0)       # [L,B]
+    log_c = jnp.cumsum(incs, axis=0)
+    final_hat = alpha_hat[-1]
+    loglik = (
+        jnp.log(jnp.sum(jnp.exp(final_hat), axis=-1)) + jnp.sum(incs, axis=0)
+    )
+    return (
+        jnp.moveaxis(alpha_hat, 0, 1),
+        jnp.moveaxis(log_c, 0, 1),
+        loglik,
+    )
+
+
+@partial(jax.jit, static_argnames=("matmul",))
+def backward_scaled(
+    log_trans: jax.Array,
+    obs: jax.Array,
+    lengths: jax.Array | None = None,
+    matmul: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Scaled backward pass (reference: basehmm.py `_do_backward_pass`).
+
+    Returns (beta_hat[B,L,S], log_d[B,L]) with
+    ``log_beta[b,t] = beta_hat[b,t] + log_d[b,t]``; beta at the last valid
+    position is exactly 0 (= beta_hat 0, log_d 0).
+    """
+    B, L, S = obs.shape
+    lengths = jnp.full((B,), L) if lengths is None else lengths
+    obs_t = jnp.moveaxis(obs, 1, 0)
+    log_trans_T = log_trans.T
+    trans_exp_T = jnp.exp(log_trans_T)
+    b_last = jnp.zeros((B, S), dtype=obs.dtype)
+    d_last = jnp.zeros((B,), dtype=obs.dtype)
+
+    def step(b_hat, xs):
+        obs_next, t_next = xs                              # position t+1
+        x = obs_next + b_hat                               # [B,S]
+        x_hat, xm = _renorm(x)
+        new = _logdot(x_hat, log_trans_T, trans_exp_T, matmul)
+        new_hat, nm = _renorm(new)
+        valid_t = t_next < lengths
+        new_hat = _mask_carry(new_hat, b_hat, valid_t)
+        dm = jnp.where(valid_t, xm + nm, 0.0)
+        return new_hat, (new_hat, dm)
+
+    ts = jnp.arange(1, L)
+    _, (b_hats, dms) = jax.lax.scan(
+        step, b_last, (obs_t[1:], ts), reverse=True
+    )  # index k == position k, for k = 0..L-2
+    beta_hat = jnp.concatenate([b_hats, b_last[None]], axis=0)
+    # log_d[t] = sum of increments from the end down to t (reverse cumsum
+    # outside the scan; see forward_scaled note on accumulation error).
+    incs = jnp.concatenate([dms, d_last[None]], axis=0)    # [L,B]
+    log_d = jnp.cumsum(incs[::-1], axis=0)[::-1]
+    return jnp.moveaxis(beta_hat, 0, 1), jnp.moveaxis(log_d, 0, 1)
+
+
+@partial(jax.jit, static_argnames=("matmul",))
+def forward(
+    log_start: jax.Array,
+    log_trans: jax.Array,
+    obs: jax.Array,
+    lengths: jax.Array | None = None,
+    matmul: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Unscaled-API forward: returns (log_alpha[B,L,S], loglik[B])."""
+    alpha_hat, log_c, loglik = forward_scaled(
+        log_start, log_trans, obs, lengths, matmul
+    )
+    return alpha_hat + log_c[:, :, None], loglik
+
+
+@partial(jax.jit, static_argnames=("matmul",))
+def backward(
+    log_trans: jax.Array,
+    obs: jax.Array,
+    lengths: jax.Array | None = None,
+    matmul: bool = True,
+) -> jax.Array:
+    """Unscaled-API backward: returns log_beta[B,L,S]."""
+    beta_hat, log_d = backward_scaled(log_trans, obs, lengths, matmul)
+    return beta_hat + log_d[:, :, None]
+
+
+@jax.jit
+def posterior_scaled(alpha_hat: jax.Array, beta_hat: jax.Array) -> jax.Array:
+    """gamma from scaled quantities via per-position normalization.
+
+    gamma[t] = alpha[t]·beta[t] / Σ_s alpha[t,s]·beta[t,s] exactly (each
+    position's posterior sums to 1), so the cumulative normalizers and the
+    total loglik cancel and never enter the computation — f32 accuracy is
+    independent of sequence length.  (Accumulating the large log-scalars
+    instead costs ~1% error by L=2048 and diverges by L=65536.)"""
+    x = alpha_hat + beta_hat
+    x = x - jnp.max(x, axis=-1, keepdims=True)
+    p = jnp.exp(x)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+@jax.jit
+def posterior(
+    log_alpha: jax.Array, log_beta: jax.Array, loglik: jax.Array
+) -> jax.Array:
+    """gamma[b,l,s] = P(state_l = s | obs) (reference: basehmm posteriors)."""
+    return jnp.exp(
+        jnp.minimum(log_alpha + log_beta - loglik[:, None, None], 0.0)
+    )
+
+
+def _ptr_dtype(S: int):
+    if S <= 255:
+        return jnp.uint8
+    if S <= 65535:
+        return jnp.uint16
+    return jnp.int32
+
+
+@jax.jit
+def viterbi(
+    log_start: jax.Array,
+    log_trans: jax.Array,
+    obs: jax.Array,
+    lengths: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Max-plus Viterbi DP + backtrace (reference: basehmm.py
+    `_do_viterbi_pass`).
+
+    Ties break to the lowest state index (NumPy argmax first-hit), both in
+    the per-step pointers and the final state selection — required for
+    bit-exact path parity with a NumPy implementation.  The value carry is
+    max-rescaled every step so the score differences deciding the argmax
+    stay O(1) regardless of L.
+
+    Returns:
+      (path int32[B, L], score f32[B]).  Entries at t >= length replicate
+      the state at length-1 (callers slice to length).
+    """
+    B, L, S = obs.shape
+    lengths = jnp.full((B,), L) if lengths is None else lengths
+    obs_t = jnp.moveaxis(obs, 1, 0)
+    pdt = _ptr_dtype(S)
+    ident = jnp.broadcast_to(jnp.arange(S, dtype=pdt)[None, :], (B, S))
+
+    v0 = log_start[None, :] + obs_t[0]
+    v0_hat, m0 = _renorm(v0)
+
+    def step(carry, xs):
+        v_hat, m = carry
+        obs_row, t = xs
+        scores = v_hat[:, :, None] + log_trans[None, :, :]  # [B,S,S] over i
+        best = jnp.max(scores, axis=1)                      # [B,S]
+        ptr = jnp.argmax(scores, axis=1).astype(pdt)        # lowest-i ties
+        new_v = best + obs_row
+        new_hat, dm = _renorm(new_v)
+        valid_t = t < lengths
+        new_hat = _mask_carry(new_hat, v_hat, valid_t)
+        new_m = jnp.where(valid_t, m + dm, m)
+        ptr = jnp.where(valid_t[:, None], ptr, ident)
+        return (new_hat, new_m), ptr
+
+    ts = jnp.arange(1, L)
+    (v_hat, m), ptrs = jax.lax.scan(
+        step, (v0_hat, m0), (obs_t[1:], ts)
+    )  # ptrs [L-1,B,S]
+    score = jnp.max(v_hat, axis=-1) + m                     # [B]
+    last_state = jnp.argmax(v_hat, axis=-1).astype(jnp.int32)
+
+    def back(state, ptr_row):                               # ptr_row [B,S]
+        prev = jnp.take_along_axis(
+            ptr_row.astype(jnp.int32), state[:, None], axis=1
+        )[:, 0]
+        return prev, state
+
+    first_state, states = jax.lax.scan(back, last_state, ptrs, reverse=True)
+    path = jnp.concatenate([first_state[None], states], axis=0)  # [L,B]
+    return jnp.moveaxis(path, 0, 1), score

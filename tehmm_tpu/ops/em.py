@@ -1,0 +1,297 @@
+"""Baum-Welch EM: E-step sufficient statistics + M-step normalization.
+
+Rebuild of the reference's EM loop (reference: basehmm.py `fit` — per-
+iteration forward/backward over every sequence, ξ/γ accumulation,
+normalize with EPSILON smoothing; hmm.py applies user fix/force masks;
+SURVEY.md §2a, §3.1).  TPU-first design decisions:
+
+* The whole E-step over a batch of chunks is ONE jitted function
+  ``em_sufficient_stats``: obs matmul → forward scan → backward scan →
+  three MXU contractions for the ξ / γ / emission counts.  No [L,S,S]
+  tensor is ever materialized (SURVEY.md §7 layer 3).
+* ξ (transition) counts exploit that ξ at every position sums to exactly 1,
+  so each step can be normalized by its own partition value z — computed
+  from the same scaled factors — and no cumulative normalizer or total
+  log-likelihood ever enters the arithmetic (length-independent f32
+  accuracy; see the inline comment in ``em_sufficient_stats``).  The sum
+  over (batch, time) is a single einsum on the MXU.
+* M-step = pure renormalization with EPSILON pseudo-counts, then
+  semi-supervised fix/force masks applied as ``where`` over rows
+  (reference: teHmmTrain.py --fixTrans/--fixEm/--forceTransProbs/
+  --forceEmProbs semantics).
+* Statistics are a pytree summed with ``jax.lax.psum`` across the data
+  mesh axis in parallel/em_sharded.py — the M-step is then replicated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tehmm_tpu.utils.common import EPSILON
+from tehmm_tpu.models.emission import (
+    expected_emission_counts,
+    normalize_log_em,
+    track_log_likelihoods,
+)
+from tehmm_tpu.models.params import HmmParams
+from tehmm_tpu.ops import dp
+
+_CLIP = 60.0  # exp-range guard; see module docstring
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EmStats:
+    """EM sufficient statistics (a psum-able pytree).
+
+    start:  f32[S]      expected initial-state counts
+    trans:  f32[S, S]   expected transition counts
+    em:     f32[S,T,V]  expected symbol counts
+    loglik: f32[]       total data log-likelihood
+    n_obs:  f32[]       number of (valid) observed positions
+    """
+
+    start: jax.Array
+    trans: jax.Array
+    em: jax.Array
+    loglik: jax.Array
+    n_obs: jax.Array
+
+    def __add__(self, other: "EmStats") -> "EmStats":
+        return jax.tree.map(jnp.add, self, other)
+
+
+@partial(jax.jit, static_argnames=("matmul",))
+def em_sufficient_stats(
+    params: HmmParams,
+    symbols: jax.Array,
+    lengths: jax.Array | None = None,
+    matmul: bool = True,
+) -> EmStats:
+    """One E-step over a batch of chunks.
+
+    Args:
+      symbols: int[B, L, T] discretized observations.
+      lengths: optional int[B]; positions >= length are padding.
+
+    Returns:
+      EmStats summed over the batch.
+    """
+    B, L, T = symbols.shape
+    S = params.num_states
+    lengths = jnp.full((B,), L) if lengths is None else lengths
+    valid = jnp.arange(L)[None, :] < lengths[:, None]          # [B,L]
+
+    obs = track_log_likelihoods(params.log_em, symbols)        # [B,L,S]
+    alpha_hat, _, loglik = dp.forward_scaled(
+        params.log_start, params.log_trans, obs, lengths, matmul=matmul
+    )
+    beta_hat, _ = dp.backward_scaled(
+        params.log_trans, obs, lengths, matmul=matmul
+    )
+
+    gamma = dp.posterior_scaled(alpha_hat, beta_hat)
+    gamma = gamma * valid[..., None]
+
+    start = gamma[:, 0, :].sum(axis=0)
+
+    # ----- transition counts (factored, per-step-normalized einsum) -----
+    # For every (b, t):  xi[t,i,j] = a[i] · T[i,j] · b[j] / z[t]  with
+    #   a[i] = exp(alpha_hat[t,i]),  b[j] = exp(obs[t+1,j]+beta_hat[t+1,j]
+    #   − max_j(·)),  z[t] = Σ_ij a T b = (a @ T) · b,
+    # which is EXACT (Σ_ij xi[t] = 1 in exact math, so every cumulative
+    # normalizer cancels per step) and keeps all factors in [0, 1].  Then
+    #   trans[i,j] = Σ_{b,t} xi = T ⊙ einsum(a/z, b)
+    # — one [B·L, S] @ [S, B·L] MXU contraction, no [L,S,S] materialized.
+    a_fac = jnp.exp(alpha_hat[:, :-1, :])                      # <= 1
+    bb = obs[:, 1:, :] + beta_hat[:, 1:, :]
+    bb = bb - jnp.max(bb, axis=-1, keepdims=True)
+    b_fac = jnp.exp(jnp.clip(bb, -_CLIP, _CLIP))               # <= 1
+    trans_exp = jnp.exp(params.log_trans)
+    aT = jnp.einsum(
+        "bli,ij->blj", a_fac, trans_exp,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    z = jnp.sum(aT * b_fac, axis=-1)                           # [B,L-1]
+    # transitions OUT of the last valid position don't exist
+    valid_from = jnp.arange(L - 1)[None, :] < (lengths[:, None] - 1)
+    w = jnp.where(valid_from, 1.0 / jnp.maximum(z, 1e-30), 0.0)
+    pair = jnp.einsum(
+        "bli,blj->ij", a_fac * w[..., None], b_fac,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    trans = pair * trans_exp
+
+    em = expected_emission_counts(
+        params.log_em.shape, symbols, gamma, valid=None  # gamma pre-masked
+    )
+
+    return EmStats(
+        start=start,
+        trans=trans,
+        em=em,
+        loglik=loglik.sum(),
+        n_obs=valid.sum().astype(jnp.float32),
+    )
+
+
+def _normalize_rows(counts: jax.Array, epsilon: float) -> jax.Array:
+    smoothed = counts + epsilon
+    probs = smoothed / smoothed.sum(axis=-1, keepdims=True)
+    return jnp.log(jnp.maximum(probs, 1e-300)).astype(jnp.float32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ParamMasks:
+    """Semi-supervised parameter pinning (reference: teHmmTrain.py
+    --fixTrans / --fixEm / --forceTransProbs / --forceEmProbs; SURVEY.md
+    §2b).  All fields optional (None == no constraint).
+
+    fix_trans_rows: bool[S]   rows of log_trans frozen at their init values
+    fix_em_states:  bool[S]   states whose emission tables are frozen
+    force_trans:    f32[S,S]  entries >= 0 overwrite the trained matrix
+                              (row renormalized over the free entries);
+                              negative entries mean "free"
+    force_em:       f32[S,T,V] same semantics for emissions
+    """
+
+    fix_trans_rows: jax.Array | None = None
+    fix_em_states: jax.Array | None = None
+    force_trans: jax.Array | None = None
+    force_em: jax.Array | None = None
+
+
+def _apply_force(log_p: jax.Array, force: jax.Array) -> jax.Array:
+    """Overwrite entries where force >= 0 and renormalize the remaining
+    (free) entries of each row to the leftover probability mass."""
+    forced = force >= 0.0
+    p = jnp.exp(log_p)
+    forced_mass = jnp.sum(jnp.where(forced, force, 0.0), -1, keepdims=True)
+    free_mass = jnp.sum(jnp.where(forced, 0.0, p), -1, keepdims=True)
+    scale = jnp.where(
+        free_mass > 0, (1.0 - forced_mass) / jnp.maximum(free_mass, 1e-300), 0.0
+    )
+    new_p = jnp.where(forced, force, p * scale)
+    return jnp.log(jnp.maximum(new_p, 1e-300)).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("epsilon",))
+def em_m_step(
+    stats: EmStats,
+    old_params: HmmParams,
+    alphabet_sizes: jax.Array,
+    masks: ParamMasks | None = None,
+    epsilon: float = EPSILON,
+) -> HmmParams:
+    """Counts -> new parameters (reference: basehmm M-step + hmm.py user
+    priors).  ``old_params`` supplies the frozen rows for fix masks."""
+    log_start = _normalize_rows(stats.start, epsilon)
+    log_trans = _normalize_rows(stats.trans, epsilon)
+    log_em = normalize_log_em(stats.em, alphabet_sizes, epsilon)
+
+    if masks is not None:
+        if masks.fix_trans_rows is not None:
+            keep = masks.fix_trans_rows[:, None]
+            log_trans = jnp.where(keep, old_params.log_trans, log_trans)
+        if masks.fix_em_states is not None:
+            keep = masks.fix_em_states[:, None, None]
+            log_em = jnp.where(keep, old_params.log_em, log_em)
+        if masks.force_trans is not None:
+            log_trans = _apply_force(log_trans, masks.force_trans)
+        if masks.force_em is not None:
+            log_em = _apply_force(log_em, masks.force_em)
+
+    return HmmParams(
+        log_start=log_start, log_trans=log_trans, log_em=log_em
+    )
+
+
+def em_step(
+    params: HmmParams,
+    symbols: jax.Array,
+    alphabet_sizes: jax.Array,
+    lengths: jax.Array | None = None,
+    masks: ParamMasks | None = None,
+    epsilon: float = EPSILON,
+    matmul: bool = True,
+) -> tuple[HmmParams, jax.Array]:
+    """One full EM iteration on a single device. Returns (params, loglik)."""
+    stats = em_sufficient_stats(params, symbols, lengths, matmul=matmul)
+    new_params = em_m_step(stats, params, alphabet_sizes, masks, epsilon)
+    return new_params, stats.loglik
+
+
+# ---------------------------------------------------------------------------
+# Supervised training (reference: hmm.py supervisedTrain — count transitions
+# from labeled BED adjacency + emission symbol counts; no DP needed).
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("num_states", "epsilon"))
+def supervised_counts(
+    num_states: int,
+    symbols: jax.Array,
+    states: jax.Array,
+    lengths: jax.Array | None = None,
+    epsilon: float = EPSILON,
+) -> EmStats:
+    """Hard-count sufficient statistics from labeled data.
+
+    Args:
+      symbols: int[B, L, T]; states: int[B, L] gold state labels.
+    """
+    B, L, T = symbols.shape
+    S = num_states
+    lengths = jnp.full((B,), L) if lengths is None else lengths
+    valid = jnp.arange(L)[None, :] < lengths[:, None]
+
+    oh = jax.nn.one_hot(states, S, dtype=jnp.float32) * valid[..., None]
+    start = oh[:, 0, :].sum(axis=0)
+    # adjacency counting: trans[i,j] += [state_l==i][state_{l+1}==j]
+    valid_pair = valid[:, 1:]
+    trans = jnp.einsum(
+        "bli,blj->ij", oh[:, :-1, :] * valid_pair[..., None], oh[:, 1:, :],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return EmStats(
+        start=start,
+        trans=trans,
+        em=jnp.zeros(()),  # filled by supervised_train wrapper
+        loglik=jnp.zeros(()),
+        n_obs=valid.sum().astype(jnp.float32),
+    )
+
+
+def supervised_train(
+    num_states: int,
+    alphabet_sizes,
+    symbols: jax.Array,
+    states: jax.Array,
+    lengths: jax.Array | None = None,
+    epsilon: float = EPSILON,
+) -> HmmParams:
+    """Full supervised training: count + normalize (reference:
+    teHmmTrain.py --supervised)."""
+    from tehmm_tpu.models.emission import supervised_emission_counts
+
+    B, L, T = symbols.shape
+    V = int(max(alphabet_sizes))
+    lengths = jnp.full((B,), L) if lengths is None else lengths
+    valid = (jnp.arange(L)[None, :] < lengths[:, None])
+
+    stats = supervised_counts(num_states, symbols, states, lengths, epsilon)
+    em = supervised_emission_counts(
+        (num_states, T, V), symbols, states,
+        valid=valid.astype(jnp.float32),
+    )
+    log_start = _normalize_rows(stats.start, epsilon)
+    log_trans = _normalize_rows(stats.trans, epsilon)
+    log_em = normalize_log_em(em, jnp.asarray(alphabet_sizes), epsilon)
+    return HmmParams(log_start=log_start, log_trans=log_trans, log_em=log_em)
