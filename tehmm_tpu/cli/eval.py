@@ -1,0 +1,130 @@
+"""tehmm-eval: decode query regions with a trained model
+(reference: teHmmEval.py; SURVEY.md §2b, §3.2).
+
+Usage:
+  python -m tehmm_tpu.cli.eval tracks.xml model.npz query.bed --bed out.bed
+
+Prints total log-likelihood to stdout (reference behavior).  Category
+maps come FROM THE MODEL so symbols match training (SURVEY.md §3.2 ★).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from tehmm_tpu.io import (
+    TrackList,
+    load_track_data,
+    read_bed_intervals,
+    write_bed_intervals,
+)
+from tehmm_tpu.io.bed import merge_adjacent_intervals
+from tehmm_tpu.models.hmm import MultitrackHmm
+from tehmm_tpu.utils.common import (
+    add_logging_options,
+    logger,
+    set_logging_from_options,
+)
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tehmm-eval",
+        description="Viterbi/posterior decoding of genomic regions",
+    )
+    p.add_argument("tracksInfo", help="tracks XML config file")
+    p.add_argument("inputModel", help="trained model (.npz)")
+    p.add_argument("bedRegions", help="query regions BED")
+    p.add_argument("--bed", default=None,
+                   help="write Viterbi annotations to this BED file")
+    p.add_argument("--maxPost", action="store_true",
+                   help="max-posterior decoding instead of Viterbi")
+    p.add_argument("--pd", default=None,
+                   help="write per-position posterior distribution BED")
+    p.add_argument("--chunk", type=int, default=1 << 14,
+                   help="decode chunk length")
+    p.add_argument("--halo", type=int, default=256,
+                   help="stitching halo width")
+    add_logging_options(p)
+    return p
+
+
+def main(argv=None) -> int:
+    from tehmm_tpu.utils.platform import setup_jax
+
+    setup_jax()
+    opts = make_parser().parse_args(argv)
+    set_logging_from_options(opts)
+
+    model = MultitrackHmm.load(opts.inputModel)
+    # tracks XML may point at different data paths than training; names
+    # must match the model's tracks
+    track_list = TrackList(opts.tracksInfo)
+    for t in model.track_list:
+        if track_list.get_track_by_name(t.name) is None:
+            raise SystemExit(
+                f"track {t.name!r} required by the model is missing from "
+                f"{opts.tracksInfo}"
+            )
+    # order/selection comes from the model
+    eval_list = TrackList()
+    for t in model.track_list:
+        src = track_list.get_track_by_name(t.name)
+        import dataclasses as _dc
+
+        clone = _dc.replace(src, number=-1)
+        eval_list.add(clone)
+
+    regions = read_bed_intervals(opts.bedRegions, ncol=3)
+    track_data = load_track_data(
+        eval_list, regions, category_maps=model.category_maps
+    )
+
+    total_ll = model.score(track_data.tables)
+    print(f"{total_ll}")
+
+    if opts.maxPost:
+        paths = model.posterior_decode_tables(
+            track_data.tables, chunk_len=opts.chunk
+        )
+    else:
+        paths, report = model.decode_tables(
+            track_data.tables, chunk_len=opts.chunk, halo=opts.halo
+        )
+        logger.info(
+            "decoded %d chunks (halo %d, retries %d, boundaries ok=%s)",
+            report.n_chunks, report.final_halo, report.retries,
+            report.boundaries_ok,
+        )
+
+    if opts.bed:
+        out = []
+        for tab, path in zip(track_data.tables, paths):
+            ivs = [
+                (tab.chrom, tab.start + i, tab.start + i + 1,
+                 model.state_names[int(s)])
+                for i, s in enumerate(path)
+            ]
+            out.extend(merge_adjacent_intervals(ivs))
+        write_bed_intervals(out, opts.bed)
+        logger.info("wrote %d intervals to %s", len(out), opts.bed)
+
+    if opts.pd:
+        dists = model.posterior_distributions(track_data.tables)
+        rows = []
+        for tab, pd in zip(track_data.tables, dists):
+            for i in range(len(tab)):
+                probs = ",".join(f"{p:.6g}" for p in pd[i])
+                rows.append(
+                    (tab.chrom, tab.start + i, tab.start + i + 1, probs)
+                )
+        write_bed_intervals(rows, opts.pd)
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,250 @@
+"""tehmm-train: train a multi-track HMM (reference: teHmmTrain.py).
+
+Modes (SURVEY.md §2b):
+  --supervised            state = BED name column of the training regions
+  (default)               unsupervised Baum-Welch EM over --numStates
+  semi-supervised         --initTransProbs/--initEmProbs text priors plus
+                          --fixTrans/--fixEm/--forceTransProbs/
+                          --forceEmProbs pin parts of the tables
+
+Usage:
+  python -m tehmm_tpu.cli.train tracks.xml training.bed output.mod [flags]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+from tehmm_tpu.io import TrackList, load_track_data, read_bed_intervals
+from tehmm_tpu.io.bed import get_merged_bed_intervals
+from tehmm_tpu.io import priors as priors_io
+from tehmm_tpu.models.hmm import MultitrackHmm
+from tehmm_tpu.models.params import HmmParams, apply_emission_conventions
+from tehmm_tpu.ops import em as em_ops
+from tehmm_tpu.utils.common import (
+    EPSILON,
+    JsonlMetrics,
+    add_logging_options,
+    logger,
+    set_logging_from_options,
+)
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tehmm-train",
+        description="Train a multi-track HMM on genomic annotation tracks",
+    )
+    p.add_argument("tracksInfo", help="tracks XML config file")
+    p.add_argument("trainingBed", help="training regions BED")
+    p.add_argument("outputModel", help="output model path (.npz)")
+    p.add_argument("--supervised", action="store_true",
+                   help="train from the BED name column (state labels)")
+    p.add_argument("--numStates", type=int, default=2,
+                   help="number of states for unsupervised EM")
+    p.add_argument("--iter", type=int, default=100,
+                   help="maximum EM iterations")
+    p.add_argument("--emThresh", type=float, default=0.001,
+                   help="EM convergence threshold on delta log-likelihood")
+    p.add_argument("--flatEm", action="store_true",
+                   help="flat (uniform) emission initialization")
+    p.add_argument("--emRandRange", default="0.1,0.9",
+                   help="random emission init range lo,hi")
+    p.add_argument("--seed", type=int, default=0, help="RNG seed")
+    p.add_argument("--reps", type=int, default=1,
+                   help="random restarts; best final loglik wins")
+    p.add_argument("--initTransProbs", default=None,
+                   help="transition prior text file (init values)")
+    p.add_argument("--fixTrans", action="store_true",
+                   help="freeze transitions at their initial values")
+    p.add_argument("--forceTransProbs", default=None,
+                   help="transition text file applied AFTER training")
+    p.add_argument("--initEmProbs", default=None,
+                   help="emission prior text file (init values)")
+    p.add_argument("--fixEm", action="store_true",
+                   help="freeze emissions at their initial values")
+    p.add_argument("--forceEmProbs", default=None,
+                   help="emission text file applied AFTER training")
+    p.add_argument("--segment", action="store_true",
+                   help="treat each training interval as ONE segment "
+                        "observation sequence (use with segment-tracks "
+                        "output)")
+    p.add_argument("--chunk", type=int, default=1 << 14,
+                   help="EM chunk length (positions per sequence)")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard EM over this many devices (0 = single)")
+    p.add_argument("--checkpoint", default=None,
+                   help="periodic checkpoint path")
+    p.add_argument("--checkpointEvery", type=int, default=10)
+    add_logging_options(p)
+    return p
+
+
+def main(argv=None) -> int:
+    from tehmm_tpu.utils.platform import setup_jax
+
+    setup_jax()
+    opts = make_parser().parse_args(argv)
+    set_logging_from_options(opts)
+    metrics = JsonlMetrics(opts.logJson)
+
+    track_list = TrackList(opts.tracksInfo)
+    # training regions: merged span of the BED (reference:
+    # getMergedBedIntervals over the training file)
+    regions = get_merged_bed_intervals(opts.trainingBed)
+    logger.info("loading %d tracks over %d regions",
+                len(track_list), len(regions))
+    track_data = load_track_data(track_list, regions)
+
+    if opts.supervised:
+        labeled = read_bed_intervals(opts.trainingBed, ncol=4)
+        model = MultitrackHmm.supervised(track_data, labeled)
+    else:
+        model = _train_unsupervised(opts, track_data, metrics)
+
+    model.save(opts.outputModel)
+    logger.info("saved model to %s", opts.outputModel)
+    metrics.close()
+    return 0
+
+
+def _train_unsupervised(opts, track_data, metrics) -> MultitrackHmm:
+    trans_paths = [
+        p for p in (opts.initTransProbs, opts.forceTransProbs) if p
+    ]
+    em_paths = [p for p in (opts.initEmProbs, opts.forceEmProbs) if p]
+    state_names = priors_io.collect_state_names(trans_paths, em_paths)
+    n_states = max(opts.numStates, len(state_names))
+    state_names += [
+        str(i) for i in range(len(state_names), n_states)
+    ]
+
+    init = "flat" if opts.flatEm else "random"
+    model = MultitrackHmm.initialized(
+        n_states, track_data, init=init, seed=opts.seed,
+        rand_range=tuple(float(x) for x in opts.emRandRange.split(",")),
+        state_names=state_names,
+    )
+
+    # ---- apply init priors ----
+    if opts.initTransProbs:
+        prior = priors_io.read_trans_prior(
+            opts.initTransProbs, state_names
+        )
+        trans = priors_io.prior_to_init(prior)
+        model.params = HmmParams(
+            log_start=model.params.log_start,
+            log_trans=jnp.asarray(
+                np.log(np.maximum(trans, 1e-300)), jnp.float32
+            ),
+            log_em=model.params.log_em,
+        )
+    if opts.initEmProbs:
+        prior = priors_io.read_em_prior(
+            opts.initEmProbs, state_names, track_data.track_list,
+            track_data.category_maps,
+        )
+        # re-init with possibly grown alphabets, then overwrite specified
+        sizes = track_data.alphabet_sizes
+        model = MultitrackHmm.initialized(
+            n_states, track_data, init=init, seed=opts.seed,
+            state_names=state_names,
+        )
+        log_em = np.asarray(model.params.log_em)
+        if log_em.shape[2] < prior.shape[2]:
+            pad = prior.shape[2] - log_em.shape[2]
+            log_em = np.pad(log_em, ((0, 0), (0, 0), (0, pad)))
+        spec = prior >= 0
+        log_em[spec] = np.log(np.maximum(prior[spec], 1e-300))
+        log_em = apply_emission_conventions(log_em, sizes)
+        model.params = HmmParams(
+            log_start=model.params.log_start,
+            log_trans=model.params.log_trans,
+            log_em=jnp.asarray(log_em),
+        )
+
+    # ---- build masks ----
+    masks = _build_masks(opts, model, track_data, state_names)
+
+    mesh = None
+    if opts.mesh:
+        from tehmm_tpu.parallel import make_data_mesh
+
+        mesh = make_data_mesh(opts.mesh)
+
+    seg_tables = track_data.tables
+    chunk_len = opts.chunk
+    if opts.segment:
+        # each training interval is one observation sequence already
+        chunk_len = max(len(t) for t in seg_tables)
+
+    best = None
+    for rep in range(max(1, opts.reps)):
+        rep_model = model
+        if rep > 0:
+            rep_model = MultitrackHmm.initialized(
+                n_states, track_data, init="random",
+                seed=opts.seed + rep, state_names=state_names,
+            )
+        result = rep_model.fit(
+            seg_tables,
+            max_iterations=opts.iter,
+            convergence_tol=opts.emThresh,
+            masks=masks,
+            chunk_len=chunk_len,
+            mesh=mesh,
+            metrics=metrics,
+            checkpoint_path=opts.checkpoint,
+            checkpoint_every=opts.checkpointEvery,
+        )
+        final = result.logliks[-1] if result.logliks else -np.inf
+        logger.info(
+            "rep %d: loglik %.4f after %d iters (converged=%s)",
+            rep, final, result.iterations, result.converged,
+        )
+        if best is None or final > best[0]:
+            best = (final, rep_model)
+    return best[1]
+
+
+def _build_masks(opts, model, track_data, state_names):
+    fix_trans = force_trans = fix_em = force_em = None
+    S = model.num_states
+    if opts.fixTrans:
+        fix_trans = jnp.ones((S,), dtype=bool)
+    if opts.fixEm:
+        fix_em = jnp.ones((S,), dtype=bool)
+    if opts.forceTransProbs:
+        force_trans = jnp.asarray(
+            priors_io.read_trans_prior(opts.forceTransProbs, state_names)
+        )
+    if opts.forceEmProbs:
+        prior = priors_io.read_em_prior(
+            opts.forceEmProbs, state_names, track_data.track_list,
+            track_data.category_maps, update_maps=False,
+        )
+        V = model.params.max_symbols
+        if prior.shape[2] < V:
+            prior = np.pad(
+                prior, ((0, 0), (0, 0), (0, V - prior.shape[2])),
+                constant_values=-1.0,
+            )
+        force_em = jnp.asarray(prior[:, :, :V])
+    if any(
+        x is not None for x in (fix_trans, force_trans, fix_em, force_em)
+    ):
+        return em_ops.ParamMasks(
+            fix_trans_rows=fix_trans,
+            fix_em_states=fix_em,
+            force_trans=force_trans,
+            force_em=force_em,
+        )
+    return None
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,81 @@
+"""tehmm-view: print a trained model's parameters
+(reference: teHmmView.py; SURVEY.md §2b).
+
+Usage:
+  python -m tehmm_tpu.cli.view model.npz [--trans] [--em] [--start]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from tehmm_tpu.models.hmm import MultitrackHmm
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tehmm-view", description="Print model parameters"
+    )
+    p.add_argument("inputModel")
+    p.add_argument("--trans", action="store_true",
+                   help="only the transition matrix")
+    p.add_argument("--em", action="store_true",
+                   help="only the emission tables")
+    p.add_argument("--start", action="store_true",
+                   help="only the start distribution")
+    p.add_argument("--precision", type=int, default=4)
+    return p
+
+
+def main(argv=None) -> int:
+    from tehmm_tpu.utils.platform import setup_jax
+
+    setup_jax()
+    opts = make_parser().parse_args(argv)
+    model = MultitrackHmm.load(opts.inputModel)
+    np.set_printoptions(precision=opts.precision, suppress=True)
+    show_all = not (opts.trans or opts.em or opts.start)
+
+    names = model.state_names
+    print(f"states ({model.num_states}): {' '.join(names)}")
+    print(f"tracks ({len(model.track_list)}): "
+          f"{' '.join(t.name for t in model.track_list)}")
+
+    if show_all or opts.start:
+        print("\nstart probabilities:")
+        start = np.exp(np.asarray(model.params.log_start))
+        for n, v in zip(names, start):
+            print(f"  {n}\t{v:.{opts.precision}f}")
+
+    if show_all or opts.trans:
+        print("\ntransition matrix (row = from):")
+        trans = np.exp(np.asarray(model.params.log_trans))
+        header = "\t".join(names)
+        print(f"  \t{header}")
+        for n, row in zip(names, trans):
+            cells = "\t".join(f"{v:.{opts.precision}f}" for v in row)
+            print(f"  {n}\t{cells}")
+
+    if show_all or opts.em:
+        print("\nemission tables:")
+        log_em = np.asarray(model.params.log_em)
+        for t in model.track_list:
+            cm = model.category_maps[t.name]
+            print(f"  track {t.name}:")
+            syms = [
+                (v, cm.get_back_map(v)) for v in range(1, len(cm))
+            ]
+            for s_idx, s_name in enumerate(names):
+                parts = [
+                    f"{val}={np.exp(log_em[s_idx, t.number, v]):.{opts.precision}f}"
+                    for v, val in syms
+                ]
+                print(f"    {s_name}\t" + " ".join(parts))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,83 @@
+"""FASTA reading (reference: trackIO.py fasta branch; SURVEY.md §2a).
+
+Per-base nucleotide symbols become a categorical track.  Sequences are
+scanned once and offsets indexed, so fetching an interval of a large
+genome does not hold every chromosome in memory at once.
+"""
+
+from __future__ import annotations
+
+
+class FastaFile:
+    """Random-access FASTA: index on first open, slice on demand."""
+
+    def __init__(self, path: str):
+        self.path = path
+        # name -> (data_start_offset, seq_len, line_base_len, line_full_len)
+        self._index: dict[str, tuple[int, int, int, int]] = {}
+        self._build_index()
+
+    def _build_index(self) -> None:
+        with open(self.path, "rb") as fh:
+            name = None
+            data_start = 0
+            seq_len = 0
+            line_base = 0
+            line_full = 0
+            first_line = True
+
+            def commit():
+                if name is not None:
+                    self._index[name] = (
+                        data_start, seq_len, line_base, line_full
+                    )
+
+            offset = 0
+            for raw in fh:
+                ll = len(raw)
+                line = raw.rstrip(b"\r\n")
+                if line.startswith(b">"):
+                    commit()
+                    name = line[1:].split()[0].decode()
+                    data_start = offset + ll
+                    seq_len = 0
+                    line_base = 0
+                    line_full = 0
+                    first_line = True
+                elif line:
+                    if first_line:
+                        line_base = len(line)
+                        line_full = ll
+                        first_line = False
+                    seq_len += len(line)
+                offset += ll
+            commit()
+
+    @property
+    def names(self) -> list[str]:
+        return list(self._index)
+
+    def length(self, name: str) -> int:
+        return self._index[name][1]
+
+    def fetch(self, name: str, start: int, end: int) -> str:
+        """Subsequence [start, end), uppercased."""
+        if name not in self._index:
+            raise KeyError(f"sequence {name!r} not in {self.path}")
+        data_start, seq_len, line_base, line_full = self._index[name]
+        start = max(0, start)
+        end = min(end, seq_len)
+        if start >= end:
+            return ""
+        if line_base == 0:
+            return ""
+        byte_start = data_start + (start // line_base) * line_full + (
+            start % line_base
+        )
+        byte_end = data_start + ((end - 1) // line_base) * line_full + (
+            (end - 1) % line_base
+        ) + 1
+        with open(self.path, "rb") as fh:
+            fh.seek(byte_start)
+            chunk = fh.read(byte_end - byte_start)
+        return chunk.replace(b"\n", b"").replace(b"\r", b"").decode().upper()

@@ -1,0 +1,260 @@
+"""TrackData: multi-track interval loading into integer symbol matrices.
+
+Rebuild of the reference's ``TrackData.loadTrackData`` pipeline (reference:
+track.py `TrackData`, `TrackTable`/`IntegerTrackTable`, trackIO.py
+`readTrackData` extension dispatch; SURVEY.md §2a, §3.1): for each query
+interval, every configured track is read over that interval, values are
+discretized through the track's CategoryMap, and the result is a dense
+``[L, T]`` integer matrix (uint8/uint16) ready for the device emission
+matmul.
+
+Dispatch by file extension (reference: trackIO.readTrackData):
+  .bed                 interval values (name / score / any column)
+  .fa .fasta .fna      per-base nucleotide
+  .bw .bigwig          per-base numeric (io.bigwig native reader)
+
+Coverage semantics per distribution (reference: track.py [R], SURVEY.md
+§2a; re-verify against the reference when its mount is restored):
+  multinomial  value := record[valCol]; uncovered := track.default if set,
+               else missing (symbol 0)
+  binary       covered := "1"; uncovered := default or "0"
+  sparse       like multinomial but uncovered is ALWAYS missing
+  gaussian     accepted, treated as binned multinomial (documented
+               deviation — the reference's gaussian emission is [R?])
+
+Overlapping records: later records in (chrom, start)-sorted order win.
+The reference pipeline expects overlap-free tracks (it ships
+removeBedOverlaps.py for exactly this); the rule here only defines
+behavior when users skip that step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+from tehmm_tpu.io.bed import read_bed
+from tehmm_tpu.io.category import CategoryMap
+from tehmm_tpu.io.fasta import FastaFile
+from tehmm_tpu.io.trackxml import Track, TrackList
+
+
+def _dtype_for(n: int):
+    return np.uint8 if n <= 255 else np.uint16
+
+
+@dataclasses.dataclass
+class TrackTable:
+    """Integer symbol matrix for one query interval
+    (reference: track.py IntegerTrackTable)."""
+
+    chrom: str
+    start: int
+    end: int
+    symbols: np.ndarray  # [L, T] unsigned int
+
+    def __len__(self) -> int:
+        return self.end - self.start
+
+
+class _BedSource:
+    """One parsed BED file, indexed per chrom, ready to paint intervals."""
+
+    def __init__(self, path: str):
+        self.by_chrom: dict[str, list] = {}
+        for rec in read_bed(path):
+            self.by_chrom.setdefault(rec.chrom, []).append(rec)
+        for recs in self.by_chrom.values():
+            recs.sort(key=lambda r: (r.start, r.end))
+
+    def overlapping(self, chrom: str, start: int, end: int):
+        # linear scan within chrom is fine for the fixture scale; genome
+        # scale uses the arrays below
+        import bisect
+
+        recs = self.by_chrom.get(chrom, [])
+        # records are start-sorted; find the first with start < end, then
+        # walk left while end > start.  Simpler: bisect on start.
+        starts = [r.start for r in recs]
+        hi = bisect.bisect_left(starts, end)
+        return [r for r in recs[:hi] if r.end > start]
+
+
+class _FastaSource:
+    def __init__(self, path: str):
+        self.fa = FastaFile(path)
+
+
+def _value_of(rec, val_col: int):
+    """Extract the raw value from a BED record by column index
+    (reference: trackIO — valCol 3 = name, 4 = score)."""
+    if val_col == 3:
+        return rec.name
+    if val_col == 4:
+        return rec.score
+    if val_col == 5:
+        return rec.strand
+    if val_col > 5 and (val_col - 6) < len(rec.extra):
+        return rec.extra[val_col - 6]
+    return None
+
+
+class TrackData:
+    """All loaded tables plus the category maps that made them."""
+
+    def __init__(
+        self,
+        track_list: TrackList,
+        category_maps: dict[str, CategoryMap],
+        tables: list[TrackTable],
+    ):
+        self.track_list = track_list
+        self.category_maps = category_maps
+        self.tables = tables
+
+    @property
+    def alphabet_sizes(self) -> list[int]:
+        return [len(self.category_maps[t.name]) for t in self.track_list]
+
+    @property
+    def num_tracks(self) -> int:
+        return len(self.track_list)
+
+    def maps_to_dict(self) -> dict:
+        return {
+            name: cm.to_dict() for name, cm in self.category_maps.items()
+        }
+
+    @staticmethod
+    def maps_from_dict(d: dict) -> dict[str, CategoryMap]:
+        return {name: CategoryMap.from_dict(v) for name, v in d.items()}
+
+
+def load_track_data(
+    track_list: TrackList,
+    intervals: Sequence[Sequence],
+    category_maps: dict[str, CategoryMap] | None = None,
+    update_maps: bool | None = None,
+) -> TrackData:
+    """Load every track over every query interval.
+
+    Args:
+      intervals: (chrom, start, end, ...) tuples.
+      category_maps: existing maps (eval mode — loaded from the model so
+        symbols match training, SURVEY.md §3.2 ★).  None = build fresh.
+      update_maps: whether unseen values get new symbols.  Defaults to
+        True when maps are fresh, False when maps were supplied.
+
+    Returns:
+      TrackData with one TrackTable per interval (same order).
+    """
+    fresh = category_maps is None
+    if update_maps is None:
+        update_maps = fresh
+    maps = (
+        {t.name: CategoryMap() for t in track_list}
+        if fresh
+        else category_maps
+    )
+
+    # open each source once
+    sources: dict[str, object] = {}
+    for track in track_list:
+        p = track.path.lower()
+        if p.endswith((".fa", ".fasta", ".fna")):
+            sources[track.name] = _FastaSource(track.path)
+        elif p.endswith((".bw", ".bigwig")):
+            from tehmm_tpu.io.bigwig import BigWigFile
+
+            sources[track.name] = BigWigFile(track.path)
+        else:
+            sources[track.name] = _BedSource(track.path)
+
+    n_tracks = len(track_list)
+    tables: list[TrackTable] = []
+    for iv in intervals:
+        chrom, start, end = iv[0], int(iv[1]), int(iv[2])
+        L = end - start
+        mat = np.zeros((L, n_tracks), dtype=np.uint16)
+        for t_idx, track in enumerate(track_list):
+            cm = maps[track.name]
+            src = sources[track.name]
+            col = _paint_track(track, cm, src, chrom, start, end,
+                               bool(update_maps))
+            mat[:, t_idx] = col
+        tables.append(TrackTable(chrom, start, end, mat))
+
+    # shrink dtype if possible
+    max_sym = max(
+        (len(maps[t.name]) for t in track_list), default=1
+    )
+    dt = _dtype_for(max_sym)
+    if dt != np.uint16:
+        for tab in tables:
+            tab.symbols = tab.symbols.astype(dt)
+
+    return TrackData(track_list, maps, tables)
+
+
+def _paint_track(
+    track: Track,
+    cm: CategoryMap,
+    src,
+    chrom: str,
+    start: int,
+    end: int,
+    update: bool,
+) -> np.ndarray:
+    L = end - start
+    col = np.zeros(L, dtype=np.uint16)
+
+    # background / uncovered value
+    if track.distribution == "sparse":
+        bg = cm.missing
+    elif track.distribution == "binary":
+        bg_val = track.default if track.default is not None else "0"
+        bg = cm.get_map(bg_val, update=update)
+    elif track.default is not None:
+        bg = cm.get_map(track.bin(track.default), update=update)
+    else:
+        bg = cm.missing
+    col[:] = bg
+
+    if isinstance(src, _FastaSource):
+        seq = src.fa.fetch(chrom, start, end)
+        arr = np.frombuffer(seq.encode(), dtype=np.uint8)
+        for code in np.unique(arr):
+            sym = cm.get_map(chr(int(code)), update=update)
+            col[: len(arr)][arr == code] = sym
+        return col
+
+    if isinstance(src, _BedSource):
+        for rec in src.overlapping(chrom, start, end):
+            if track.distribution == "binary":
+                val = "1"
+            else:
+                raw = _value_of(rec, track.val_col)
+                if raw is None:
+                    continue
+                val = track.bin(raw)
+            sym = cm.get_map(val, update=update)
+            s = max(rec.start, start) - start
+            e = min(rec.end, end) - start
+            col[s:e] = sym
+        return col
+
+    # BigWig: numeric per-base values (NaN = uncovered)
+    vals = src.values(chrom, start, end)  # float array [L], NaN uncovered
+    covered = ~np.isnan(vals)
+    if covered.any():
+        binned = np.asarray(
+            [track.bin(v) for v in vals[covered]]
+        )
+        syms = np.asarray(
+            [cm.get_map(b, update=update) for b in binned],
+            dtype=np.uint16,
+        )
+        col[covered] = syms
+    return col

@@ -1,0 +1,413 @@
+"""MultitrackHmm: the user-facing model API.
+
+Rebuild of the reference's ``MultitrackHmm`` (reference: hmm.py
+`MultitrackHmm(_BaseHMM)`; SURVEY.md §2a): glues the parameter pytree, the
+track configuration, the category maps and the state-name table together,
+and exposes training (supervised / semi-supervised / unsupervised EM),
+decoding (Viterbi and max-posterior), scoring, and persistence.  Unlike
+the reference's mutable sklearn-style object, all device math lives in
+pure jitted functions (ops/, parallel/); this class is a thin host-side
+coordinator.
+
+Training parity notes:
+* Each query interval (or chunk) is an independent sequence with fresh
+  start probabilities — exactly the reference's semantics (its chunk
+  boundaries are interval boundaries, SURVEY.md §5 "Long-context").
+* Convergence: |Δ loglik| < threshold, with a tolerance for the tiny
+  non-monotonic f32 jitter near convergence (measured ≤ 1e-4·|ll|).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tehmm_tpu.io.bed import merge_adjacent_intervals
+from tehmm_tpu.io.category import CategoryMap
+from tehmm_tpu.io.trackdata import TrackData, TrackTable
+from tehmm_tpu.io.trackxml import TrackList
+from tehmm_tpu.models import emission as emission_ops
+from tehmm_tpu.models.params import (
+    HmmParams,
+    init_flat,
+    init_random,
+    load_model,
+    save_model,
+)
+from tehmm_tpu.ops import dp, em as em_ops
+from tehmm_tpu.parallel.chunking import (
+    batch_chunks,
+    pad_batch_rows,
+    plan_chunks,
+)
+from tehmm_tpu.parallel.stitch import viterbi_chunked
+from tehmm_tpu.utils.common import EPSILON, JsonlMetrics, logger
+
+
+@dataclasses.dataclass
+class FitResult:
+    logliks: list[float]
+    iterations: int
+    converged: bool
+    wall_seconds: float
+
+
+class MultitrackHmm:
+    """Multi-track HMM with independent categorical emissions."""
+
+    def __init__(
+        self,
+        params: HmmParams,
+        track_list: TrackList,
+        category_maps: dict[str, CategoryMap],
+        state_names: list[str] | None = None,
+    ):
+        self.params = params
+        self.track_list = track_list
+        self.category_maps = category_maps
+        S = params.num_states
+        self.state_names = state_names or [str(i) for i in range(S)]
+        if len(self.state_names) != S:
+            raise ValueError(
+                f"{len(self.state_names)} state names for {S} states"
+            )
+
+    # ------------------------------------------------------------------
+    @property
+    def num_states(self) -> int:
+        return self.params.num_states
+
+    @property
+    def alphabet_sizes(self) -> list[int]:
+        return [len(self.category_maps[t.name]) for t in self.track_list]
+
+    def state_index(self, name: str) -> int:
+        return self.state_names.index(name)
+
+    # ------------------------------------------------------------------
+    # constructors
+    # ------------------------------------------------------------------
+    @classmethod
+    def initialized(
+        cls,
+        num_states: int,
+        track_data: TrackData,
+        init: str = "flat",
+        seed: int = 0,
+        rand_range: tuple[float, float] = (0.1, 0.9),
+        state_names: list[str] | None = None,
+    ) -> "MultitrackHmm":
+        """Fresh model over loaded track data (reference: teHmmTrain.py
+        --flatEm / --emRandRange / --seed init modes)."""
+        sizes = track_data.alphabet_sizes
+        if init == "flat":
+            params = init_flat(num_states, sizes)
+        elif init == "random":
+            params = init_random(num_states, sizes, seed, rand_range)
+        else:
+            raise ValueError(f"unknown init {init!r}")
+        return cls(
+            params, track_data.track_list, track_data.category_maps,
+            state_names,
+        )
+
+    @classmethod
+    def supervised(
+        cls,
+        track_data: TrackData,
+        labeled_intervals: Sequence[Sequence],
+        epsilon: float = EPSILON,
+    ) -> "MultitrackHmm":
+        """Supervised training: state = BED name column (reference:
+        teHmmTrain.py --supervised -> hmm.supervisedTrain counting).
+
+        ``labeled_intervals`` are (chrom, start, end, stateName) covering
+        the loaded tables; state names are assigned indices in first-seen
+        order.
+        """
+        state_names: list[str] = []
+        name_to_idx: dict[str, int] = {}
+        for iv in labeled_intervals:
+            name = str(iv[3])
+            if name not in name_to_idx:
+                name_to_idx[name] = len(state_names)
+                state_names.append(name)
+
+        states_per_table = label_tables(
+            track_data.tables, labeled_intervals, name_to_idx
+        )
+        S = len(state_names)
+        sizes = track_data.alphabet_sizes
+        V = max(sizes)
+        T = track_data.num_tracks
+
+        # Hard counting is host-side NumPy (like the reference): it is one
+        # linear pass with no FLOPs worth shipping to the device, and run
+        # lengths are ragged (each would trigger a fresh XLA compile).
+        start_c = np.zeros(S, np.float64)
+        trans_c = np.zeros((S, S), np.float64)
+        em_c = np.zeros((S, T, V), np.float64)
+        n_pos = 0
+        for tab, states in zip(track_data.tables, states_per_table):
+            # maximal labeled runs: transitions never count across
+            # unlabeled gaps (each run is its own sequence)
+            for s, e in _labeled_runs(states):
+                st = states[s:e]
+                sym = tab.symbols[s:e]
+                n_pos += e - s
+                start_c[st[0]] += 1
+                np.add.at(trans_c, (st[:-1], st[1:]), 1)
+                for t in range(T):
+                    np.add.at(em_c, (st, t, sym[:, t].astype(np.int64)), 1)
+        if n_pos == 0:
+            raise ValueError("no labeled positions found")
+        stats = em_ops.EmStats(
+            start=jnp.asarray(start_c, jnp.float32),
+            trans=jnp.asarray(trans_c, jnp.float32),
+            em=jnp.asarray(em_c, jnp.float32),
+            loglik=jnp.zeros(()),
+            n_obs=jnp.asarray(float(n_pos)),
+        )
+        params = em_ops.em_m_step(
+            stats,
+            init_flat(S, sizes),
+            jnp.asarray(sizes),
+            epsilon=epsilon,
+        )
+        return cls(
+            params, track_data.track_list, track_data.category_maps,
+            state_names,
+        )
+
+    # ------------------------------------------------------------------
+    # unsupervised / semi-supervised EM
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        tables: Sequence[TrackTable],
+        max_iterations: int = 100,
+        convergence_tol: float = 1e-3,
+        masks: em_ops.ParamMasks | None = None,
+        epsilon: float = EPSILON,
+        chunk_len: int = 1 << 14,
+        mesh: jax.sharding.Mesh | None = None,
+        metrics: JsonlMetrics | None = None,
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 10,
+    ) -> FitResult:
+        """Baum-Welch EM (reference: basehmm.fit driven by teHmmTrain.py).
+
+        Long tables are cut into independent chunks of ``chunk_len``
+        (reference chunking semantics).  With a mesh, chunks shard over
+        the data axis and statistics are psum-merged.
+        """
+        from tehmm_tpu.parallel.em_sharded import sharded_em_step
+
+        mats = [t.symbols for t in tables]
+        chunks = plan_chunks([len(m) for m in mats], chunk_len, halo=0)
+        batch = batch_chunks(mats, chunks)
+        if mesh is not None:
+            batch = pad_batch_rows(batch, int(np.prod(list(mesh.shape.values()))))
+        symbols = jnp.asarray(batch.symbols)
+        lengths = jnp.asarray(batch.lengths)
+        sizes = jnp.asarray(self.alphabet_sizes)
+
+        n_positions = int(batch.lengths.sum())
+        logliks: list[float] = []
+        converged = False
+        t0 = time.time()
+        for it in range(max_iterations):
+            it_t0 = time.time()
+            if mesh is None:
+                new_params, ll = em_ops.em_step(
+                    self.params, symbols, sizes, lengths, masks, epsilon
+                )
+            else:
+                new_params, ll = sharded_em_step(
+                    self.params, symbols, lengths, sizes, mesh, masks,
+                    epsilon,
+                )
+            ll = float(ll)
+            self.params = new_params
+            logliks.append(ll)
+            wall = time.time() - it_t0
+            logger.info(
+                "EM iter %d: loglik %.4f (%.2fs, %.3g pos/s)",
+                it, ll, wall, n_positions / max(wall, 1e-9),
+            )
+            if metrics is not None:
+                metrics.write(
+                    iter=it, loglik=ll, wall=wall,
+                    positions_per_sec=n_positions / max(wall, 1e-9),
+                )
+            if checkpoint_path and (it + 1) % checkpoint_every == 0:
+                self.save(checkpoint_path, extra={"iteration": it})
+            if len(logliks) >= 2:
+                delta = logliks[-1] - logliks[-2]
+                if abs(delta) < convergence_tol:
+                    converged = True
+                    break
+        return FitResult(
+            logliks=logliks,
+            iterations=len(logliks),
+            converged=converged,
+            wall_seconds=time.time() - t0,
+        )
+
+    # ------------------------------------------------------------------
+    # decoding
+    # ------------------------------------------------------------------
+    def decode_tables(
+        self,
+        tables: Sequence[TrackTable],
+        chunk_len: int = 1 << 14,
+        halo: int = 256,
+        rows_per_pass: int = 64,
+    ) -> tuple[list[np.ndarray], object]:
+        """Viterbi state paths for each table (boundary-exact chunked)."""
+        paths, report = viterbi_chunked(
+            self.params, tables, chunk_len=chunk_len, halo=halo,
+            rows_per_pass=rows_per_pass,
+        )
+        return paths, report
+
+    def decode_to_bed(
+        self,
+        tables: Sequence[TrackTable],
+        chunk_len: int = 1 << 14,
+        halo: int = 256,
+    ) -> list[tuple]:
+        """Viterbi -> merged (chrom, start, end, stateName) intervals
+        (reference: teHmmEval.py --bed output; SURVEY.md §3.2)."""
+        paths, _ = self.decode_tables(tables, chunk_len, halo)
+        out: list[tuple] = []
+        for tab, path in zip(tables, paths):
+            ivs = [
+                (tab.chrom, tab.start + i, tab.start + i + 1,
+                 self.state_names[int(s)])
+                for i, s in enumerate(path)
+            ]
+            out.extend(merge_adjacent_intervals(ivs))
+        return out
+
+    def posterior_decode_tables(
+        self, tables: Sequence[TrackTable], chunk_len: int = 1 << 14
+    ) -> list[np.ndarray]:
+        """Max-posterior (per-position argmax gamma) decoding
+        (reference: teHmmEval.py --maxPost)."""
+        out = []
+        for tab in tables:
+            sym = jnp.asarray(tab.symbols[None])
+            obs = emission_ops.track_log_likelihoods(
+                self.params.log_em, sym
+            )
+            ah, _, ll = dp.forward_scaled(
+                self.params.log_start, self.params.log_trans, obs
+            )
+            bh, _ = dp.backward_scaled(self.params.log_trans, obs)
+            gamma = dp.posterior_scaled(ah, bh)
+            out.append(np.asarray(jnp.argmax(gamma[0], axis=-1)))
+        return out
+
+    def posterior_distributions(
+        self, tables: Sequence[TrackTable]
+    ) -> list[np.ndarray]:
+        """Full per-position posterior state distributions
+        (reference: teHmmEval.py --pd output [R?])."""
+        out = []
+        for tab in tables:
+            sym = jnp.asarray(tab.symbols[None])
+            obs = emission_ops.track_log_likelihoods(
+                self.params.log_em, sym
+            )
+            ah, _, _ = dp.forward_scaled(
+                self.params.log_start, self.params.log_trans, obs
+            )
+            bh, _ = dp.backward_scaled(self.params.log_trans, obs)
+            out.append(np.asarray(dp.posterior_scaled(ah, bh)[0]))
+        return out
+
+    def score(self, tables: Sequence[TrackTable]) -> float:
+        """Total log-likelihood of the data (reference: basehmm.score)."""
+        total = 0.0
+        for tab in tables:
+            sym = jnp.asarray(tab.symbols[None])
+            obs = emission_ops.track_log_likelihoods(
+                self.params.log_em, sym
+            )
+            _, _, ll = dp.forward_scaled(
+                self.params.log_start, self.params.log_trans, obs
+            )
+            total += float(ll[0])
+        return total
+
+    # ------------------------------------------------------------------
+    # persistence (reference: modelIO.py saveModel/loadModel)
+    # ------------------------------------------------------------------
+    def save(self, path: str, extra: dict | None = None) -> None:
+        meta = {
+            "state_names": self.state_names,
+            "tracks": self.track_list.to_dicts(),
+            "category_maps": {
+                name: cm.to_dict()
+                for name, cm in self.category_maps.items()
+            },
+        }
+        if extra:
+            meta["extra"] = extra
+        save_model(path, self.params, meta)
+
+    @classmethod
+    def load(cls, path: str) -> "MultitrackHmm":
+        params, meta = load_model(path)
+        track_list = TrackList.from_dicts(meta["tracks"])
+        maps = {
+            name: CategoryMap.from_dict(d)
+            for name, d in meta["category_maps"].items()
+        }
+        return cls(params, track_list, maps, meta["state_names"])
+
+
+# ----------------------------------------------------------------------
+# labeling helpers (supervised mode)
+# ----------------------------------------------------------------------
+
+def label_tables(
+    tables: Sequence[TrackTable],
+    labeled_intervals: Sequence[Sequence],
+    name_to_idx: dict[str, int],
+) -> list[np.ndarray]:
+    """Paint per-position state indices from labeled BED intervals;
+    unlabeled positions get -1."""
+    out = []
+    for tab in tables:
+        states = np.full(len(tab), -1, dtype=np.int32)
+        for iv in labeled_intervals:
+            chrom, start, end, name = iv[0], iv[1], iv[2], str(iv[3])
+            if chrom != tab.chrom:
+                continue
+            s = max(start, tab.start) - tab.start
+            e = min(end, tab.end) - tab.start
+            if s < e:
+                states[s:e] = name_to_idx[name]
+        out.append(states)
+    return out
+
+
+def _labeled_runs(states: np.ndarray) -> list[tuple[int, int]]:
+    """Maximal [s, e) runs of labeled (>= 0) positions."""
+    labeled = states >= 0
+    if not labeled.any():
+        return []
+    edges = np.flatnonzero(np.diff(labeled.astype(np.int8)))
+    bounds = np.concatenate([[0], edges + 1, [len(states)]])
+    return [
+        (int(s), int(e))
+        for s, e in zip(bounds[:-1], bounds[1:])
+        if labeled[s]
+    ]

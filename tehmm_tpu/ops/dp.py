@@ -147,8 +147,10 @@ def backward_scaled(
     obs_t = jnp.moveaxis(obs, 1, 0)
     log_trans_T = log_trans.T
     trans_exp_T = jnp.exp(log_trans_T)
-    b_last = jnp.zeros((B, S), dtype=obs.dtype)
-    d_last = jnp.zeros((B,), dtype=obs.dtype)
+    # derive the init from obs (zeros_like keeps shard_map's varying-axis
+    # type; a fresh jnp.zeros would be "unvarying" and fail scan typing)
+    b_last = jnp.zeros_like(obs_t[0])
+    d_last = jnp.zeros_like(obs_t[0, :, 0])
 
     def step(b_hat, xs):
         obs_next, t_next = xs                              # position t+1

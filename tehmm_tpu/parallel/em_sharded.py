@@ -1,0 +1,104 @@
+"""Data-parallel EM across the device mesh.
+
+SURVEY.md §2c DP row and §7 layer 6: genome chunks are sharded over the
+``data`` mesh axis with ``jax.shard_map``; each device computes the EM
+sufficient statistics of its chunk shard locally, the EmStats pytree and
+total log-likelihood are summed with ``jax.lax.psum`` (ICI within a
+slice, DCN across hosts), and the M-step runs replicated on every device.
+This is the whole distributed story — no other collective is required
+for training (BASELINE.json: "EM sufficient statistics are merged via
+jax.lax.psum before the M-step").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tehmm_tpu.models.params import HmmParams
+from tehmm_tpu.ops import em as em_ops
+from tehmm_tpu.parallel.mesh import DATA_AXIS
+from tehmm_tpu.utils.common import EPSILON
+
+
+def _local_stats(params, symbols, lengths, matmul):
+    stats = em_ops.em_sufficient_stats(
+        params, symbols, lengths, matmul=matmul
+    )
+    return jax.lax.psum(stats, DATA_AXIS)
+
+
+@partial(jax.jit, static_argnames=("mesh", "matmul"))
+def sharded_em_stats(
+    params: HmmParams,
+    symbols: jax.Array,
+    lengths: jax.Array,
+    mesh: jax.sharding.Mesh,
+    matmul: bool = True,
+) -> em_ops.EmStats:
+    """E-step with chunks sharded over the data axis.
+
+    Args:
+      symbols: int[B, L, T] with B divisible by the data-axis size
+        (use parallel.chunking.pad_batch_rows); padded rows have length 0.
+      lengths: int[B].
+
+    Returns:
+      Globally summed EmStats, replicated on every device.
+    """
+    fn = jax.shard_map(
+        partial(_local_stats, matmul=matmul),
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(),
+    )
+    return fn(params, symbols, lengths)
+
+
+def sharded_em_step(
+    params: HmmParams,
+    symbols: jax.Array,
+    lengths: jax.Array,
+    alphabet_sizes: jax.Array,
+    mesh: jax.sharding.Mesh,
+    masks: em_ops.ParamMasks | None = None,
+    epsilon: float = EPSILON,
+    matmul: bool = True,
+) -> tuple[HmmParams, jax.Array]:
+    """One full EM iteration over the mesh; M-step replicated."""
+    stats = sharded_em_stats(params, symbols, lengths, mesh, matmul)
+    new_params = em_ops.em_m_step(
+        stats, params, alphabet_sizes, masks, epsilon
+    )
+    return new_params, stats.loglik
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def sharded_loglik(
+    params: HmmParams,
+    symbols: jax.Array,
+    lengths: jax.Array,
+    mesh: jax.sharding.Mesh,
+) -> jax.Array:
+    """Total data log-likelihood across the mesh (for scoring /
+    convergence checks without a parameter update)."""
+    from tehmm_tpu.models.emission import track_log_likelihoods
+    from tehmm_tpu.ops import dp
+
+    def local(params, symbols, lengths):
+        obs = track_log_likelihoods(params.log_em, symbols)
+        _, _, ll = dp.forward_scaled(
+            params.log_start, params.log_trans, obs, lengths
+        )
+        return jax.lax.psum(ll.sum(), DATA_AXIS)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(),
+    )
+    return fn(params, symbols, lengths)

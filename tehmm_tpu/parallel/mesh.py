@@ -1,0 +1,64 @@
+"""Device mesh construction and multi-host initialization.
+
+SURVEY.md §2c: the rebuild's data-parallel axis is a 1-D ``data`` mesh of
+all chips (optionally 2-D ``data × state`` for very large state counts).
+XLA collectives ride ICI within a slice and DCN across hosts under GSPMD
+with no code change.  The reference has no counterpart (single process,
+SURVEY.md §5 "Distributed comm backend").
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+DATA_AXIS = "data"
+STATE_AXIS = "state"
+
+
+def device_count() -> int:
+    return jax.device_count()
+
+
+def make_data_mesh(n_devices: int | None = None) -> jax.sharding.Mesh:
+    """1-D mesh over all (or the first n) devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return jax.sharding.Mesh(np.array(devs), (DATA_AXIS,))
+
+
+def make_data_state_mesh(
+    n_state_shards: int,
+) -> jax.sharding.Mesh:
+    """2-D ``data × state`` mesh: shards the S dimension of the S×S
+    transition contraction for very large state counts (SURVEY.md §2c TP
+    row; usually unnecessary — parameters replicate)."""
+    devs = np.array(jax.devices())
+    n = len(devs)
+    if n % n_state_shards != 0:
+        raise ValueError(
+            f"device count {n} not divisible by state shards "
+            f"{n_state_shards}"
+        )
+    grid = devs.reshape(n // n_state_shards, n_state_shards)
+    return jax.sharding.Mesh(grid, (DATA_AXIS, STATE_AXIS))
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host entry point (SURVEY.md §2c comm backend row):
+    ``jax.distributed.initialize`` + XLA collectives replace any
+    NCCL/MPI-style backend.  No-op when single-process args are absent
+    and env auto-detection finds nothing."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)

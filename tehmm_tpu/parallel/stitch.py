@@ -1,0 +1,160 @@
+"""Boundary-exact chunked Viterbi decoding with halo stitching.
+
+SURVEY.md §5 "Long-context" and §7 layer 5 / hard part #2: a chromosome is
+decoded as parallel fixed-size chunks, each extended by a halo on both
+sides.  Each chunk's Viterbi path is computed independently (massively
+parallel on the device); only the core span of each chunk is kept.  Two
+neighboring chunks overlap by 2·halo around every boundary, and their
+independent decodes are compared on a window centered on the boundary: if
+they agree, the local path has "forgotten" the boundary conditions and
+the stitched output equals the monolithic decode (tests assert equality
+against monolithic Viterbi on every fixture); if any boundary disagrees,
+the halo is doubled and the affected decode is retried, up to
+``max_halo`` (adaptive widening).
+
+The reference has no stitching — its chunk boundaries are hard interval
+boundaries with fresh start probabilities (SURVEY.md §5), which is also
+available here by decoding tables separately with halo=0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from tehmm_tpu.models.emission import track_log_likelihoods
+from tehmm_tpu.models.params import HmmParams
+from tehmm_tpu.ops import dp
+from tehmm_tpu.parallel.chunking import plan_chunks, batch_chunks
+from tehmm_tpu.utils.common import logger
+
+
+@dataclasses.dataclass
+class StitchReport:
+    """Diagnostics from a chunked decode."""
+
+    n_chunks: int
+    final_halo: int
+    retries: int
+    boundaries_checked: int
+    boundaries_ok: bool
+
+
+def _decode_batch(
+    params: HmmParams,
+    symbols: np.ndarray,
+    lengths: np.ndarray,
+    rows_per_pass: int,
+) -> np.ndarray:
+    """Viterbi over a chunk batch, in row groups of fixed compiled shape."""
+    n, L, _T = symbols.shape
+    out = np.zeros((n, L), dtype=np.int32)
+    padded_rows = -(-n // rows_per_pass) * rows_per_pass
+    for lo in range(0, padded_rows, rows_per_pass):
+        hi = min(lo + rows_per_pass, n)
+        sym = symbols[lo:hi]
+        lens = lengths[lo:hi]
+        if hi - lo < rows_per_pass:  # pad last group to the compiled shape
+            pad = rows_per_pass - (hi - lo)
+            sym = np.concatenate(
+                [sym, np.zeros((pad,) + sym.shape[1:], sym.dtype)]
+            )
+            lens = np.concatenate([lens, np.zeros((pad,), lens.dtype)])
+        obs = track_log_likelihoods(params.log_em, jnp.asarray(sym))
+        paths, _ = dp.viterbi(
+            params.log_start, params.log_trans, obs, jnp.asarray(lens)
+        )
+        out[lo:hi] = np.asarray(paths)[: hi - lo]
+    return out
+
+
+def viterbi_chunked(
+    params: HmmParams,
+    tables: Sequence,
+    chunk_len: int = 1 << 14,
+    halo: int = 256,
+    max_halo: int = 1 << 14,
+    agree_frac: float = 0.5,
+    rows_per_pass: int = 64,
+    strict: bool = False,
+) -> tuple[list[np.ndarray], StitchReport]:
+    """Decode each table's full span boundary-exactly via halo chunks.
+
+    Args:
+      tables: TrackTables (or raw [L, T] symbol arrays).
+      chunk_len: core window size per chunk.
+      halo: initial halo width; doubled on disagreement up to max_halo.
+      agree_frac: fraction of the halo used as the agreement window.
+      rows_per_pass: chunks decoded per device dispatch (fixed shape).
+      strict: raise instead of warn if max_halo still disagrees.
+
+    Returns:
+      (paths, report): one int32[L] state path per input table.
+    """
+    mats = [getattr(t, "symbols", t) for t in tables]
+    lengths = [len(m) for m in mats]
+    retries = 0
+
+    cur_halo = min(halo, max_halo)
+    while True:
+        chunks = plan_chunks(lengths, chunk_len, cur_halo)
+        batch = batch_chunks(mats, chunks)
+        decoded = _decode_batch(
+            params, batch.symbols, batch.lengths, rows_per_pass
+        )
+
+        # assemble core paths
+        paths = [np.zeros(L, dtype=np.int32) for L in lengths]
+        for row, c in enumerate(chunks):
+            core = decoded[row, c.core_offset : c.core_offset + c.core_len]
+            paths[c.table_idx][c.core_start : c.core_end] = core
+
+        # agreement check at every internal boundary
+        w = max(1, int(cur_halo * agree_frac))
+        n_checked = 0
+        ok = True
+        for (ra, a), (rb, b) in zip(
+            enumerate(chunks[:-1]), list(enumerate(chunks))[1:]
+        ):
+            if a.table_idx != b.table_idx:
+                continue
+            x = a.core_end  # == b.core_start
+            lo = max(x - w, a.load_start, b.load_start)
+            hi = min(x + w, a.load_end, b.load_end)
+            if lo >= hi:
+                continue
+            seg_a = decoded[ra, lo - a.load_start : hi - a.load_start]
+            seg_b = decoded[rb, lo - b.load_start : hi - b.load_start]
+            n_checked += 1
+            if not np.array_equal(seg_a, seg_b):
+                ok = False
+                break
+
+        if ok or cur_halo >= max_halo:
+            if not ok:
+                msg = (
+                    f"viterbi_chunked: boundary disagreement persists at "
+                    f"max_halo={max_halo}; output may differ from the "
+                    f"monolithic decode near chunk boundaries"
+                )
+                if strict:
+                    raise RuntimeError(msg)
+                logger.warning(msg)
+            report = StitchReport(
+                n_chunks=len(chunks),
+                final_halo=cur_halo,
+                retries=retries,
+                boundaries_checked=n_checked,
+                boundaries_ok=ok,
+            )
+            return paths, report
+
+        retries += 1
+        cur_halo = min(cur_halo * 2, max_halo)
+        logger.info(
+            "viterbi_chunked: widening halo to %d (retry %d)",
+            cur_halo, retries,
+        )

@@ -1,0 +1,40 @@
+"""JAX platform/compile-cache setup for CLI entry points.
+
+Two quality-of-life knobs the reference never needed (pure NumPy) but a
+compiled-accelerator framework does:
+
+* ``TEHMM_PLATFORM`` env var (or the ``platform`` argument): force the
+  JAX backend, e.g. ``cpu`` for host-only runs.  Needed because some TPU
+  plugins force-register themselves and ignore ``JAX_PLATFORMS``.
+* Persistent XLA compilation cache (default ``~/.cache/tehmm_tpu/xla``,
+  disable with ``TEHMM_COMPILE_CACHE=0``): CLI tools are separate
+  processes, and TPU compiles of the scan kernels take tens of seconds —
+  the cache makes every invocation after the first start instantly.
+
+Must run before any JAX backend is initialized (CLI mains call it first).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def setup_jax(platform: str | None = None,
+              cache_dir: str | None = None) -> None:
+    import jax
+
+    platform = platform or os.environ.get("TEHMM_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
+    cache = cache_dir or os.environ.get(
+        "TEHMM_COMPILE_CACHE", "~/.cache/tehmm_tpu/xla"
+    )
+    if cache and cache != "0":
+        path = os.path.expanduser(cache)
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes", 0
+        )

@@ -1,0 +1,302 @@
+"""Host I/O tests: BED/XML/FASTA/BigWig round-trips and symbol semantics
+(SURVEY.md §4: trackTest / bedTrackTest analogues)."""
+
+import textwrap
+
+import numpy as np
+import pytest
+
+from tehmm_tpu.io import (
+    BedInterval,
+    CategoryMap,
+    Track,
+    TrackList,
+    load_track_data,
+    merge_adjacent_intervals,
+    get_merged_bed_intervals,
+    read_bed_intervals,
+    write_bed_intervals,
+)
+from tehmm_tpu.io.bed import read_bed
+from tehmm_tpu.io.fasta import FastaFile
+from tehmm_tpu.io.bigwig import BigWigFile
+from tehmm_tpu.io.bigwig_writer import write_bigwig
+
+
+@pytest.fixture
+def tmp_text(tmp_path):
+    def write(name, content):
+        p = tmp_path / name
+        p.write_text(textwrap.dedent(content))
+        return str(p)
+
+    return write
+
+
+class TestBed:
+    def test_read_write_roundtrip(self, tmp_path):
+        path = str(tmp_path / "x.bed")
+        ivs = [
+            ("chr1", 0, 100, "LINE"),
+            ("chr1", 100, 250, "SINE"),
+            ("chr2", 5, 10, "LTR"),
+        ]
+        write_bed_intervals(ivs, path)
+        assert read_bed_intervals(path, ncol=4) == ivs
+        assert read_bed_intervals(path, ncol=3) == [t[:3] for t in ivs]
+
+    def test_skips_headers_and_comments(self, tmp_text):
+        path = tmp_text(
+            "h.bed",
+            """\
+            # a comment
+            track name=test
+            browser position chr1
+            chr1\t10\t20\tA
+            """,
+        )
+        assert read_bed_intervals(path, ncol=4) == [("chr1", 10, 20, "A")]
+
+    def test_merge_adjacent_same_name(self):
+        merged = merge_adjacent_intervals(
+            [
+                ("chr1", 0, 10, "A"),
+                ("chr1", 10, 20, "A"),
+                ("chr1", 20, 30, "B"),
+                ("chr2", 30, 40, "B"),
+            ]
+        )
+        assert merged == [
+            ("chr1", 0, 20, "A"),
+            ("chr1", 20, 30, "B"),
+            ("chr2", 30, 40, "B"),
+        ]
+
+    def test_get_merged_bed_intervals(self, tmp_path):
+        path = str(tmp_path / "m.bed")
+        write_bed_intervals(
+            [
+                ("chr1", 0, 10, "A"),
+                ("chr1", 5, 20, "B"),
+                ("chr1", 20, 30, "C"),
+                ("chr1", 40, 50, "D"),
+            ],
+            path,
+        )
+        assert get_merged_bed_intervals(path) == [
+            ("chr1", 0, 30),
+            ("chr1", 40, 50),
+        ]
+
+
+class TestTrackXml:
+    def test_parse_and_roundtrip(self, tmp_text, tmp_path):
+        xml = tmp_text(
+            "tracks.xml",
+            """\
+            <teModelConfig>
+              <track name="rep" path="rep.bed" distribution="multinomial"/>
+              <track name="cov" path="cov.bed" distribution="binary"/>
+              <track name="num" path="num.bed" valCol="4" scale="2.0"
+                     shift="-1.0" custom="keepme"/>
+            </teModelConfig>
+            """,
+        )
+        tl = TrackList(xml)
+        assert len(tl) == 3
+        assert tl[0].name == "rep" and tl[0].number == 0
+        assert tl.get_track_by_name("cov").distribution == "binary"
+        num = tl.get_track_by_name("num")
+        assert num.val_col == 4 and num.scale == 2.0 and num.shift == -1.0
+        assert num.extra_attrs == {"custom": "keepme"}
+
+        out = str(tmp_path / "echo.xml")
+        tl.save_xml(out)
+        tl2 = TrackList(out)
+        assert [t.name for t in tl2] == ["rep", "cov", "num"]
+        assert tl2.get_track_by_name("num").extra_attrs == {
+            "custom": "keepme"
+        }
+
+    def test_sidecar_roundtrip(self):
+        tl = TrackList()
+        tl.add(Track(name="a", path="a.bed"))
+        tl.add(Track(name="b", path="b.fa", distribution="sparse"))
+        tl2 = TrackList.from_dicts(tl.to_dicts())
+        assert [t.name for t in tl2] == ["a", "b"]
+        assert tl2[1].distribution == "sparse"
+
+    def test_duplicate_name_rejected(self):
+        tl = TrackList()
+        tl.add(Track(name="a", path="a.bed"))
+        with pytest.raises(ValueError, match="duplicate"):
+            tl.add(Track(name="a", path="b.bed"))
+
+
+class TestCategoryMap:
+    def test_assign_and_lookup(self):
+        cm = CategoryMap()
+        assert cm.get_map("LINE", update=True) == 1
+        assert cm.get_map("SINE", update=True) == 2
+        assert cm.get_map("LINE") == 1
+        assert cm.get_map("unknown") == cm.missing == 0
+        assert len(cm) == 3
+        assert cm.get_back_map(2) == "SINE"
+
+    def test_serialization_roundtrip(self):
+        cm = CategoryMap()
+        cm.get_map("x", update=True)
+        cm.get_map("y", update=True)
+        cm2 = CategoryMap.from_dict(cm.to_dict())
+        assert cm2.get_map("y") == 2
+        assert cm2.get_map("z") == 0
+        assert len(cm2) == len(cm)
+
+
+class TestFasta:
+    def test_fetch(self, tmp_text):
+        path = tmp_text(
+            "g.fa",
+            """\
+            >chr1 description text
+            ACGTACGTAC
+            GTACGTACGT
+            >chr2
+            NNNNACGT
+            """,
+        )
+        fa = FastaFile(path)
+        assert fa.names == ["chr1", "chr2"]
+        assert fa.length("chr1") == 20
+        assert fa.fetch("chr1", 0, 10) == "ACGTACGTAC"
+        assert fa.fetch("chr1", 8, 12) == "ACGT"  # crosses line break
+        assert fa.fetch("chr2", 2, 6) == "NNAC"
+        assert fa.fetch("chr1", 18, 25) == "GT"  # clipped at end
+
+
+class TestBigWig:
+    def test_write_read_roundtrip(self, tmp_path):
+        path = str(tmp_path / "x.bw")
+        entries = [
+            ("chr1", 0, 10, 1.5),
+            ("chr1", 10, 20, 2.5),
+            ("chr1", 30, 35, -1.0),
+            ("chr2", 0, 5, 7.0),
+        ]
+        write_bigwig(path, {"chr1": 100, "chr2": 50}, entries)
+        with BigWigFile(path) as bw:
+            assert set(bw.chroms) == {"chr1", "chr2"}
+            vals = bw.values("chr1", 0, 40)
+            assert np.all(vals[0:10] == 1.5)
+            assert np.all(vals[10:20] == 2.5)
+            assert np.all(np.isnan(vals[20:30]))
+            assert np.all(vals[30:35] == -1.0)
+            assert np.all(np.isnan(vals[35:40]))
+            assert bw.values("chr2", 0, 5).tolist() == [7.0] * 5
+            assert np.all(np.isnan(bw.values("chrMissing", 0, 5)))
+            assert bw.intervals("chr1", 0, 40) == [
+                (0, 10, 1.5), (10, 20, 2.5), (30, 35, -1.0)
+            ]
+
+    def test_uncompressed(self, tmp_path):
+        path = str(tmp_path / "u.bw")
+        write_bigwig(
+            path, {"c": 10}, [("c", 0, 10, 3.0)], compress=False
+        )
+        with BigWigFile(path) as bw:
+            assert np.all(bw.values("c", 0, 10) == 3.0)
+
+    def test_many_sections(self, tmp_path):
+        """> 256 sections exercises the two-level R-tree."""
+        path = str(tmp_path / "big.bw")
+        entries = []
+        # 1024 items per section; force many sections via many chroms
+        sizes = {}
+        for c in range(300):
+            name = f"c{c:03d}"
+            sizes[name] = 2000
+            entries.append((name, 0, 1000, float(c)))
+        write_bigwig(path, sizes, entries)
+        with BigWigFile(path) as bw:
+            assert np.all(bw.values("c123", 0, 1000) == 123.0)
+            assert np.all(bw.values("c299", 500, 900) == 299.0)
+
+
+class TestTrackData:
+    def _fixtures(self, tmp_path):
+        rep = str(tmp_path / "rep.bed")
+        write_bed_intervals(
+            [("chr1", 0, 50, "LINE"), ("chr1", 80, 120, "SINE")], rep
+        )
+        cov = str(tmp_path / "cov.bed")
+        write_bed_intervals([("chr1", 20, 60, "x")], cov)
+        fa = tmp_path / "g.fa"
+        fa.write_text(">chr1\n" + "ACGT" * 50 + "\n")
+        tl = TrackList()
+        tl.add(Track(name="rep", path=rep))
+        tl.add(Track(name="cov", path=cov, distribution="binary"))
+        tl.add(Track(name="seq", path=str(fa)))
+        return tl
+
+    def test_symbols_and_semantics(self, tmp_path):
+        tl = self._fixtures(tmp_path)
+        td = load_track_data(tl, [("chr1", 0, 100)])
+        (tab,) = td.tables
+        assert tab.symbols.shape == (100, 3)
+        rep_cm = td.category_maps["rep"]
+        line = rep_cm.get_map("LINE")
+        sine = rep_cm.get_map("SINE")
+        assert line != 0 and sine != 0 and line != sine
+        assert np.all(tab.symbols[0:50, 0] == line)
+        assert np.all(tab.symbols[50:80, 0] == 0)  # uncovered -> missing
+        assert np.all(tab.symbols[80:100, 0] == sine)
+        cov_cm = td.category_maps["cov"]
+        on, off = cov_cm.get_map("1"), cov_cm.get_map("0")
+        assert np.all(tab.symbols[20:60, 1] == on)
+        assert np.all(tab.symbols[0:20, 1] == off)
+        seq_cm = td.category_maps["seq"]
+        a = seq_cm.get_map("A")
+        assert tab.symbols[0, 2] == a
+        assert tab.symbols[4, 2] == a
+
+    def test_eval_mode_reuses_maps(self, tmp_path):
+        tl = self._fixtures(tmp_path)
+        td_train = load_track_data(tl, [("chr1", 0, 100)])
+        # eval over a region containing a NEW value -> must map to missing,
+        # not a fresh symbol (SURVEY.md §3.2: maps come from the model)
+        extra = str(tmp_path / "rep2.bed")
+        write_bed_intervals([("chr1", 0, 30, "NOVEL")], extra)
+        tl2 = self._fixtures(tmp_path)
+        tl2.get_track_by_name("rep").path = extra
+        td_eval = load_track_data(
+            tl2, [("chr1", 0, 100)],
+            category_maps=td_train.category_maps,
+        )
+        (tab,) = td_eval.tables
+        assert np.all(tab.symbols[0:30, 0] == 0)
+        assert len(td_eval.category_maps["rep"]) == len(
+            td_train.category_maps["rep"]
+        )
+
+    def test_alphabet_sizes(self, tmp_path):
+        tl = self._fixtures(tmp_path)
+        td = load_track_data(tl, [("chr1", 0, 100)])
+        sizes = td.alphabet_sizes
+        assert sizes[0] == 3  # missing + LINE + SINE
+        assert sizes[1] == 3  # missing + "0" + "1"
+        assert sizes[2] == 5  # missing + ACGT
+
+    def test_bigwig_track(self, tmp_path):
+        bw_path = str(tmp_path / "sig.bw")
+        write_bigwig(
+            bw_path, {"chr1": 1000},
+            [("chr1", 0, 10, 1.0), ("chr1", 10, 20, 5.0)],
+        )
+        tl = TrackList()
+        tl.add(Track(name="sig", path=bw_path, scale=1.0))
+        td = load_track_data(tl, [("chr1", 0, 30)])
+        (tab,) = td.tables
+        cm = td.category_maps["sig"]
+        assert np.all(tab.symbols[0:10, 0] == cm.get_map(1))
+        assert np.all(tab.symbols[10:20, 0] == cm.get_map(5))
+        assert np.all(tab.symbols[20:30, 0] == 0)  # NaN -> missing

@@ -1,0 +1,205 @@
+"""Model facade + CLI integration tests (SURVEY.md §4: scripts invoked
+via their main(argv) on bundled fixture tracks)."""
+
+import numpy as np
+import pytest
+
+from tehmm_tpu.io import (
+    Track,
+    TrackList,
+    load_track_data,
+    read_bed_intervals,
+    write_bed_intervals,
+)
+from tehmm_tpu.models.hmm import MultitrackHmm
+from tehmm_tpu.cli import train as cli_train
+from tehmm_tpu.cli import eval as cli_eval
+from tehmm_tpu.cli import view as cli_view
+
+
+@pytest.fixture
+def fixture_dir(tmp_path):
+    """Small 2-state genome: TE blocks inside background, 2 tracks."""
+    rng = np.random.RandomState(42)
+    L = 3000
+    truth = np.zeros(L, dtype=int)
+    # plant TE elements
+    for s in range(200, L - 200, 500):
+        truth[s : s + 150] = 1
+
+    # track A: noisy indicator BED (value = X inside TE with p=.85)
+    rows_a = []
+    pos = 0
+    while pos < L:
+        run = rng.randint(20, 60)
+        end = min(pos + run, L)
+        is_te = truth[pos:end].mean() > 0.5
+        p = 0.85 if is_te else 0.1
+        val = "X" if rng.rand() < p else "Y"
+        rows_a.append(("chr1", pos, end, val))
+        pos = end
+    bed_a = str(tmp_path / "a.bed")
+    write_bed_intervals(rows_a, bed_a)
+
+    # track B: coverage-ish binary track correlated with TE
+    rows_b = [
+        ("chr1", i, i + 10, "z")
+        for i in range(0, L, 10)
+        if truth[i] == 1 and rng.rand() < 0.8
+    ]
+    bed_b = str(tmp_path / "b.bed")
+    write_bed_intervals(rows_b, bed_b)
+
+    xml = tmp_path / "tracks.xml"
+    xml.write_text(
+        "<teModelConfig>\n"
+        f'  <track name="a" path="{bed_a}"/>\n'
+        f'  <track name="b" path="{bed_b}" distribution="binary"/>\n'
+        "</teModelConfig>\n"
+    )
+
+    # truth BED for supervised training
+    truth_rows = []
+    start = 0
+    for i in range(1, L + 1):
+        if i == L or truth[i] != truth[i - 1]:
+            name = "TE" if truth[start] == 1 else "BG"
+            truth_rows.append(("chr1", start, i, name))
+            start = i
+    truth_bed = str(tmp_path / "truth.bed")
+    write_bed_intervals(truth_rows, truth_bed)
+
+    regions_bed = str(tmp_path / "regions.bed")
+    write_bed_intervals([("chr1", 0, L)], regions_bed)
+
+    return dict(
+        dir=tmp_path, xml=str(xml), truth_bed=truth_bed,
+        regions_bed=regions_bed, truth=truth, L=L,
+    )
+
+
+def _accuracy(pred_bed, truth, L, name_map):
+    path = np.full(L, -1)
+    for chrom, s, e, n in read_bed_intervals(pred_bed, ncol=4):
+        path[s:e] = name_map.get(n, -1)
+    return (path == truth).mean()
+
+
+class TestSupervisedPipeline:
+    def test_train_eval_roundtrip(self, fixture_dir):
+        f = fixture_dir
+        model_path = str(f["dir"] / "model.npz")
+        rc = cli_train.main(
+            [f["xml"], f["truth_bed"], model_path, "--supervised"]
+        )
+        assert rc == 0
+
+        out_bed = str(f["dir"] / "pred.bed")
+        rc = cli_eval.main(
+            [f["xml"], model_path, f["regions_bed"], "--bed", out_bed,
+             "--chunk", "512", "--halo", "64"]
+        )
+        assert rc == 0
+        acc = _accuracy(out_bed, f["truth"], f["L"], {"BG": 0, "TE": 1})
+        assert acc > 0.9, acc
+
+    def test_eval_maxpost(self, fixture_dir):
+        f = fixture_dir
+        model_path = str(f["dir"] / "model.npz")
+        cli_train.main([f["xml"], f["truth_bed"], model_path, "--supervised"])
+        out_bed = str(f["dir"] / "mp.bed")
+        rc = cli_eval.main(
+            [f["xml"], model_path, f["regions_bed"], "--bed", out_bed,
+             "--maxPost"]
+        )
+        assert rc == 0
+        acc = _accuracy(out_bed, f["truth"], f["L"], {"BG": 0, "TE": 1})
+        assert acc > 0.9, acc
+
+    def test_view_prints_model(self, fixture_dir, capsys):
+        f = fixture_dir
+        model_path = str(f["dir"] / "model.npz")
+        cli_train.main([f["xml"], f["truth_bed"], model_path, "--supervised"])
+        rc = cli_view.main([model_path])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "BG" in out and "TE" in out
+        assert "transition matrix" in out
+
+
+class TestUnsupervisedPipeline:
+    def test_em_training_runs_and_separates(self, fixture_dir):
+        f = fixture_dir
+        model_path = str(f["dir"] / "um.npz")
+        rc = cli_train.main(
+            [f["xml"], f["regions_bed"], model_path,
+             "--numStates", "2", "--iter", "30", "--seed", "3"]
+        )
+        assert rc == 0
+        out_bed = str(f["dir"] / "upred.bed")
+        cli_eval.main(
+            [f["xml"], model_path, f["regions_bed"], "--bed", out_bed]
+        )
+        # label switching: accept either assignment
+        acc0 = _accuracy(out_bed, f["truth"], f["L"], {"0": 0, "1": 1})
+        acc1 = _accuracy(out_bed, f["truth"], f["L"], {"0": 1, "1": 0})
+        assert max(acc0, acc1) > 0.85, (acc0, acc1)
+
+    def test_semi_supervised_priors(self, fixture_dir):
+        f = fixture_dir
+        trans_prior = f["dir"] / "trans.txt"
+        trans_prior.write_text(
+            "# semi-supervised prior\n"
+            "BG BG 0.98\nBG TE 0.02\nTE TE 0.9\nTE BG 0.1\n"
+        )
+        model_path = str(f["dir"] / "sm.npz")
+        rc = cli_train.main(
+            [f["xml"], f["regions_bed"], model_path,
+             "--initTransProbs", str(trans_prior), "--fixTrans",
+             "--iter", "20", "--seed", "5"]
+        )
+        assert rc == 0
+        model = MultitrackHmm.load(model_path)
+        assert model.state_names[:2] == ["BG", "TE"]
+        trans = np.exp(np.asarray(model.params.log_trans))
+        np.testing.assert_allclose(
+            trans, [[0.98, 0.02], [0.1, 0.9]], atol=1e-5
+        )
+
+    def test_force_trans_probs(self, fixture_dir):
+        f = fixture_dir
+        force = f["dir"] / "force.txt"
+        force.write_text("A B 0.5\n")
+        model_path = str(f["dir"] / "fm.npz")
+        rc = cli_train.main(
+            [f["xml"], f["regions_bed"], model_path,
+             "--numStates", "2", "--forceTransProbs", str(force),
+             "--iter", "5"]
+        )
+        assert rc == 0
+        model = MultitrackHmm.load(model_path)
+        trans = np.exp(np.asarray(model.params.log_trans))
+        a = model.state_names.index("A")
+        b = model.state_names.index("B")
+        np.testing.assert_allclose(trans[a, b], 0.5, atol=1e-5)
+
+
+class TestModelPersistence:
+    def test_save_load_full_fidelity(self, fixture_dir):
+        f = fixture_dir
+        tl = TrackList(f["xml"])
+        td = load_track_data(tl, [("chr1", 0, f["L"])])
+        labeled = read_bed_intervals(f["truth_bed"], ncol=4)
+        model = MultitrackHmm.supervised(td, labeled)
+        p = str(f["dir"] / "m2.npz")
+        model.save(p)
+        loaded = MultitrackHmm.load(p)
+        assert loaded.state_names == model.state_names
+        np.testing.assert_array_equal(
+            np.asarray(loaded.params.log_trans),
+            np.asarray(model.params.log_trans),
+        )
+        assert [t.name for t in loaded.track_list] == ["a", "b"]
+        # maps must behave identically
+        cm_a = loaded.category_maps["a"]
+        assert cm_a.get_map("X") == model.category_maps["a"].get_map("X")

@@ -1,0 +1,196 @@
+"""Chunk/halo stitching and multi-device (8 virtual CPU) EM tests.
+
+SURVEY.md §4: the rebuild must add what the reference never had —
+single-process multi-device tests via xla_force_host_platform_device_count
+so DP/psum/stitching logic is testable without a pod.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tehmm_tpu import oracle
+from tehmm_tpu.models.params import HmmParams
+from tehmm_tpu.models.emission import track_log_likelihoods
+from tehmm_tpu.ops import dp, em
+from tehmm_tpu.parallel import (
+    plan_chunks,
+    batch_chunks,
+    viterbi_chunked,
+    make_data_mesh,
+    sharded_em_stats,
+    sharded_em_step,
+)
+from tehmm_tpu.parallel.chunking import pad_batch_rows
+
+
+def _params(rng_hmm):
+    log_start, log_trans, log_em = rng_hmm
+    return HmmParams(
+        log_start=jnp.asarray(log_start, jnp.float32),
+        log_trans=jnp.asarray(log_trans, jnp.float32),
+        log_em=jnp.asarray(log_em, jnp.float32),
+    )
+
+
+class TestChunkPlanning:
+    def test_plan_covers_exactly(self):
+        chunks = plan_chunks([1000, 500], chunk_len=300, halo=50)
+        by_table = {}
+        for c in chunks:
+            by_table.setdefault(c.table_idx, []).append(c)
+        assert [c.core_len for c in by_table[0]] == [300, 300, 300, 100]
+        assert [c.core_len for c in by_table[1]] == [300, 200]
+        # cores tile [0, L) without gap or overlap
+        for idx, L in ((0, 1000), (1, 500)):
+            pos = 0
+            for c in by_table[idx]:
+                assert c.core_start == pos
+                pos = c.core_end
+                assert c.load_start == max(0, c.core_start - 50)
+                assert c.load_end == min(L, c.core_end + 50)
+            assert pos == L
+
+    def test_batch_padding(self):
+        mats = [np.ones((100, 2), np.uint8) * 3]
+        chunks = plan_chunks([100], chunk_len=40, halo=10)
+        batch = batch_chunks(mats, chunks)
+        assert batch.symbols.shape[0] == 3
+        assert batch.lengths.tolist() == [50, 60, 30]
+        assert batch.symbols[2, 30:, :].max() == 0  # pad symbol = missing
+
+    def test_pad_batch_rows(self):
+        mats = [np.ones((100, 1), np.uint8)]
+        batch = batch_chunks(mats, plan_chunks([100], 40, 0))
+        padded = pad_batch_rows(batch, 8)
+        assert padded.symbols.shape[0] == 8
+        assert padded.lengths[3:].tolist() == [0] * 5
+
+
+class TestViterbiStitch:
+    def _planted(self, rng, L):
+        """Sticky 3-state chain so chunks 'forget' boundaries quickly."""
+        lt = np.log(np.array(
+            [[0.98, 0.01, 0.01], [0.02, 0.96, 0.02], [0.01, 0.01, 0.98]],
+            np.float32))
+        log_em = np.zeros((3, 1, 5), np.float32)
+        probs = np.array([
+            [0.7, 0.1, 0.1, 0.1],
+            [0.1, 0.7, 0.1, 0.1],
+            [0.1, 0.1, 0.1, 0.7],
+        ])
+        log_em[:, 0, 1:] = np.log(probs)
+        params = HmmParams(
+            log_start=jnp.asarray(np.log(np.full(3, 1 / 3, np.float32))),
+            log_trans=jnp.asarray(lt),
+            log_em=jnp.asarray(log_em),
+        )
+        true = np.zeros(L, int)
+        s = 0
+        tp = np.exp(lt).astype(np.float64)
+        tp /= tp.sum(1, keepdims=True)
+        for i in range(L):
+            s = rng.choice(3, p=tp[s])
+            true[i] = s
+        sym = np.zeros((L, 1), np.uint8)
+        for i in range(L):
+            sym[i, 0] = (
+                rng.choice(4, p=probs[true[i]]) + 1
+            )
+        return params, sym
+
+    def test_chunked_equals_monolithic(self, rng):
+        L = 5000
+        params, sym = self._planted(rng, L)
+        obs = track_log_likelihoods(params.log_em, jnp.asarray(sym))[None]
+        mono, _ = dp.viterbi(params.log_start, params.log_trans, obs)
+        mono = np.asarray(mono[0])
+        paths, report = viterbi_chunked(
+            params, [sym], chunk_len=512, halo=64, rows_per_pass=4
+        )
+        assert report.boundaries_ok
+        np.testing.assert_array_equal(paths[0], mono)
+
+    def test_multiple_tables(self, rng):
+        params, sym1 = self._planted(rng, 1500)
+        _, sym2 = self._planted(rng, 700)
+        paths, report = viterbi_chunked(
+            params, [sym1, sym2], chunk_len=256, halo=64, rows_per_pass=4
+        )
+        for sym, path in ((sym1, paths[0]), (sym2, paths[1])):
+            obs = track_log_likelihoods(
+                params.log_em, jnp.asarray(sym))[None]
+            mono, _ = dp.viterbi(params.log_start, params.log_trans, obs)
+            np.testing.assert_array_equal(path, np.asarray(mono[0]))
+
+    def test_halo_widening_on_adversarial_ties(self, rng):
+        """A near-uniform model gives long-range boundary dependence; the
+        stitcher must detect disagreement and widen (or flag)."""
+        S = 2
+        lt = np.log(np.full((S, S), 0.5, np.float32))
+        log_em = np.zeros((S, 1, 3), np.float32)
+        log_em[:, 0, 1:] = np.log(
+            np.array([[0.5001, 0.4999], [0.4999, 0.5001]])
+        )
+        params = HmmParams(
+            log_start=jnp.asarray(np.log([0.5, 0.5]).astype(np.float32)),
+            log_trans=jnp.asarray(lt),
+            log_em=jnp.asarray(log_em),
+        )
+        sym = (rng.randint(0, 2, size=(800, 1)) + 1).astype(np.uint8)
+        paths, report = viterbi_chunked(
+            params, [sym], chunk_len=100, halo=8, max_halo=1024,
+            rows_per_pass=4,
+        )
+        obs = track_log_likelihoods(params.log_em, jnp.asarray(sym))[None]
+        mono, _ = dp.viterbi(params.log_start, params.log_trans, obs)
+        # with enough widening the decode must match monolithic whenever
+        # the report says boundaries agree
+        if report.boundaries_ok:
+            np.testing.assert_array_equal(paths[0], np.asarray(mono[0]))
+
+
+class TestShardedEm:
+    @pytest.fixture
+    def mesh(self):
+        assert jax.device_count() >= 8, "conftest should give 8 CPU devices"
+        return make_data_mesh(8)
+
+    def test_psum_matches_single_device(self, rng, make_hmm, mesh):
+        S, T, V, L, B = 4, 2, 5, 64, 16
+        params = _params(make_hmm(S, T, V))
+        symbols = rng.randint(1, V, size=(B, L, T))
+        lengths = np.full((B,), L, np.int32)
+        lengths[-3:] = [20, 0, 55]  # ragged + empty rows
+        want = em.em_sufficient_stats(
+            params, jnp.asarray(symbols), jnp.asarray(lengths)
+        )
+        got = sharded_em_stats(
+            params, jnp.asarray(symbols), jnp.asarray(lengths), mesh
+        )
+        for name in ("start", "trans", "em"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, name)),
+                np.asarray(getattr(want, name)),
+                rtol=1e-5, atol=1e-6,
+            )
+        np.testing.assert_allclose(
+            float(got.loglik), float(want.loglik), rtol=1e-6
+        )
+        assert float(got.n_obs) == float(want.n_obs)
+
+    def test_sharded_em_step_improves_loglik(self, rng, make_hmm, mesh):
+        S, T, V, L, B = 3, 1, 4, 128, 8
+        params = _params(make_hmm(S, T, V))
+        symbols = jnp.asarray(rng.randint(1, V, size=(B, L, T)))
+        lengths = jnp.full((B,), L, dtype=jnp.int32)
+        sizes = jnp.asarray([V])
+        lls = []
+        for _ in range(5):
+            params, ll = sharded_em_step(
+                params, symbols, lengths, sizes, mesh
+            )
+            lls.append(float(ll))
+        for a, b in zip(lls, lls[1:]):
+            assert b >= a - 1e-3 * abs(a), lls
