@@ -1,0 +1,102 @@
+"""Benchmark harness: Baum-Welch EM throughput on the local accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload = BASELINE.md milestone config #3 shape class: 20-state,
+5-track, unsupervised EM over chunked sequences, single chip.
+
+* value: DP cell-updates/sec for one full EM iteration, counting the
+  forward + backward recurrences (2 · positions · S²  updates) — the
+  metric defined in BASELINE.json.
+* vs_baseline: speedup over the reference-style implementation.  The
+  reference (glennhickey/teHmm) is pure single-thread NumPy loops and
+  publishes no numbers (BASELINE.md), and its mount is empty (SURVEY.md
+  provenance), so the baseline is this repo's NumPy float64 oracle
+  (tehmm_tpu/oracle.py — written in the reference's O(L·S²) loop style),
+  measured on a smaller slice of the same workload and scaled per
+  position.  Extra diagnostic fields don't hurt the driver contract.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from tehmm_tpu import oracle
+    from tehmm_tpu.models.params import init_random
+    from tehmm_tpu.ops import em as em_ops
+    from tehmm_tpu.utils.platform import setup_jax
+
+    setup_jax()
+
+    S, T, V = 20, 5, 8
+    B, L = 16, 8192           # 131k positions / iteration
+    iters = 10
+
+    rng = np.random.RandomState(0)
+    params = init_random(S, [V] * T, seed=0)
+    symbols = jnp.asarray(
+        rng.randint(1, V, size=(B, L, T)), dtype=jnp.int32
+    )
+    lengths = jnp.full((B,), L, dtype=jnp.int32)
+    sizes = jnp.asarray([V] * T)
+
+    def step(params, symbols, lengths):
+        stats = em_ops.em_sufficient_stats(params, symbols, lengths)
+        return em_ops.em_m_step(stats, params, sizes), stats.loglik
+
+    # warmup / compile.  NOTE: on the tunneled axon backend
+    # block_until_ready can return before queued work drains; a scalar
+    # fetch (float) is the only reliable full sync, so timings bracket
+    # with float() fetches.
+    p, ll = step(params, symbols, lengths)
+    _ = float(ll)
+
+    t0 = time.perf_counter()
+    p = params
+    for _ in range(iters):
+        p, ll = step(p, symbols, lengths)
+    _ = float(ll)
+    dt = (time.perf_counter() - t0) / iters
+
+    positions = B * L
+    cells = 2 * positions * S * S          # fwd + bwd updates
+    cells_per_sec = cells / dt
+
+    # ---- reference-style NumPy baseline on a slice, scaled ----
+    L_ref = 512
+    sym_ref = np.asarray(symbols[0, :L_ref])
+    ls = np.asarray(params.log_start, np.float64)
+    lt = np.asarray(params.log_trans, np.float64)
+    le = np.asarray(params.log_em, np.float64)
+    t0 = time.perf_counter()
+    obs = oracle.obs_log_likelihoods(le, sym_ref)
+    oracle.baum_welch_counts(ls, lt, obs, sym_ref, V)
+    ref_dt_per_pos = (time.perf_counter() - t0) / L_ref
+    ref_dt = ref_dt_per_pos * positions
+    speedup = ref_dt / dt
+
+    print(json.dumps({
+        "metric": "baum_welch_cell_updates_per_sec_per_chip",
+        "value": round(cells_per_sec, 1),
+        "unit": "cellupdates/s",
+        "vs_baseline": round(speedup, 2),
+        "detail": {
+            "device": str(jax.devices()[0]),
+            "config": {"S": S, "T": T, "V": V, "B": B, "L": L},
+            "em_iter_seconds": round(dt, 5),
+            "positions_per_sec": round(positions / dt, 1),
+            "em_iters_per_sec": round(1.0 / dt, 3),
+            "numpy_ref_iter_seconds_scaled": round(ref_dt, 3),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""tehmm-benchmark: end-to-end experiment harness
+(reference: teHmmBenchmark.py; SURVEY.md §2b, §3.3 — for each
+configuration: train -> eval -> (fit state names) -> compare vs truth,
+aggregated into an accuracy table).
+
+Configs are supplied as repeated --config "name:FLAGS" entries, e.g.
+
+  python -m tehmm_tpu.cli.benchmark tracks.xml truth.bed regions.bed out/ \
+      --config "sup:--supervised" \
+      --config "em2:--numStates 2 --iter 30" \
+      --config "em4:--numStates 4 --iter 30 --reps 2"
+
+Each config's model, prediction BED, renamed BED, and accuracy JSON land
+in out/<name>.*; a summary table is printed and saved to out/summary.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shlex
+import sys
+import time
+
+from tehmm_tpu.cli import compare_bed_states as cbs
+from tehmm_tpu.cli import eval as cli_eval
+from tehmm_tpu.cli import fit_state_names as fsn
+from tehmm_tpu.cli import train as cli_train
+from tehmm_tpu.utils.common import add_logging_options, logger, \
+    set_logging_from_options
+
+
+def run_config(
+    name: str,
+    flags: list[str],
+    tracks_xml: str,
+    truth_bed: str,
+    regions_bed: str,
+    out_dir: str,
+    slack: int = 0,
+) -> dict:
+    model_path = os.path.join(out_dir, f"{name}.mod.npz")
+    pred_bed = os.path.join(out_dir, f"{name}.pred.bed")
+    fit_bed = os.path.join(out_dir, f"{name}.fit.bed")
+
+    t0 = time.time()
+    rc = cli_train.main(
+        [tracks_xml, truth_bed, model_path] + flags
+    )
+    train_s = time.time() - t0
+    if rc:
+        return {"name": name, "error": f"train rc={rc}"}
+
+    t0 = time.time()
+    rc = cli_eval.main(
+        [tracks_xml, model_path, regions_bed, "--bed", pred_bed]
+    )
+    eval_s = time.time() - t0
+    if rc:
+        return {"name": name, "error": f"eval rc={rc}"}
+
+    supervised = "--supervised" in flags
+    scored_bed = pred_bed
+    if not supervised:
+        # anonymous states: greedily rename against truth first
+        fsn.main([truth_bed, pred_bed, fit_bed])
+        scored_bed = fit_bed
+
+    res = cbs.compare_bed_files(truth_bed, scored_bed, slack=slack)
+    return {
+        "name": name,
+        "flags": " ".join(flags),
+        "train_seconds": round(train_s, 2),
+        "eval_seconds": round(eval_s, 2),
+        "base_accuracy": res["base_accuracy"],
+        "base": res["base"],
+        "interval": res["interval"],
+    }
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tehmm-benchmark",
+        description="train -> eval -> compare sweep over configurations",
+    )
+    p.add_argument("tracksInfo")
+    p.add_argument("truthBed", help="labeled truth BED (training + scoring)")
+    p.add_argument("regionsBed", help="regions to decode")
+    p.add_argument("outDir")
+    p.add_argument("--config", action="append", required=True,
+                   help='"name:train flags", repeatable')
+    p.add_argument("--slack", type=int, default=0)
+    add_logging_options(p)
+    return p
+
+
+def main(argv=None) -> int:
+    opts = make_parser().parse_args(argv)
+    set_logging_from_options(opts)
+    os.makedirs(opts.outDir, exist_ok=True)
+    results = []
+    for spec in opts.config:
+        name, _, flag_str = spec.partition(":")
+        flags = shlex.split(flag_str)
+        logger.info("benchmark config %s: %s", name, flag_str)
+        results.append(run_config(
+            name, flags, opts.tracksInfo, opts.truthBed,
+            opts.regionsBed, opts.outDir, opts.slack,
+        ))
+
+    with open(os.path.join(opts.outDir, "summary.json"), "w") as fh:
+        json.dump(results, fh, indent=1)
+
+    print(f"{'config':12s} {'base-acc':>9s} {'train-s':>8s} {'eval-s':>7s}")
+    for r in results:
+        if "error" in r:
+            print(f"{r['name']:12s} ERROR: {r['error']}")
+        else:
+            print(
+                f"{r['name']:12s} {r['base_accuracy']:9.4f} "
+                f"{r['train_seconds']:8.2f} {r['eval_seconds']:7.2f}"
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

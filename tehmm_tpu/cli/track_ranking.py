@@ -1,0 +1,91 @@
+"""track-ranking: greedy forward selection of tracks by benchmark accuracy
+(reference: trackRanking.py [R?]; SURVEY.md §2b, §5 "Evaluation & model
+selection").
+
+Starting from an empty track set, repeatedly add the track whose addition
+maximizes base-level accuracy of a train->eval->compare cycle, until all
+tracks are ranked.
+
+Usage:
+  python -m tehmm_tpu.cli.track_ranking tracks.xml truth.bed regions.bed \
+      out/ --trainFlags "--supervised"
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import shlex
+import sys
+
+from tehmm_tpu.cli.benchmark import run_config
+from tehmm_tpu.io.trackxml import TrackList
+from tehmm_tpu.utils.common import add_logging_options, logger, \
+    set_logging_from_options
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="track-ranking",
+        description="Greedy forward selection of tracks by accuracy",
+    )
+    p.add_argument("tracksInfo")
+    p.add_argument("truthBed")
+    p.add_argument("regionsBed")
+    p.add_argument("outDir")
+    p.add_argument("--trainFlags", default="--supervised")
+    p.add_argument("--maxTracks", type=int, default=0,
+                   help="stop after ranking this many (0 = all)")
+    add_logging_options(p)
+    return p
+
+
+def main(argv=None) -> int:
+    opts = make_parser().parse_args(argv)
+    set_logging_from_options(opts)
+    os.makedirs(opts.outDir, exist_ok=True)
+    full = TrackList(opts.tracksInfo)
+    remaining = [t.name for t in full]
+    chosen: list[str] = []
+    flags = shlex.split(opts.trainFlags)
+    history = []
+
+    limit = opts.maxTracks or len(remaining)
+    step = 0
+    while remaining and len(chosen) < limit:
+        best = None
+        for cand in remaining:
+            subset = chosen + [cand]
+            sub_xml = os.path.join(
+                opts.outDir, f"rank{step}_{cand}.xml"
+            )
+            tl = TrackList()
+            for t in full:
+                if t.name in subset:
+                    tl.add(dataclasses.replace(t, number=-1))
+            tl.save_xml(sub_xml)
+            res = run_config(
+                f"rank{step}_{cand}", flags, sub_xml, opts.truthBed,
+                opts.regionsBed, opts.outDir,
+            )
+            acc = res.get("base_accuracy", -1.0)
+            logger.info("step %d candidate %s: acc %.4f", step, cand, acc)
+            if best is None or acc > best[0]:
+                best = (acc, cand)
+        acc, winner = best
+        chosen.append(winner)
+        remaining.remove(winner)
+        history.append({"rank": len(chosen), "track": winner,
+                        "base_accuracy": acc})
+        print(f"rank {len(chosen)}: {winner} (accuracy {acc:.4f})")
+        step += 1
+
+    with open(os.path.join(opts.outDir, "ranking.json"), "w") as fh:
+        json.dump(history, fh, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
