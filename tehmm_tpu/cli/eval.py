@@ -86,7 +86,10 @@ def main(argv=None) -> int:
     total_ll = model.score(track_data.tables)
     print(f"{total_ll}")
 
-    if opts.maxPost:
+    cfg_meta = model.extra.get("cfg") if model.extra else None
+    if cfg_meta:
+        paths = _cfg_decode(model, cfg_meta, track_data.tables)
+    elif opts.maxPost:
         paths = model.posterior_decode_tables(
             track_data.tables, chunk_len=opts.chunk
         )
@@ -124,6 +127,31 @@ def main(argv=None) -> int:
         write_bed_intervals(rows, opts.pd)
 
     return 0
+
+
+def _cfg_decode(model, cfg_meta, tables):
+    """Pair-grammar decode (reference: teHmmEval on a --cfg model).
+    Each table is one parse; tables must fit the O(L·D) chart, so use
+    chunked query regions for long chromosomes."""
+    import jax.numpy as jnp
+
+    from tehmm_tpu.models.cfg import cfg_viterbi_decode, make_cfg_params
+    from tehmm_tpu.models.emission import track_log_likelihoods
+
+    pair_idx = [
+        model.state_index(n) for n in cfg_meta.get("pair_states", [])
+    ]
+    cfg = make_cfg_params(
+        model.params, pair_idx,
+        float(cfg_meta.get("match_bonus", 0.0)),
+    )
+    paths = []
+    for tab in tables:
+        sym = jnp.asarray(tab.symbols)
+        obs = track_log_likelihoods(model.params.log_em, sym)
+        path, _score = cfg_viterbi_decode(cfg, obs, sym)
+        paths.append(path)
+    return paths
 
 
 if __name__ == "__main__":

@@ -69,6 +69,15 @@ def make_parser() -> argparse.ArgumentParser:
                    help="freeze emissions at their initial values")
     p.add_argument("--forceEmProbs", default=None,
                    help="emission text file applied AFTER training")
+    p.add_argument("--cfg", action="store_true",
+                   help="wrap the trained model as a pair-grammar CFG "
+                        "(reference: teHmmTrain.py --cfg)")
+    p.add_argument("--pairStates", default="",
+                   help="comma-separated state names that emit paired "
+                        "(nested) left/right ends")
+    p.add_argument("--matchBonus", type=float, default=1.0,
+                   help="per-track log bonus when pair-state end symbols "
+                        "match (reference: PairEmissionModel weighting)")
     p.add_argument("--segment", action="store_true",
                    help="treat each training interval as ONE segment "
                         "observation sequence (use with segment-tracks "
@@ -106,7 +115,26 @@ def main(argv=None) -> int:
     else:
         model = _train_unsupervised(opts, track_data, metrics)
 
-    model.save(opts.outputModel)
+    extra = None
+    if opts.cfg:
+        pair_names = [
+            s for s in opts.pairStates.split(",") if s
+        ]
+        unknown = [
+            n for n in pair_names if n not in model.state_names
+        ]
+        if unknown:
+            raise SystemExit(
+                f"--pairStates names not in model: {unknown} "
+                f"(states: {model.state_names})"
+            )
+        extra = {
+            "cfg": {
+                "pair_states": pair_names,
+                "match_bonus": opts.matchBonus,
+            }
+        }
+    model.save(opts.outputModel, extra=extra)
     logger.info("saved model to %s", opts.outputModel)
     metrics.close()
     return 0

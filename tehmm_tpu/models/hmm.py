@@ -70,6 +70,7 @@ class MultitrackHmm:
         self.params = params
         self.track_list = track_list
         self.category_maps = category_maps
+        self.extra: dict = {}  # free-form persisted metadata (e.g. cfg)
         S = params.num_states
         self.state_names = state_names or [str(i) for i in range(S)]
         if len(self.state_names) != S:
@@ -359,7 +360,9 @@ class MultitrackHmm:
             },
         }
         if extra:
-            meta["extra"] = extra
+            self.extra.update(extra)
+        if self.extra:
+            meta["extra"] = self.extra
         save_model(path, self.params, meta)
 
     @classmethod
@@ -370,7 +373,9 @@ class MultitrackHmm:
             name: CategoryMap.from_dict(d)
             for name, d in meta["category_maps"].items()
         }
-        return cls(params, track_list, maps, meta["state_names"])
+        model = cls(params, track_list, maps, meta["state_names"])
+        model.extra = meta.get("extra", {})
+        return model
 
 
 # ----------------------------------------------------------------------

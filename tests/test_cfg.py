@@ -1,0 +1,177 @@
+"""CFG pair-grammar tests (SURVEY.md §4: cfgTest — a CFG with zero pair
+states must reproduce HMM results exactly; small pair-grammar cases)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tehmm_tpu import oracle
+from tehmm_tpu.models.cfg import (
+    cfg_inside_loglik,
+    cfg_viterbi_decode,
+    make_cfg_params,
+)
+from tehmm_tpu.models.params import HmmParams
+from tehmm_tpu.ops import dp
+
+
+def _hmm_params(make_hmm, S, T, V):
+    log_start, log_trans, log_em = make_hmm(S, T, V)
+    return HmmParams(
+        log_start=jnp.asarray(log_start, jnp.float32),
+        log_trans=jnp.asarray(log_trans, jnp.float32),
+        log_em=jnp.asarray(log_em, jnp.float32),
+    ), log_em
+
+
+class TestHmmEquivalence:
+    def test_viterbi_reduces_to_hmm(self, rng, make_hmm):
+        S, T, V, L = 4, 2, 5, 40
+        hmm, log_em = _hmm_params(make_hmm, S, T, V)
+        cfg = make_cfg_params(hmm, pair_states=[])
+        sym = rng.randint(1, V, size=(L, T))
+        obs = jnp.asarray(
+            oracle.obs_log_likelihoods(log_em, sym), jnp.float32
+        )
+        path_cfg, score_cfg = cfg_viterbi_decode(
+            cfg, obs, jnp.asarray(sym)
+        )
+        path_hmm, score_hmm = dp.viterbi(
+            hmm.log_start, hmm.log_trans, obs[None]
+        )
+        np.testing.assert_allclose(
+            score_cfg, float(score_hmm[0]), rtol=1e-4
+        )
+        np.testing.assert_array_equal(path_cfg, np.asarray(path_hmm[0]))
+
+    def test_inside_reduces_to_forward(self, rng, make_hmm):
+        S, T, V, L = 3, 1, 4, 24
+        hmm, log_em = _hmm_params(make_hmm, S, T, V)
+        cfg = make_cfg_params(hmm, pair_states=[])
+        sym = rng.randint(1, V, size=(L, T))
+        obs = jnp.asarray(
+            oracle.obs_log_likelihoods(log_em, sym), jnp.float32
+        )
+        ll_cfg = float(cfg_inside_loglik(cfg, obs, jnp.asarray(sym), L))
+        _, ll_hmm = dp.forward(hmm.log_start, hmm.log_trans, obs[None])
+        np.testing.assert_allclose(ll_cfg, float(ll_hmm[0]), rtol=1e-4)
+
+
+class TestPairStates:
+    def test_match_bonus_selects_pair_state(self, rng):
+        """Plant symmetric ends; a pair state with a match bonus should
+        claim both ends of the span."""
+        S, V = 2, 4
+        # state 0: background; state 1: pair state
+        log_start = np.log([0.9, 0.1]).astype(np.float32)
+        log_trans = np.log(
+            [[0.7, 0.3], [0.3, 0.7]]
+        ).astype(np.float32)
+        log_em = np.zeros((S, 1, V), np.float32)
+        log_em[:, 0, 1:] = np.log(1 / 3)
+        hmm = HmmParams(
+            log_start=jnp.asarray(log_start),
+            log_trans=jnp.asarray(log_trans),
+            log_em=jnp.asarray(log_em),
+        )
+        cfg = make_cfg_params(hmm, pair_states=[1], match_bonus=3.0)
+        # sequence with identical first/last symbols
+        sym = np.array([[2], [1], [3], [1], [2]], np.int32)
+        obs = jnp.asarray(
+            oracle.obs_log_likelihoods(log_em, sym), jnp.float32
+        )
+        path, score = cfg_viterbi_decode(cfg, obs, jnp.asarray(sym))
+        # pair state must sit at both ends (nested emission)
+        assert path[0] == 1 and path[-1] == 1
+
+    def test_no_bonus_no_pair(self, rng):
+        S, V = 2, 4
+        log_start = np.log([0.9, 0.1]).astype(np.float32)
+        log_trans = np.log([[0.9, 0.1], [0.5, 0.5]]).astype(np.float32)
+        log_em = np.zeros((S, 1, V), np.float32)
+        log_em[:, 0, 1:] = np.log(1 / 3)
+        hmm = HmmParams(
+            log_start=jnp.asarray(log_start),
+            log_trans=jnp.asarray(log_trans),
+            log_em=jnp.asarray(log_em),
+        )
+        cfg = make_cfg_params(hmm, pair_states=[1], match_bonus=0.0)
+        sym = np.array([[2], [1], [3], [1], [2]], np.int32)
+        obs = jnp.asarray(
+            oracle.obs_log_likelihoods(log_em, sym), jnp.float32
+        )
+        path, _ = cfg_viterbi_decode(cfg, obs, jnp.asarray(sym))
+        # with flat emissions, higher start/self probs favor background
+        assert path[0] == 0
+
+    def test_inside_geq_viterbi(self, rng, make_hmm):
+        S, T, V, L = 3, 1, 4, 16
+        hmm, log_em = _hmm_params(make_hmm, S, T, V)
+        cfg = make_cfg_params(hmm, pair_states=[2], match_bonus=1.0)
+        sym = rng.randint(1, V, size=(L, T))
+        obs = jnp.asarray(
+            oracle.obs_log_likelihoods(log_em, sym), jnp.float32
+        )
+        _, v_score = cfg_viterbi_decode(cfg, obs, jnp.asarray(sym))
+        ll = float(cfg_inside_loglik(cfg, obs, jnp.asarray(sym), L))
+        assert ll >= v_score - 1e-3
+
+
+class TestCfgCli:
+    def test_train_eval_cfg_pipeline(self, tmp_path, rng):
+        """--cfg round trip through the CLIs on a tiny fixture."""
+        from tehmm_tpu.cli import train as cli_train
+        from tehmm_tpu.cli import eval as cli_eval
+        from tehmm_tpu.io import write_bed_intervals, read_bed_intervals
+
+        L = 200
+        truth = [("chr1", 0, 80, "BG"), ("chr1", 80, 120, "TE"),
+                 ("chr1", 120, 200, "BG")]
+        rows = []
+        for c, s, e, n in truth:
+            for i in range(s, e, 10):
+                val = "X" if n == "TE" else "Y"
+                rows.append((c, i, min(i + 10, e), val))
+        bed = str(tmp_path / "a.bed")
+        write_bed_intervals(rows, bed)
+        xml = tmp_path / "t.xml"
+        xml.write_text(
+            f'<teModelConfig><track name="a" path="{bed}"/>'
+            "</teModelConfig>"
+        )
+        truth_bed = str(tmp_path / "truth.bed")
+        write_bed_intervals(truth, truth_bed)
+        regions = str(tmp_path / "r.bed")
+        write_bed_intervals([("chr1", 0, L)], regions)
+        model = str(tmp_path / "m.npz")
+        rc = cli_train.main(
+            [str(xml), truth_bed, model, "--supervised", "--cfg",
+             "--pairStates", "TE", "--matchBonus", "2.0"]
+        )
+        assert rc == 0
+        out = str(tmp_path / "p.bed")
+        rc = cli_eval.main([str(xml), model, regions, "--bed", out])
+        assert rc == 0
+        pred = read_bed_intervals(out, ncol=4)
+        assert len(pred) >= 1
+        names = {p[3] for p in pred}
+        assert names <= {"BG", "TE"}
+
+    def test_cfg_unknown_pair_state_errors(self, tmp_path):
+        from tehmm_tpu.cli import train as cli_train
+        from tehmm_tpu.io import write_bed_intervals
+        import pytest
+
+        bed = str(tmp_path / "a.bed")
+        write_bed_intervals([("chr1", 0, 50, "X")], bed)
+        xml = tmp_path / "t.xml"
+        xml.write_text(
+            f'<teModelConfig><track name="a" path="{bed}"/>'
+            "</teModelConfig>"
+        )
+        truth_bed = str(tmp_path / "truth.bed")
+        write_bed_intervals([("chr1", 0, 50, "BG")], truth_bed)
+        with pytest.raises(SystemExit, match="pairStates"):
+            cli_train.main(
+                [str(xml), truth_bed, str(tmp_path / "m.npz"),
+                 "--supervised", "--cfg", "--pairStates", "NOPE"]
+            )
