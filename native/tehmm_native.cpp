@@ -1,0 +1,208 @@
+// Native host-side hot loops for tehmm_tpu.
+//
+// The reference leans on bedtools/bx-python C/C++ extensions for its
+// genomic I/O hot paths (reference: trackIO.py via pybedtools/bx-python;
+// SURVEY.md §2a "Native code in the dependency chain").  Neither is
+// available here, so this library provides the equivalents the Python
+// layer shells into via ctypes (tehmm_tpu/native.py):
+//
+//   * bed_parse / bed_*      — mmap-free streaming BED parser returning
+//                              columnar arrays (starts, ends, chrom ids,
+//                              value-string table indices)
+//   * fill_intervals_u16     — paint (start,end,symbol) runs into a
+//                              per-position column
+//   * count_transitions     — supervised adjacency counting
+//   * count_emissions       — supervised symbol counting
+//   * runs_encode           — state-path -> (start,end,state) runs
+//
+// Build: g++ -O3 -march=native -shared -fPIC (driven by tehmm_tpu/native.py).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// BED parsing
+// ---------------------------------------------------------------------
+
+struct BedFile {
+    std::vector<int64_t> starts;
+    std::vector<int64_t> ends;
+    std::vector<int32_t> chrom_ids;   // index into chrom_names
+    std::vector<int32_t> value_ids;   // index into value_names (-1 = none)
+    std::string chrom_names;          // '\n'-joined unique chrom names
+    std::string value_names;          // '\n'-joined unique value strings
+    int32_t n_chroms = 0;
+    int32_t n_values = 0;
+};
+
+static int32_t intern(std::unordered_map<std::string, int32_t>& map,
+                      std::string& joined, int32_t& counter,
+                      const char* s, size_t len) {
+    std::string key(s, len);
+    auto it = map.find(key);
+    if (it != map.end()) return it->second;
+    int32_t id = counter++;
+    map.emplace(std::move(key), id);
+    if (!joined.empty()) joined.push_back('\n');
+    joined.append(s, len);
+    return id;
+}
+
+// value_col: BED column index holding the value (3 = name, 4 = score,
+// 5 = strand, >=6 = extra); negative = no value wanted.
+void* bed_parse(const char* path, int value_col) {
+    FILE* fh = fopen(path, "rb");
+    if (!fh) return nullptr;
+    auto* bf = new BedFile();
+    std::unordered_map<std::string, int32_t> chrom_map, value_map;
+
+    char* line = nullptr;
+    size_t cap = 0;
+    ssize_t len;
+    while ((len = getline(&line, &cap, fh)) != -1) {
+        if (len == 0) continue;
+        if (line[0] == '#' || line[0] == '\n' || line[0] == '\r') continue;
+        if (strncmp(line, "track", 5) == 0 ||
+            strncmp(line, "browser", 7) == 0)
+            continue;
+        // split on tabs (fall back to any whitespace)
+        const char* fields[16];
+        size_t flens[16];
+        int nf = 0;
+        char* p = line;
+        char* end = line + len;
+        while (*(end - 1) == '\n' || *(end - 1) == '\r') {
+            --end;
+            if (end == line) break;
+        }
+        bool tabbed = memchr(line, '\t', end - line) != nullptr;
+        while (p < end && nf < 16) {
+            while (p < end && (tabbed ? *p == '\t'
+                                      : (*p == ' ' || *p == '\t')))
+                ++p;
+            if (p >= end) break;
+            char* q = p;
+            while (q < end && (tabbed ? *q != '\t'
+                                      : (*q != ' ' && *q != '\t')))
+                ++q;
+            fields[nf] = p;
+            flens[nf] = (size_t)(q - p);
+            ++nf;
+            p = q;
+        }
+        if (nf < 3) continue;
+        bf->chrom_ids.push_back(intern(
+            chrom_map, bf->chrom_names, bf->n_chroms,
+            fields[0], flens[0]));
+        bf->starts.push_back(strtoll(fields[1], nullptr, 10));
+        bf->ends.push_back(strtoll(fields[2], nullptr, 10));
+        int32_t vid = -1;
+        if (value_col >= 3 && value_col < nf) {
+            vid = intern(value_map, bf->value_names, bf->n_values,
+                         fields[value_col], flens[value_col]);
+        }
+        bf->value_ids.push_back(vid);
+    }
+    free(line);
+    fclose(fh);
+    return bf;
+}
+
+int64_t bed_num_records(void* h) {
+    return (int64_t)((BedFile*)h)->starts.size();
+}
+int64_t bed_chrom_names_len(void* h) {
+    return (int64_t)((BedFile*)h)->chrom_names.size();
+}
+int64_t bed_value_names_len(void* h) {
+    return (int64_t)((BedFile*)h)->value_names.size();
+}
+
+void bed_copy(void* h, int64_t* starts, int64_t* ends,
+              int32_t* chrom_ids, int32_t* value_ids,
+              char* chrom_names, char* value_names) {
+    auto* bf = (BedFile*)h;
+    size_t n = bf->starts.size();
+    memcpy(starts, bf->starts.data(), n * sizeof(int64_t));
+    memcpy(ends, bf->ends.data(), n * sizeof(int64_t));
+    memcpy(chrom_ids, bf->chrom_ids.data(), n * sizeof(int32_t));
+    memcpy(value_ids, bf->value_ids.data(), n * sizeof(int32_t));
+    memcpy(chrom_names, bf->chrom_names.data(), bf->chrom_names.size());
+    memcpy(value_names, bf->value_names.data(), bf->value_names.size());
+}
+
+void bed_free(void* h) { delete (BedFile*)h; }
+
+// ---------------------------------------------------------------------
+// Painting / counting kernels
+// ---------------------------------------------------------------------
+
+// Paint n (start,end,symbol) runs into col[0..L), where genome position
+// origin maps to col[0].  Later runs overwrite earlier ones.
+void fill_intervals_u16(uint16_t* col, int64_t L, int64_t origin,
+                        const int64_t* starts, const int64_t* ends,
+                        const uint16_t* syms, int64_t n) {
+    for (int64_t r = 0; r < n; ++r) {
+        int64_t s = starts[r] - origin;
+        int64_t e = ends[r] - origin;
+        if (s < 0) s = 0;
+        if (e > L) e = L;
+        if (s >= e) continue;
+        uint16_t v = syms[r];
+        for (int64_t i = s; i < e; ++i) col[i] = v;
+    }
+}
+
+// trans[i*S + j] += count of adjacent (states[k]==i, states[k+1]==j).
+void count_transitions(const int32_t* states, int64_t n, int32_t S,
+                       double* trans) {
+    for (int64_t k = 0; k + 1 < n; ++k) {
+        int32_t a = states[k], b = states[k + 1];
+        if (a >= 0 && b >= 0 && a < S && b < S)
+            trans[(int64_t)a * S + b] += 1.0;
+    }
+}
+
+// em[((s*T)+t)*V + v] += 1 for every position/track.
+void count_emissions(const int32_t* states, const uint16_t* symbols,
+                     int64_t n, int32_t T, int32_t S, int32_t V,
+                     double* em) {
+    for (int64_t k = 0; k < n; ++k) {
+        int32_t s = states[k];
+        if (s < 0 || s >= S) continue;
+        const uint16_t* row = symbols + k * T;
+        for (int32_t t = 0; t < T; ++t) {
+            uint16_t v = row[t];
+            if (v < V)
+                em[(((int64_t)s * T) + t) * V + v] += 1.0;
+        }
+    }
+}
+
+// Encode a state path into maximal runs.  Returns number of runs;
+// starts/ends/states buffers must have capacity n.
+int64_t runs_encode(const int32_t* path, int64_t n,
+                    int64_t* starts, int64_t* ends, int32_t* states) {
+    if (n == 0) return 0;
+    int64_t m = 0;
+    int64_t run_start = 0;
+    for (int64_t i = 1; i <= n; ++i) {
+        if (i == n || path[i] != path[run_start]) {
+            starts[m] = run_start;
+            ends[m] = i;
+            states[m] = path[run_start];
+            ++m;
+            run_start = i;
+        }
+    }
+    return m;
+}
+
+}  // extern "C"

@@ -104,14 +104,14 @@ def main(argv=None) -> int:
         )
 
     if opts.bed:
+        from tehmm_tpu.models.hmm import path_to_intervals
+
         out = []
         for tab, path in zip(track_data.tables, paths):
-            ivs = [
-                (tab.chrom, tab.start + i, tab.start + i + 1,
-                 model.state_names[int(s)])
-                for i, s in enumerate(path)
-            ]
-            out.extend(merge_adjacent_intervals(ivs))
+            out.extend(path_to_intervals(
+                tab.chrom, tab.start, np.asarray(path),
+                model.state_names,
+            ))
         write_bed_intervals(out, opts.bed)
         logger.info("wrote %d intervals to %s", len(out), opts.bed)
 

@@ -16,7 +16,7 @@ import sys
 import numpy as np
 
 from tehmm_tpu.io import TrackList, read_bed_intervals
-from tehmm_tpu.io.trackdata import _BedSource, _value_of
+from tehmm_tpu.io.trackdata import _BedSource
 from tehmm_tpu.utils.common import add_logging_options, logger, \
     set_logging_from_options
 
@@ -33,14 +33,13 @@ def collect_numeric_values(track, regions) -> np.ndarray:
                 v = bw.values(chrom, s, e)
                 vals.extend(v[~np.isnan(v)].tolist())
     else:
-        src = _BedSource(track.path)
+        src = _BedSource(track.path, track.val_col)
         for chrom, s, e, *_ in regions:
             for rec in src.overlapping(chrom, s, e):
-                raw = _value_of(rec, track.val_col)
-                if raw is None:
+                if rec.value is None:
                     continue
                 try:
-                    vals.append(float(raw))
+                    vals.append(float(rec.value))
                 except ValueError:
                     return np.array([])  # non-numeric track
     return np.asarray(vals, dtype=np.float64)

@@ -27,6 +27,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--start", action="store_true",
                    help="only the start distribution")
     p.add_argument("--precision", type=int, default=4)
+    p.add_argument("--plot", default=None, metavar="PREFIX",
+                   help="write PREFIX.em.png (clustered emission "
+                        "heatmap), PREFIX.trans.png and PREFIX.pca.png "
+                        "(reference: teHmmView/parameterAnalysis "
+                        "graphics)")
     return p
 
 
@@ -74,6 +79,21 @@ def main(argv=None) -> int:
                     for v, val in syms
                 ]
                 print(f"    {s_name}\t" + " ".join(parts))
+
+    if opts.plot:
+        from tehmm_tpu import analysis
+
+        log_em = np.asarray(model.params.log_em)
+        track_names = [t.name for t in model.track_list]
+        analysis.plot_emission_heatmap(
+            log_em, names, track_names, f"{opts.plot}.em.png"
+        )
+        analysis.plot_transition_graph(
+            np.asarray(model.params.log_trans), names,
+            f"{opts.plot}.trans.png",
+        )
+        analysis.plot_state_pca(log_em, names, f"{opts.plot}.pca.png")
+        print(f"wrote {opts.plot}.{{em,trans,pca}}.png")
     return 0
 
 

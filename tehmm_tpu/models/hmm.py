@@ -154,6 +154,8 @@ class MultitrackHmm:
         trans_c = np.zeros((S, S), np.float64)
         em_c = np.zeros((S, T, V), np.float64)
         n_pos = 0
+        from tehmm_tpu import native
+
         for tab, states in zip(track_data.tables, states_per_table):
             # maximal labeled runs: transitions never count across
             # unlabeled gaps (each run is its own sequence)
@@ -162,9 +164,17 @@ class MultitrackHmm:
                 sym = tab.symbols[s:e]
                 n_pos += e - s
                 start_c[st[0]] += 1
-                np.add.at(trans_c, (st[:-1], st[1:]), 1)
-                for t in range(T):
-                    np.add.at(em_c, (st, t, sym[:, t].astype(np.int64)), 1)
+                tc = native.count_transitions(st, S)
+                ec = native.count_emissions(st, sym, S, V)
+                if tc is not None:
+                    trans_c += tc
+                    em_c += ec
+                else:  # NumPy fallback (no compiler available)
+                    np.add.at(trans_c, (st[:-1], st[1:]), 1)
+                    for t in range(T):
+                        np.add.at(
+                            em_c, (st, t, sym[:, t].astype(np.int64)), 1
+                        )
         if n_pos == 0:
             raise ValueError("no labeled positions found")
         stats = em_ops.EmStats(
@@ -288,12 +298,9 @@ class MultitrackHmm:
         paths, _ = self.decode_tables(tables, chunk_len, halo)
         out: list[tuple] = []
         for tab, path in zip(tables, paths):
-            ivs = [
-                (tab.chrom, tab.start + i, tab.start + i + 1,
-                 self.state_names[int(s)])
-                for i, s in enumerate(path)
-            ]
-            out.extend(merge_adjacent_intervals(ivs))
+            out.extend(path_to_intervals(
+                tab.chrom, tab.start, path, self.state_names
+            ))
         return out
 
     def posterior_decode_tables(
@@ -376,6 +383,31 @@ class MultitrackHmm:
         model = cls(params, track_list, maps, meta["state_names"])
         model.extra = meta.get("extra", {})
         return model
+
+
+def path_to_intervals(
+    chrom: str, origin: int, path: np.ndarray,
+    state_names: list[str],
+) -> list[tuple]:
+    """State path -> merged (chrom, start, end, name) runs.  Uses the
+    native run-length encoder when available; genome-scale safe either
+    way (no per-position Python objects)."""
+    from tehmm_tpu import native
+
+    path = np.ascontiguousarray(path, np.int32)
+    runs = native.runs_encode(path)
+    if runs is None:
+        edges = np.flatnonzero(np.diff(path)) + 1
+        bounds = np.concatenate([[0], edges, [len(path)]])
+        runs = (
+            bounds[:-1], bounds[1:],
+            path[bounds[:-1]],
+        )
+    starts, ends, states = runs
+    return [
+        (chrom, origin + int(s), origin + int(e), state_names[int(v)])
+        for s, e, v in zip(starts, ends, states)
+    ]
 
 
 # ----------------------------------------------------------------------

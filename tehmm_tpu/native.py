@@ -1,0 +1,215 @@
+"""ctypes bindings for the native C++ host-side kernels.
+
+Builds ``native/tehmm_native.cpp`` on first use with g++ (cached under
+``~/.cache/tehmm_tpu``, keyed by source hash) and exposes typed wrappers.
+Everything degrades gracefully: if no compiler is available the callers
+fall back to their NumPy implementations (``native.available()`` tells
+them).  See native/tehmm_native.cpp for what lives here and why
+(SURVEY.md §2a — the reference's equivalents are bedtools/bx-python C
+extensions).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "native", "tehmm_native.cpp",
+)
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+def _build() -> ctypes.CDLL | None:
+    if not os.path.exists(_SRC):
+        return None
+    with open(_SRC, "rb") as fh:
+        digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+    cache_dir = os.path.expanduser(
+        os.environ.get("TEHMM_NATIVE_CACHE", "~/.cache/tehmm_tpu")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, f"tehmm_native-{digest}.so")
+    if not os.path.exists(so_path):
+        tmp = so_path + f".tmp{os.getpid()}"
+        cmd = [
+            "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            _SRC, "-o", tmp,
+        ]
+        try:
+            subprocess.run(
+                cmd, check=True, capture_output=True, timeout=120
+            )
+            os.replace(tmp, so_path)
+        except (subprocess.SubprocessError, OSError, FileNotFoundError):
+            return None
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError:
+        return None
+
+    lib.bed_parse.restype = ctypes.c_void_p
+    lib.bed_parse.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.bed_num_records.restype = ctypes.c_int64
+    lib.bed_num_records.argtypes = [ctypes.c_void_p]
+    lib.bed_chrom_names_len.restype = ctypes.c_int64
+    lib.bed_chrom_names_len.argtypes = [ctypes.c_void_p]
+    lib.bed_value_names_len.restype = ctypes.c_int64
+    lib.bed_value_names_len.argtypes = [ctypes.c_void_p]
+    lib.bed_copy.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
+    lib.bed_free.argtypes = [ctypes.c_void_p]
+    lib.fill_intervals_u16.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64,
+    ]
+    lib.count_transitions.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p
+    ]
+    lib.count_emissions.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+    ]
+    lib.runs_encode.restype = ctypes.c_int64
+    lib.runs_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    return lib
+
+
+def _get() -> ctypes.CDLL | None:
+    global _lib, _tried
+    with _lock:
+        if not _tried:
+            _tried = True
+            if os.environ.get("TEHMM_NO_NATIVE"):
+                _lib = None
+            else:
+                _lib = _build()
+    return _lib
+
+
+def available() -> bool:
+    return _get() is not None
+
+
+# ----------------------------------------------------------------------
+# typed wrappers
+# ----------------------------------------------------------------------
+
+def parse_bed_columnar(path: str, value_col: int = 3):
+    """Fast columnar BED parse.
+
+    Returns (starts i64[n], ends i64[n], chrom_ids i32[n],
+    value_ids i32[n], chrom_names list[str], value_names list[str]),
+    or None when the native library is unavailable.
+    """
+    lib = _get()
+    if lib is None:
+        return None
+    h = lib.bed_parse(path.encode(), value_col)
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        n = lib.bed_num_records(h)
+        starts = np.empty(n, np.int64)
+        ends = np.empty(n, np.int64)
+        chrom_ids = np.empty(n, np.int32)
+        value_ids = np.empty(n, np.int32)
+        cbuf = ctypes.create_string_buffer(
+            max(1, lib.bed_chrom_names_len(h))
+        )
+        vbuf = ctypes.create_string_buffer(
+            max(1, lib.bed_value_names_len(h))
+        )
+        lib.bed_copy(
+            h,
+            starts.ctypes.data, ends.ctypes.data,
+            chrom_ids.ctypes.data, value_ids.ctypes.data,
+            cbuf, vbuf,
+        )
+        chroms = cbuf.raw.decode() if n else ""
+        vals = vbuf.raw.decode() if n else ""
+        chrom_names = chroms.split("\n") if chroms else []
+        value_names = vals.split("\n") if vals else []
+        return starts, ends, chrom_ids, value_ids, chrom_names, value_names
+    finally:
+        lib.bed_free(h)
+
+
+def fill_intervals(
+    col: np.ndarray, origin: int,
+    starts: np.ndarray, ends: np.ndarray, syms: np.ndarray,
+) -> bool:
+    """Paint runs into uint16 col in place; False -> caller must fall
+    back to NumPy."""
+    lib = _get()
+    if lib is None:
+        return False
+    col = np.ascontiguousarray(col)
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    syms = np.ascontiguousarray(syms, np.uint16)
+    lib.fill_intervals_u16(
+        col.ctypes.data, len(col), origin,
+        starts.ctypes.data, ends.ctypes.data, syms.ctypes.data,
+        len(starts),
+    )
+    return True
+
+
+def count_transitions(states: np.ndarray, num_states: int):
+    lib = _get()
+    if lib is None:
+        return None
+    states = np.ascontiguousarray(states, np.int32)
+    out = np.zeros((num_states, num_states), np.float64)
+    lib.count_transitions(
+        states.ctypes.data, len(states), num_states, out.ctypes.data
+    )
+    return out
+
+
+def count_emissions(
+    states: np.ndarray, symbols: np.ndarray,
+    num_states: int, num_symbols: int,
+):
+    lib = _get()
+    if lib is None:
+        return None
+    states = np.ascontiguousarray(states, np.int32)
+    symbols = np.ascontiguousarray(symbols, np.uint16)
+    n, T = symbols.shape
+    out = np.zeros((num_states, T, num_symbols), np.float64)
+    lib.count_emissions(
+        states.ctypes.data, symbols.ctypes.data, n, T,
+        num_states, num_symbols, out.ctypes.data,
+    )
+    return out
+
+
+def runs_encode(path: np.ndarray):
+    """int path -> (starts, ends, states) maximal runs (or None)."""
+    lib = _get()
+    if lib is None:
+        return None
+    path = np.ascontiguousarray(path, np.int32)
+    n = len(path)
+    starts = np.empty(n, np.int64)
+    ends = np.empty(n, np.int64)
+    states = np.empty(n, np.int32)
+    m = lib.runs_encode(
+        path.ctypes.data, n,
+        starts.ctypes.data, ends.ctypes.data, states.ctypes.data,
+    )
+    return starts[:m], ends[:m], states[:m]

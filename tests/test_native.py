@@ -1,0 +1,142 @@
+"""Native C++ kernel tests: build, parity with NumPy paths, fallbacks."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tehmm_tpu import native
+
+
+requires_native = pytest.mark.skipif(
+    not native.available(), reason="no C++ toolchain"
+)
+
+
+class TestNativeKernels:
+    @requires_native
+    def test_parse_bed_columnar(self, tmp_path):
+        p = tmp_path / "x.bed"
+        p.write_text(
+            "# comment\n"
+            "track name=foo\n"
+            "chr2\t5\t10\tB\t7\n"
+            "chr1\t0\t100\tA\n"
+            "chr1\t100\t200\tA\n"
+        )
+        starts, ends, cids, vids, chroms, vals = \
+            native.parse_bed_columnar(str(p), 3)
+        assert starts.tolist() == [5, 0, 100]
+        assert ends.tolist() == [10, 100, 200]
+        assert [chroms[i] for i in cids] == ["chr2", "chr1", "chr1"]
+        assert [vals[i] for i in vids] == ["B", "A", "A"]
+
+    @requires_native
+    def test_parse_value_col_score(self, tmp_path):
+        p = tmp_path / "s.bed"
+        p.write_text("chr1\t0\t10\tname\t42\n")
+        *_ , vids, _chroms, vals = native.parse_bed_columnar(str(p), 4)
+        assert vals[vids[0]] == "42"
+
+    @requires_native
+    def test_fill_intervals(self):
+        col = np.zeros(20, np.uint16)
+        ok = native.fill_intervals(
+            col, 100,
+            np.array([95, 105, 118]), np.array([102, 110, 130]),
+            np.array([1, 2, 3]),
+        )
+        assert ok
+        want = np.zeros(20, np.uint16)
+        want[0:2] = 1; want[5:10] = 2; want[18:20] = 3
+        np.testing.assert_array_equal(col, want)
+
+    @requires_native
+    def test_count_transitions_matches_numpy(self):
+        rng = np.random.RandomState(0)
+        st = rng.randint(0, 5, 1000).astype(np.int32)
+        got = native.count_transitions(st, 5)
+        want = np.zeros((5, 5))
+        np.add.at(want, (st[:-1], st[1:]), 1)
+        np.testing.assert_array_equal(got, want)
+
+    @requires_native
+    def test_count_emissions_matches_numpy(self):
+        rng = np.random.RandomState(0)
+        st = rng.randint(0, 4, 500).astype(np.int32)
+        sym = rng.randint(0, 6, (500, 3)).astype(np.uint16)
+        got = native.count_emissions(st, sym, 4, 6)
+        want = np.zeros((4, 3, 6))
+        for t in range(3):
+            np.add.at(want, (st, t, sym[:, t].astype(int)), 1)
+        np.testing.assert_array_equal(got, want)
+
+    @requires_native
+    def test_runs_encode(self):
+        path = np.array([1, 1, 2, 2, 2, 0, 1], np.int32)
+        s, e, v = native.runs_encode(path)
+        assert s.tolist() == [0, 2, 5, 6]
+        assert e.tolist() == [2, 5, 6, 7]
+        assert v.tolist() == [1, 2, 0, 1]
+
+
+class TestNativeDisabled:
+    def test_trackdata_identical_with_and_without_native(self, tmp_path):
+        """Loading through the native parser and the pure-Python path
+        must produce identical symbol matrices."""
+        from tehmm_tpu.io import Track, TrackList, write_bed_intervals
+
+        rng = np.random.RandomState(3)
+        rows = []
+        pos = 0
+        names = ["LINE", "SINE", "LTR", "DNA"]
+        while pos < 5000:
+            ln = rng.randint(5, 50)
+            if rng.rand() < 0.7:
+                rows.append(
+                    ("chr1", pos, pos + ln, names[rng.randint(4)])
+                )
+            pos += ln
+        bed = str(tmp_path / "t.bed")
+        write_bed_intervals(rows, bed)
+
+        def load():
+            from tehmm_tpu.io import load_track_data
+
+            tl = TrackList()
+            tl.add(Track(name="t", path=bed))
+            td = load_track_data(tl, [("chr1", 0, 5000)])
+            return (
+                td.tables[0].symbols.copy(),
+                dict(td.category_maps["t"].to_dict()["map"]),
+            )
+
+        code = (
+            "import numpy as np\n"
+            "import sys; sys.path.insert(0, %r)\n"
+        )
+        sym_native, map_native = load()
+        # subprocess with native disabled
+        env = dict(os.environ, TEHMM_NO_NATIVE="1",
+                   TEHMM_PLATFORM="cpu",
+                   PYTHONPATH="/root/repo:/root/.axon_site")
+        script = f"""
+import numpy as np
+from tehmm_tpu.io import Track, TrackList, load_track_data
+tl = TrackList(); tl.add(Track(name="t", path={bed!r}))
+td = load_track_data(tl, [("chr1", 0, 5000)])
+np.save({str(tmp_path / "sym.npy")!r}, td.tables[0].symbols)
+import json
+json.dump(td.category_maps["t"].to_dict()["map"],
+          open({str(tmp_path / "map.json")!r}, "w"))
+"""
+        subprocess.run([sys.executable, "-c", script], env=env,
+                       check=True, capture_output=True)
+        import json
+
+        sym_py = np.load(tmp_path / "sym.npy")
+        map_py = json.load(open(tmp_path / "map.json"))
+        np.testing.assert_array_equal(sym_native, sym_py)
+        assert map_native == map_py
