@@ -36,7 +36,10 @@ def main() -> None:
     setup_jax()
 
     S, T, V = 20, 5, 8
-    B, L = 16, 8192           # 131k positions / iteration
+    # Shape sweep on v5e (2026-08): B=16/L=8192 gave 3.7M pos/s (scan-step
+    # latency bound); widening the chunk batch amortizes it: B=512 41.5M,
+    # B=1024 67.1M, B=2048/L=1024 76.4M pos/s.  2M positions/iteration.
+    B, L = 2048, 1024
     iters = 10
 
     rng = np.random.RandomState(0)

@@ -89,6 +89,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None,
                    help="periodic checkpoint path")
     p.add_argument("--checkpointEvery", type=int, default=10)
+    p.add_argument("--initModel", default=None,
+                   help="resume EM from a saved model instead of a fresh "
+                        "initialization (reference: --initModel-style "
+                        "restart from pickle; SURVEY.md §5 checkpoint/"
+                        "resume)")
     add_logging_options(p)
     return p
 
@@ -107,13 +112,23 @@ def main(argv=None) -> int:
     regions = get_merged_bed_intervals(opts.trainingBed)
     logger.info("loading %d tracks over %d regions",
                 len(track_list), len(regions))
-    track_data = load_track_data(track_list, regions)
+    init_model = None
+    if opts.initModel and not opts.supervised:
+        # resume: symbols MUST come from the saved model's category maps
+        # (new unseen values map to missing, as at eval time)
+        init_model = MultitrackHmm.load(opts.initModel)
+        track_data = load_track_data(
+            track_list, regions,
+            category_maps=init_model.category_maps,
+        )
+    else:
+        track_data = load_track_data(track_list, regions)
 
     if opts.supervised:
         labeled = read_bed_intervals(opts.trainingBed, ncol=4)
         model = MultitrackHmm.supervised(track_data, labeled)
     else:
-        model = _train_unsupervised(opts, track_data, metrics)
+        model = _train_unsupervised(opts, track_data, metrics, init_model)
 
     extra = None
     if opts.cfg:
@@ -140,7 +155,9 @@ def main(argv=None) -> int:
     return 0
 
 
-def _train_unsupervised(opts, track_data, metrics) -> MultitrackHmm:
+def _train_unsupervised(
+    opts, track_data, metrics, init_model=None
+) -> MultitrackHmm:
     trans_paths = [
         p for p in (opts.initTransProbs, opts.forceTransProbs) if p
     ]
@@ -152,11 +169,18 @@ def _train_unsupervised(opts, track_data, metrics) -> MultitrackHmm:
     ]
 
     init = "flat" if opts.flatEm else "random"
-    model = MultitrackHmm.initialized(
-        n_states, track_data, init=init, seed=opts.seed,
-        rand_range=tuple(float(x) for x in opts.emRandRange.split(",")),
-        state_names=state_names,
-    )
+    if init_model is not None:
+        model = init_model
+        state_names = model.state_names
+        n_states = model.num_states
+    else:
+        model = MultitrackHmm.initialized(
+            n_states, track_data, init=init, seed=opts.seed,
+            rand_range=tuple(
+                float(x) for x in opts.emRandRange.split(",")
+            ),
+            state_names=state_names,
+        )
 
     # ---- apply init priors ----
     if opts.initTransProbs:

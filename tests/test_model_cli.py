@@ -203,3 +203,39 @@ class TestModelPersistence:
         # maps must behave identically
         cm_a = loaded.category_maps["a"]
         assert cm_a.get_map("X") == model.category_maps["a"].get_map("X")
+
+
+class TestResume:
+    def test_init_model_resumes_em(self, fixture_dir):
+        """--initModel continues training from a checkpoint with at least
+        the checkpoint's likelihood (SURVEY.md §5 checkpoint/resume)."""
+        import json
+
+        f = fixture_dir
+        m1 = str(f["dir"] / "stage1.npz")
+        log1 = str(f["dir"] / "m1.jsonl")
+        cli_train.main(
+            [f["xml"], f["regions_bed"], m1, "--numStates", "2",
+             "--iter", "3", "--seed", "3", "--logJson", log1]
+        )
+        m2 = str(f["dir"] / "stage2.npz")
+        log2 = str(f["dir"] / "m2.jsonl")
+        cli_train.main(
+            [f["xml"], f["regions_bed"], m2, "--initModel", m1,
+             "--iter", "5", "--logJson", log2]
+        )
+        ll1 = [json.loads(l)["loglik"] for l in open(log1)]
+        ll2 = [json.loads(l)["loglik"] for l in open(log2)]
+        assert ll2[0] >= ll1[-1] - 1e-3 * abs(ll1[-1])
+        assert ll2[-1] >= ll1[-1] - 1e-3 * abs(ll1[-1])
+
+    def test_checkpoint_file_written(self, fixture_dir):
+        f = fixture_dir
+        ckpt = str(f["dir"] / "ck.npz")
+        cli_train.main(
+            [f["xml"], f["regions_bed"], str(f["dir"] / "out.npz"),
+             "--numStates", "2", "--iter", "4",
+             "--checkpoint", ckpt, "--checkpointEvery", "2"]
+        )
+        loaded = MultitrackHmm.load(ckpt)
+        assert "iteration" in loaded.extra
