@@ -48,6 +48,13 @@ def make_parser() -> argparse.ArgumentParser:
                    help="decode chunk length")
     p.add_argument("--halo", type=int, default=256,
                    help="stitching halo width")
+    p.add_argument("--segment", action="store_true",
+                   help="query BED contains segment-tracks output: one "
+                        "observation per segment (reference: teHmmEval "
+                        "--segment)")
+    p.add_argument("--segLen", action="store_true",
+                   help="with --segment: length-weighted emissions "
+                        "(must match training)")
     add_logging_options(p)
     return p
 
@@ -79,6 +86,13 @@ def main(argv=None) -> int:
         eval_list.add(clone)
 
     regions = read_bed_intervals(opts.bedRegions, ncol=3)
+    if opts.segment:
+        from tehmm_tpu.io.segments import load_segment_data
+
+        track_data, seg_tables = load_segment_data(
+            eval_list, regions, category_maps=model.category_maps
+        )
+        return _eval_segments(opts, model, seg_tables)
     track_data = load_track_data(
         eval_list, regions, category_maps=model.category_maps
     )
@@ -126,6 +140,50 @@ def main(argv=None) -> int:
                 )
         write_bed_intervals(rows, opts.pd)
 
+    return 0
+
+
+def _eval_segments(opts, model, seg_tables) -> int:
+    """Segment-resolution decode: Viterbi over per-segment observations,
+    expanded back to base-space BED (reference: teHmmEval --segment)."""
+    from tehmm_tpu.io.segments import expand_path
+    from tehmm_tpu.parallel.stitch import viterbi_chunked
+
+    weights = None
+    if opts.segLen:
+        weights = [t.lengths.astype("float32") for t in seg_tables]
+    paths, report = viterbi_chunked(
+        model.params, seg_tables, chunk_len=opts.chunk,
+        halo=opts.halo, weight_arrays=weights,
+    )
+    logger.info(
+        "segment decode: %d chunks, boundaries ok=%s",
+        report.n_chunks, report.boundaries_ok,
+    )
+    if opts.bed:
+        out = []
+        for tab, path in zip(seg_tables, paths):
+            out.extend(expand_path(tab, path, model.state_names))
+        write_bed_intervals(out, opts.bed)
+        logger.info("wrote %d intervals to %s", len(out), opts.bed)
+    # total loglik over segment observations
+    import jax.numpy as jnp
+
+    from tehmm_tpu.models.emission import track_log_likelihoods
+    from tehmm_tpu.ops import dp as _dp
+
+    total = 0.0
+    for i, tab in enumerate(seg_tables):
+        obs = track_log_likelihoods(
+            model.params.log_em, jnp.asarray(tab.symbols[None])
+        )
+        if weights is not None:
+            obs = obs * jnp.asarray(weights[i])[None, :, None]
+        _, _, ll = _dp.forward_scaled(
+            model.params.log_start, model.params.log_trans, obs
+        )
+        total += float(ll[0])
+    print(f"{total}")
     return 0
 
 

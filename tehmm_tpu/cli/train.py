@@ -79,9 +79,13 @@ def make_parser() -> argparse.ArgumentParser:
                    help="per-track log bonus when pair-state end symbols "
                         "match (reference: PairEmissionModel weighting)")
     p.add_argument("--segment", action="store_true",
-                   help="treat each training interval as ONE segment "
-                        "observation sequence (use with segment-tracks "
-                        "output)")
+                   help="training BED contains segment-tracks output: "
+                        "one observation per segment interval "
+                        "(reference: teHmmTrain.py --segment)")
+    p.add_argument("--segLen", action="store_true",
+                   help="with --segment: weight each segment's emission "
+                        "log-probability by its base length "
+                        "(reference: effectiveSegmentLength scaling)")
     p.add_argument("--chunk", type=int, default=1 << 14,
                    help="EM chunk length (positions per sequence)")
     p.add_argument("--mesh", type=int, default=0,
@@ -112,23 +116,43 @@ def main(argv=None) -> int:
     regions = get_merged_bed_intervals(opts.trainingBed)
     logger.info("loading %d tracks over %d regions",
                 len(track_list), len(regions))
+    if opts.segment and opts.supervised:
+        raise SystemExit("--segment is an EM-mode option; combine the "
+                         "segments with labels via --supervised training "
+                         "on base-resolution data instead")
+
     init_model = None
+    init_maps = None
     if opts.initModel and not opts.supervised:
         # resume: symbols MUST come from the saved model's category maps
         # (new unseen values map to missing, as at eval time)
         init_model = MultitrackHmm.load(opts.initModel)
-        track_data = load_track_data(
-            track_list, regions,
-            category_maps=init_model.category_maps,
+        init_maps = init_model.category_maps
+
+    seg_tables = None
+    if opts.segment:
+        from tehmm_tpu.io.segments import load_segment_data
+
+        seg_ivs = read_bed_intervals(opts.trainingBed, ncol=3)
+        track_data, seg_tables = load_segment_data(
+            track_list, seg_ivs, category_maps=init_maps
+        )
+        logger.info(
+            "segment mode: %d segments in %d chains",
+            sum(len(t) for t in seg_tables), len(seg_tables),
         )
     else:
-        track_data = load_track_data(track_list, regions)
+        track_data = load_track_data(
+            track_list, regions, category_maps=init_maps
+        )
 
     if opts.supervised:
         labeled = read_bed_intervals(opts.trainingBed, ncol=4)
         model = MultitrackHmm.supervised(track_data, labeled)
     else:
-        model = _train_unsupervised(opts, track_data, metrics, init_model)
+        model = _train_unsupervised(
+            opts, track_data, metrics, init_model, seg_tables
+        )
 
     extra = None
     if opts.cfg:
@@ -156,7 +180,7 @@ def main(argv=None) -> int:
 
 
 def _train_unsupervised(
-    opts, track_data, metrics, init_model=None
+    opts, track_data, metrics, init_model=None, seg_tables=None
 ) -> MultitrackHmm:
     trans_paths = [
         p for p in (opts.initTransProbs, opts.forceTransProbs) if p
@@ -228,11 +252,11 @@ def _train_unsupervised(
 
         mesh = make_data_mesh(opts.mesh)
 
-    seg_tables = track_data.tables
+    tables = seg_tables if seg_tables is not None else track_data.tables
+    weights = None
+    if seg_tables is not None and opts.segLen:
+        weights = [t.lengths.astype("float32") for t in seg_tables]
     chunk_len = opts.chunk
-    if opts.segment:
-        # each training interval is one observation sequence already
-        chunk_len = max(len(t) for t in seg_tables)
 
     best = None
     for rep in range(max(1, opts.reps)):
@@ -243,7 +267,7 @@ def _train_unsupervised(
                 seed=opts.seed + rep, state_names=state_names,
             )
         result = rep_model.fit(
-            seg_tables,
+            tables,
             max_iterations=opts.iter,
             convergence_tol=opts.emThresh,
             masks=masks,
@@ -252,6 +276,7 @@ def _train_unsupervised(
             metrics=metrics,
             checkpoint_path=opts.checkpoint,
             checkpoint_every=opts.checkpointEvery,
+            obs_weight_arrays=weights,
         )
         final = result.logliks[-1] if result.logliks else -np.inf
         logger.info(

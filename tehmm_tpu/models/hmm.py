@@ -210,12 +210,16 @@ class MultitrackHmm:
         metrics: JsonlMetrics | None = None,
         checkpoint_path: str | None = None,
         checkpoint_every: int = 10,
+        obs_weight_arrays: Sequence[np.ndarray] | None = None,
     ) -> FitResult:
         """Baum-Welch EM (reference: basehmm.fit driven by teHmmTrain.py).
 
         Long tables are cut into independent chunks of ``chunk_len``
         (reference chunking semantics).  With a mesh, chunks shard over
         the data axis and statistics are psum-merged.
+
+        ``obs_weight_arrays``: optional per-table f32[L] emission weights
+        (segment mode --segLen: weight = segment length).
         """
         from tehmm_tpu.parallel.em_sharded import sharded_em_step
 
@@ -227,6 +231,22 @@ class MultitrackHmm:
         symbols = jnp.asarray(batch.symbols)
         lengths = jnp.asarray(batch.lengths)
         sizes = jnp.asarray(self.alphabet_sizes)
+        obs_weights = None
+        if obs_weight_arrays is not None:
+            wb = batch_chunks(
+                [np.asarray(w, np.float32)[:, None]
+                 for w in obs_weight_arrays],
+                chunks,
+            )
+            w = wb.symbols[..., 0]
+            if w.shape[0] != symbols.shape[0]:  # mesh row padding
+                w = np.concatenate(
+                    [w, np.zeros(
+                        (symbols.shape[0] - w.shape[0], w.shape[1]),
+                        np.float32,
+                    )]
+                )
+            obs_weights = jnp.asarray(w)
 
         n_positions = int(batch.lengths.sum())
         logliks: list[float] = []
@@ -236,12 +256,13 @@ class MultitrackHmm:
             it_t0 = time.time()
             if mesh is None:
                 new_params, ll = em_ops.em_step(
-                    self.params, symbols, sizes, lengths, masks, epsilon
+                    self.params, symbols, sizes, lengths, masks, epsilon,
+                    obs_weights=obs_weights,
                 )
             else:
                 new_params, ll = sharded_em_step(
                     self.params, symbols, lengths, sizes, mesh, masks,
-                    epsilon,
+                    epsilon, obs_weights=obs_weights,
                 )
             ll = float(ll)
             self.params = new_params

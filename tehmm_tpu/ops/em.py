@@ -71,12 +71,17 @@ def em_sufficient_stats(
     symbols: jax.Array,
     lengths: jax.Array | None = None,
     matmul: bool = True,
+    obs_weights: jax.Array | None = None,
 ) -> EmStats:
     """One E-step over a batch of chunks.
 
     Args:
       symbols: int[B, L, T] discretized observations.
       lengths: optional int[B]; positions >= length are padding.
+      obs_weights: optional f32[B, L] per-position emission weights —
+        segment mode (reference: emission.py effectiveSegmentLength
+        [R?]): a segment standing for w identical positions emits
+        P(obs|state)^w, and its expected emission counts scale by w.
 
     Returns:
       EmStats summed over the batch.
@@ -87,6 +92,8 @@ def em_sufficient_stats(
     valid = jnp.arange(L)[None, :] < lengths[:, None]          # [B,L]
 
     obs = track_log_likelihoods(params.log_em, symbols)        # [B,L,S]
+    if obs_weights is not None:
+        obs = obs * obs_weights[:, :, None]
     alpha_hat, _, loglik = dp.forward_scaled(
         params.log_start, params.log_trans, obs, lengths, matmul=matmul
     )
@@ -128,8 +135,11 @@ def em_sufficient_stats(
     )
     trans = pair * trans_exp
 
+    gamma_w = gamma
+    if obs_weights is not None:
+        gamma_w = gamma * obs_weights[:, :, None]
     em = expected_emission_counts(
-        params.log_em.shape, symbols, gamma, valid=None  # gamma pre-masked
+        params.log_em.shape, symbols, gamma_w, valid=None  # pre-masked
     )
 
     return EmStats(
@@ -221,9 +231,12 @@ def em_step(
     masks: ParamMasks | None = None,
     epsilon: float = EPSILON,
     matmul: bool = True,
+    obs_weights: jax.Array | None = None,
 ) -> tuple[HmmParams, jax.Array]:
     """One full EM iteration on a single device. Returns (params, loglik)."""
-    stats = em_sufficient_stats(params, symbols, lengths, matmul=matmul)
+    stats = em_sufficient_stats(
+        params, symbols, lengths, matmul=matmul, obs_weights=obs_weights
+    )
     new_params = em_m_step(stats, params, alphabet_sizes, masks, epsilon)
     return new_params, stats.loglik
 

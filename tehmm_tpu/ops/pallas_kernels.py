@@ -71,16 +71,20 @@ def _forward_kernel(
 ):
     t = pl.program_id(1)
     obs_row = obs_ref[0, :, :]
-    lengths = len_ref[0, :]
+    # Mosaic cannot insert a minor dim on 1-bit vectors: reshape the i32
+    # lengths FIRST, compare after, and keep every mask 2-D [Bb, 1].
+    lv = len_ref[0, :][:, None]                         # i32 [Bb, 1]
 
     @pl.when(t == 0)
     def _init():
         a0 = start_ref[0, :][None, :] + obs_row
-        a0 = jnp.where((lengths > 0)[:, None], a0, LOG_ZERO)
-        m = jnp.maximum(jnp.max(a0, axis=-1), LOG_ZERO)
-        alpha_scr[:, :] = a0 - m[:, None]
+        a0 = jnp.where(lv > 0, a0, LOG_ZERO)
+        m = jnp.maximum(
+            jnp.max(a0, axis=-1, keepdims=True), LOG_ZERO
+        )
+        alpha_scr[:, :] = a0 - m
         alpha_out[0, :, :] = alpha_scr[:, :]
-        dm_out[0, :, 0] = m
+        dm_out[0, :, :] = m
 
     @pl.when(t != 0)
     def _step():
@@ -90,13 +94,14 @@ def _forward_kernel(
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
         new = jnp.where(s > 0, jnp.log(s), LOG_ZERO) + obs_row
-        m = jnp.maximum(jnp.max(new, axis=-1), LOG_ZERO)
-        new_hat = new - m[:, None]
-        valid = t < lengths
-        new_hat = jnp.where(valid[:, None], new_hat, a_hat)
+        m = jnp.maximum(
+            jnp.max(new, axis=-1, keepdims=True), LOG_ZERO
+        )
+        valid = t < lv                                  # [Bb, 1] bool
+        new_hat = jnp.where(valid, new - m, a_hat)
         alpha_scr[:, :] = new_hat
         alpha_out[0, :, :] = new_hat
-        dm_out[0, :, 0] = jnp.where(valid, m, 0.0)
+        dm_out[0, :, :] = jnp.where(valid, m, 0.0)
 
 
 @jax.jit
@@ -163,7 +168,7 @@ def _backward_kernel(
     n_l = pl.num_programs(1) + 1   # = L
     t_next = n_l - 1 - k
     obs_next = obs_ref[0, :, :]
-    lengths = len_ref[0, :]
+    lv = len_ref[0, :][:, None]                         # i32 [Bb, 1]
 
     @pl.when(k == 0)
     def _init():
@@ -171,19 +176,18 @@ def _backward_kernel(
 
     b_hat = beta_scr[:, :]
     x = obs_next + b_hat
-    xm = jnp.maximum(jnp.max(x, axis=-1), LOG_ZERO)
-    p = jnp.exp(x - xm[:, None])
+    xm = jnp.maximum(jnp.max(x, axis=-1, keepdims=True), LOG_ZERO)
+    p = jnp.exp(x - xm)
     s = jnp.dot(p, trans_t_ref[:, :],
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
     new = jnp.where(s > 0, jnp.log(s), LOG_ZERO)
-    nm = jnp.maximum(jnp.max(new, axis=-1), LOG_ZERO)
-    new_hat = new - nm[:, None]
-    valid = t_next < lengths
-    new_hat = jnp.where(valid[:, None], new_hat, b_hat)
+    nm = jnp.maximum(jnp.max(new, axis=-1, keepdims=True), LOG_ZERO)
+    valid = t_next < lv                                 # [Bb, 1] bool
+    new_hat = jnp.where(valid, new - nm, b_hat)
     beta_scr[:, :] = new_hat
     beta_out[0, :, :] = new_hat
-    dm_out[0, :, 0] = jnp.where(valid, xm + nm, 0.0)
+    dm_out[0, :, :] = jnp.where(valid, xm + nm, 0.0)
 
 
 @jax.jit
@@ -254,18 +258,18 @@ def _viterbi_kernel(
 ):
     t = pl.program_id(1)
     obs_row = obs_ref[0, :, :]
-    lengths = len_ref[0, :]
+    lv = len_ref[0, :][:, None]                         # i32 [Bb, 1]
 
     @pl.when(t == 0)
     def _init():
         v0 = start_ref[0, :][None, :] + obs_row
-        m = jnp.maximum(jnp.max(v0, axis=-1), LOG_ZERO)
-        v_scr[:, :] = v0 - m[:, None]
+        m = jnp.maximum(jnp.max(v0, axis=-1, keepdims=True), LOG_ZERO)
+        v_scr[:, :] = v0 - m
         ptr_out[0, :, :] = jax.lax.broadcasted_iota(
             jnp.int32, v0.shape, 1
         )
         v_out[0, :, :] = v_scr[:, :]
-        dm_out[0, :, 0] = m
+        dm_out[0, :, :] = m
 
     @pl.when(t != 0)
     def _step():
@@ -274,16 +278,17 @@ def _viterbi_kernel(
         best = jnp.max(scores, axis=1)
         ptr = jnp.argmax(scores, axis=1).astype(jnp.int32)
         new_v = best + obs_row
-        m = jnp.maximum(jnp.max(new_v, axis=-1), LOG_ZERO)
-        new_hat = new_v - m[:, None]
-        valid = t < lengths
-        new_hat = jnp.where(valid[:, None], new_hat, v_hat)
+        m = jnp.maximum(
+            jnp.max(new_v, axis=-1, keepdims=True), LOG_ZERO
+        )
+        valid = t < lv                                  # [Bb, 1] bool
+        new_hat = jnp.where(valid, new_v - m, v_hat)
         ident = jax.lax.broadcasted_iota(jnp.int32, ptr.shape, 1)
-        ptr = jnp.where(valid[:, None], ptr, ident)
+        ptr = jnp.where(valid, ptr, ident)
         v_scr[:, :] = new_hat
         ptr_out[0, :, :] = ptr
         v_out[0, :, :] = new_hat
-        dm_out[0, :, 0] = jnp.where(valid, m, 0.0)
+        dm_out[0, :, :] = jnp.where(valid, m, 0.0)
 
 
 @jax.jit

@@ -31,6 +31,13 @@ def _local_stats(params, symbols, lengths, matmul):
     return jax.lax.psum(stats, DATA_AXIS)
 
 
+def _local_stats_weighted(params, symbols, lengths, weights, matmul):
+    stats = em_ops.em_sufficient_stats(
+        params, symbols, lengths, matmul=matmul, obs_weights=weights
+    )
+    return jax.lax.psum(stats, DATA_AXIS)
+
+
 @partial(jax.jit, static_argnames=("mesh", "matmul"))
 def sharded_em_stats(
     params: HmmParams,
@@ -38,6 +45,7 @@ def sharded_em_stats(
     lengths: jax.Array,
     mesh: jax.sharding.Mesh,
     matmul: bool = True,
+    obs_weights: jax.Array | None = None,
 ) -> em_ops.EmStats:
     """E-step with chunks sharded over the data axis.
 
@@ -45,17 +53,26 @@ def sharded_em_stats(
       symbols: int[B, L, T] with B divisible by the data-axis size
         (use parallel.chunking.pad_batch_rows); padded rows have length 0.
       lengths: int[B].
+      obs_weights: optional f32[B, L] emission weights (segment mode).
 
     Returns:
       Globally summed EmStats, replicated on every device.
     """
+    if obs_weights is None:
+        fn = jax.shard_map(
+            partial(_local_stats, matmul=matmul),
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(),
+        )
+        return fn(params, symbols, lengths)
     fn = jax.shard_map(
-        partial(_local_stats, matmul=matmul),
+        partial(_local_stats_weighted, matmul=matmul),
         mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=P(),
     )
-    return fn(params, symbols, lengths)
+    return fn(params, symbols, lengths, obs_weights)
 
 
 def sharded_em_step(
@@ -67,9 +84,12 @@ def sharded_em_step(
     masks: em_ops.ParamMasks | None = None,
     epsilon: float = EPSILON,
     matmul: bool = True,
+    obs_weights: jax.Array | None = None,
 ) -> tuple[HmmParams, jax.Array]:
     """One full EM iteration over the mesh; M-step replicated."""
-    stats = sharded_em_stats(params, symbols, lengths, mesh, matmul)
+    stats = sharded_em_stats(
+        params, symbols, lengths, mesh, matmul, obs_weights
+    )
     new_params = em_ops.em_m_step(
         stats, params, alphabet_sizes, masks, epsilon
     )

@@ -48,6 +48,7 @@ def _decode_batch(
     symbols: np.ndarray,
     lengths: np.ndarray,
     rows_per_pass: int,
+    weights: np.ndarray | None = None,
 ) -> np.ndarray:
     """Viterbi over a chunk batch, in row groups of fixed compiled shape."""
     n, L, _T = symbols.shape
@@ -57,13 +58,20 @@ def _decode_batch(
         hi = min(lo + rows_per_pass, n)
         sym = symbols[lo:hi]
         lens = lengths[lo:hi]
+        w = None if weights is None else weights[lo:hi]
         if hi - lo < rows_per_pass:  # pad last group to the compiled shape
             pad = rows_per_pass - (hi - lo)
             sym = np.concatenate(
                 [sym, np.zeros((pad,) + sym.shape[1:], sym.dtype)]
             )
             lens = np.concatenate([lens, np.zeros((pad,), lens.dtype)])
+            if w is not None:
+                w = np.concatenate(
+                    [w, np.zeros((pad, w.shape[1]), w.dtype)]
+                )
         obs = track_log_likelihoods(params.log_em, jnp.asarray(sym))
+        if w is not None:
+            obs = obs * jnp.asarray(w)[:, :, None]
         paths, _ = dp.viterbi(
             params.log_start, params.log_trans, obs, jnp.asarray(lens)
         )
@@ -80,6 +88,7 @@ def viterbi_chunked(
     agree_frac: float = 0.5,
     rows_per_pass: int = 64,
     strict: bool = False,
+    weight_arrays: Sequence[np.ndarray] | None = None,
 ) -> tuple[list[np.ndarray], StitchReport]:
     """Decode each table's full span boundary-exactly via halo chunks.
 
@@ -90,6 +99,8 @@ def viterbi_chunked(
       agree_frac: fraction of the halo used as the agreement window.
       rows_per_pass: chunks decoded per device dispatch (fixed shape).
       strict: raise instead of warn if max_halo still disagrees.
+      weight_arrays: optional per-table f32[L] emission weights
+        (segment mode --segLen).
 
     Returns:
       (paths, report): one int32[L] state path per input table.
@@ -102,8 +113,16 @@ def viterbi_chunked(
     while True:
         chunks = plan_chunks(lengths, chunk_len, cur_halo)
         batch = batch_chunks(mats, chunks)
+        wbatch = None
+        if weight_arrays is not None:
+            wb = batch_chunks(
+                [np.asarray(w, np.float32)[:, None]
+                 for w in weight_arrays],
+                chunks,
+            )
+            wbatch = wb.symbols[..., 0]
         decoded = _decode_batch(
-            params, batch.symbols, batch.lengths, rows_per_pass
+            params, batch.symbols, batch.lengths, rows_per_pass, wbatch
         )
 
         # assemble core paths
