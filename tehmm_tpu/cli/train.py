@@ -93,6 +93,9 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None,
                    help="periodic checkpoint path")
     p.add_argument("--checkpointEvery", type=int, default=10)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of training "
+                        "into DIR (TensorBoard/Perfetto viewable)")
     p.add_argument("--initModel", default=None,
                    help="resume EM from a saved model instead of a fresh "
                         "initialization (reference: --initModel-style "
@@ -146,13 +149,16 @@ def main(argv=None) -> int:
             track_list, regions, category_maps=init_maps
         )
 
-    if opts.supervised:
-        labeled = read_bed_intervals(opts.trainingBed, ncol=4)
-        model = MultitrackHmm.supervised(track_data, labeled)
-    else:
-        model = _train_unsupervised(
-            opts, track_data, metrics, init_model, seg_tables
-        )
+    from tehmm_tpu.utils.profiling import trace
+
+    with trace(opts.profile):
+        if opts.supervised:
+            labeled = read_bed_intervals(opts.trainingBed, ncol=4)
+            model = MultitrackHmm.supervised(track_data, labeled)
+        else:
+            model = _train_unsupervised(
+                opts, track_data, metrics, init_model, seg_tables
+            )
 
     extra = None
     if opts.cfg:

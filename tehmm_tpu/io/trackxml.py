@@ -123,13 +123,20 @@ class TrackList:
             self.load_xml(xml_path)
 
     def load_xml(self, xml_path: str) -> None:
+        import os
+
         root = ET.parse(xml_path).getroot()
         if root.tag != CONFIG_ROOT_TAG:
             raise ValueError(
                 f"expected root <{CONFIG_ROOT_TAG}>, got <{root.tag}>"
             )
+        base = os.path.dirname(os.path.abspath(xml_path))
         for elem in root.findall("track"):
-            self.add(Track.from_xml_element(elem))
+            track = Track.from_xml_element(elem)
+            if not os.path.isabs(track.path):
+                # relative data paths resolve against the XML's directory
+                track.path = os.path.join(base, track.path)
+            self.add(track)
 
     def add(self, track: Track) -> None:
         if track.name in self._by_name:

@@ -11,11 +11,14 @@ time steps, and obs blocks streamed HBM→VMEM via BlockSpecs (Pallas
 double-buffers the sequential axis automatically).
 
 Layout: arrays are time-major ``[L, B, S]`` inside the kernels so every
-block is ``(1, Bb, S)`` — the TPU lowering requires the last two block
-dims to be sublane/lane aligned (÷8, ÷128) or equal to the array dims;
-Bb = 256 rows fills sublanes and S ≤ 128 rides the lane dimension
-unpadded in VMEM.  The public wrappers accept/return the batch-major
-``[B, L, S]`` convention of ops/dp.py.
+block is ``(1, B, S)`` — the TPU lowering requires the last two block
+dims to be sublane/lane aligned (÷8, ÷128) or equal to the array dims.
+The grid is just ``(L,)``: the whole batch is ONE block (v5e has a
+single TensorCore, so batch-blocking would only multiply the number of
+sequential grid steps — measured 2x slower), with the batch on sublanes
+and S ≤ 128 riding the lane dimension unpadded in VMEM.  The public
+wrappers accept/return the batch-major ``[B, L, S]`` convention of
+ops/dp.py.
 
 Masking matches ops/dp.py exactly: positions t >= length carry the
 state through unchanged and emit a zero normalizer increment, so padded
@@ -36,19 +39,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tehmm_tpu.utils.common import LOG_ZERO
 
-_BB = 256  # batch rows per block
-
-
 def _interpret() -> bool:
     """Pallas only compiles on TPU; CPU (tests) runs the interpreter."""
     return jax.default_backend() != "tpu"
 
 
 def _prep(obs: jax.Array, lengths: jax.Array | None):
-    """[B,L,S] -> time-major padded ([L,Bp,S], [1,Bp] lengths, B, Bp)."""
+    """[B,L,S] -> time-major padded ([L,Bp,S], [1,Bp] lengths, B, Bp).
+    Bp pads the batch to a sublane multiple (8)."""
     B, L, S = obs.shape
     lengths = jnp.full((B,), L, jnp.int32) if lengths is None else lengths
-    Bp = -(-B // _BB) * _BB
+    Bp = -(-B // 8) * 8
     if Bp != B:
         obs = jnp.pad(obs, ((0, Bp - B), (0, 0), (0, 0)))
         lengths = jnp.pad(lengths.astype(jnp.int32), (0, Bp - B))
@@ -69,7 +70,7 @@ def _forward_kernel(
     dm_out,         # [1, Bb, 1]
     alpha_scr,      # [Bb, S] VMEM carry
 ):
-    t = pl.program_id(1)
+    t = pl.program_id(0)
     obs_row = obs_ref[0, :, :]
     # Mosaic cannot insert a minor dim on 1-bit vectors: reshape the i32
     # lengths FIRST, compare after, and keep every mask 2-D [Bb, 1].
@@ -117,27 +118,27 @@ def forward_scaled_pallas(
     obs_t, len2, b_orig, Bp = _prep(obs, lengths)
     trans_exp = jnp.exp(log_trans)
 
-    grid = (Bp // _BB, L)
+    grid = (L,)
     alpha_hat, dms = pl.pallas_call(
         _forward_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _BB, S), lambda b, t: (t, b, 0)),
-            pl.BlockSpec((1, _BB), lambda b, t: (0, b)),
-            pl.BlockSpec((1, S), lambda b, t: (0, 0)),
-            pl.BlockSpec((S, S), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, Bp, S), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, Bp), lambda t: (0, 0)),
+            pl.BlockSpec((1, S), lambda t: (0, 0)),
+            pl.BlockSpec((S, S), lambda t: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, _BB, S), lambda b, t: (t, b, 0)),
-            pl.BlockSpec((1, _BB, 1), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((1, Bp, S), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, Bp, 1), lambda t: (t, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((L, Bp, S), jnp.float32),
             jax.ShapeDtypeStruct((L, Bp, 1), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((_BB, S), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((Bp, S), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
     )(obs_t, len2, log_start[None, :], trans_exp)
@@ -164,8 +165,8 @@ def _backward_kernel(
     dm_out,         # [1, Bb, 1]
     beta_scr,
 ):
-    k = pl.program_id(1)           # k = 0 .. L-2 ; t_next = L-1-k
-    n_l = pl.num_programs(1) + 1   # = L
+    k = pl.program_id(0)           # k = 0 .. L-2 ; t_next = L-1-k
+    n_l = pl.num_programs(0) + 1   # = L
     t_next = n_l - 1 - k
     obs_next = obs_ref[0, :, :]
     lv = len_ref[0, :][:, None]                         # i32 [Bb, 1]
@@ -203,26 +204,26 @@ def backward_scaled_pallas(
     # k-th sequential step consumes obs at t_next = L-1-k
     obs_rev = obs_t[1:][::-1]                               # [L-1, Bp, S]
 
-    grid = (Bp // _BB, L - 1)
+    grid = (L - 1,)
     beta_body, dms = pl.pallas_call(
         _backward_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _BB, S), lambda b, k: (k, b, 0)),
-            pl.BlockSpec((1, _BB), lambda b, k: (0, b)),
-            pl.BlockSpec((S, S), lambda b, k: (0, 0)),
+            pl.BlockSpec((1, Bp, S), lambda k: (k, 0, 0)),
+            pl.BlockSpec((1, Bp), lambda k: (0, 0)),
+            pl.BlockSpec((S, S), lambda k: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, _BB, S), lambda b, k: (k, b, 0)),
-            pl.BlockSpec((1, _BB, 1), lambda b, k: (k, b, 0)),
+            pl.BlockSpec((1, Bp, S), lambda k: (k, 0, 0)),
+            pl.BlockSpec((1, Bp, 1), lambda k: (k, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((L - 1, Bp, S), jnp.float32),
             jax.ShapeDtypeStruct((L - 1, Bp, 1), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((_BB, S), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((Bp, S), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
     )(obs_rev, len2, trans_exp_t)
@@ -256,7 +257,7 @@ def _viterbi_kernel(
     dm_out,          # [1, Bb, 1]
     v_scr,
 ):
-    t = pl.program_id(1)
+    t = pl.program_id(0)
     obs_row = obs_ref[0, :, :]
     lv = len_ref[0, :][:, None]                         # i32 [Bb, 1]
 
@@ -274,9 +275,19 @@ def _viterbi_kernel(
     @pl.when(t != 0)
     def _step():
         v_hat = v_scr[:, :]
-        scores = v_hat[:, :, None] + trans_ref[:, :][None, :, :]
-        best = jnp.max(scores, axis=1)
-        ptr = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        S = v_hat.shape[-1]
+        # accumulating max-plus over source states: the [Bp, S, S]
+        # broadcast (and an unrolled per-column concat) overflow VMEM at
+        # production batch sizes; the running (best, ptr) pair keeps the
+        # live set at three [Bp, S] tiles.  Strict > preserves the
+        # lowest-source-index tie-breaking of jnp.argmax.
+        best = v_hat[:, 0][:, None] + trans_ref[0, :][None, :]
+        ptr = jnp.zeros_like(best, dtype=jnp.int32)
+        for i in range(1, S):  # static unroll: Mosaic has no dynamic_slice
+            cand = v_hat[:, i][:, None] + trans_ref[i, :][None, :]
+            take = cand > best
+            best = jnp.where(take, cand, best)
+            ptr = jnp.where(take, i, ptr)
         new_v = best + obs_row
         m = jnp.maximum(
             jnp.max(new_v, axis=-1, keepdims=True), LOG_ZERO
@@ -303,34 +314,37 @@ def viterbi_pallas(
     B, L, S = obs.shape
     obs_t, len2, b_orig, Bp = _prep(obs, lengths)
 
-    grid = (Bp // _BB, L)
+    grid = (L,)
     ptrs, v_hats, dms = pl.pallas_call(
         _viterbi_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _BB, S), lambda b, t: (t, b, 0)),
-            pl.BlockSpec((1, _BB), lambda b, t: (0, b)),
-            pl.BlockSpec((1, S), lambda b, t: (0, 0)),
-            pl.BlockSpec((S, S), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, Bp, S), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, Bp), lambda t: (0, 0)),
+            pl.BlockSpec((1, S), lambda t: (0, 0)),
+            pl.BlockSpec((S, S), lambda t: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, _BB, S), lambda b, t: (t, b, 0)),
-            pl.BlockSpec((1, _BB, S), lambda b, t: (t, b, 0)),
-            pl.BlockSpec((1, _BB, 1), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((1, Bp, S), lambda t: (t, 0, 0)),
+            # running values: every step overwrites block 0, so only the
+            # final v survives — saves an [L,Bp,S] HBM stream
+            pl.BlockSpec((1, Bp, S), lambda t: (0, 0, 0)),
+            pl.BlockSpec((1, Bp, 1), lambda t: (t, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((L, Bp, S), jnp.int32),
-            jax.ShapeDtypeStruct((L, Bp, S), jnp.float32),
+            jax.ShapeDtypeStruct((1, Bp, S), jnp.float32),
             jax.ShapeDtypeStruct((L, Bp, 1), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((_BB, S), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((Bp, S), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )(obs_t, len2, log_start[None, :], log_trans)
 
-    v_final = v_hats[-1, :b_orig, :]
+    v_final = v_hats[0, :b_orig, :]
     score = (
         jnp.max(v_final, axis=-1)
         + jnp.sum(dms[:, :b_orig, 0], axis=0)

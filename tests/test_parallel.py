@@ -194,3 +194,32 @@ class TestShardedEm:
             lls.append(float(ll))
         for a, b in zip(lls, lls[1:]):
             assert b >= a - 1e-3 * abs(a), lls
+
+
+class TestStateSharded:
+    def test_forward_loglik_matches_replicated(self, rng, make_hmm):
+        """2-D data x state mesh (SURVEY.md §2c TP row): sharding the
+        transition columns must reproduce the replicated loglik."""
+        from tehmm_tpu.parallel.mesh import make_data_state_mesh
+        from tehmm_tpu.parallel.state_sharded import (
+            forward_loglik_state_sharded,
+        )
+
+        S, T, V, L, B = 8, 2, 5, 40, 4
+        log_start, log_trans, log_em = make_hmm(S, T, V)
+        ls = jnp.asarray(log_start, jnp.float32)
+        lt = jnp.asarray(log_trans, jnp.float32)
+        obs = np.stack([
+            oracle.obs_log_likelihoods(
+                log_em, np.random.RandomState(i).randint(1, V, (L, T))
+            )
+            for i in range(B)
+        ]).astype(np.float32)
+        obs_j = jnp.asarray(obs)
+        lens = jnp.asarray([L, L, 17, L])
+        _, ll_ref = dp.forward(ls, lt, obs_j, lens)
+        mesh = make_data_state_mesh(4)  # 2 data x 4 state on 8 devices
+        ll = forward_loglik_state_sharded(ls, lt, obs_j, lens, mesh)
+        np.testing.assert_allclose(
+            np.asarray(ll), np.asarray(ll_ref), rtol=1e-5
+        )
