@@ -1,14 +1,16 @@
 """Pallas TPU kernels for the HMM DP scans.
 
-The XLA ``lax.scan`` path (ops/dp.py) costs ~10µs per time step at
-B=2048, S=20 — per-step while-loop overhead and unfused carry
-round-trips dominate, since the actual per-step math (one padded
-[B,S]@[S,S] MXU matmul + a few VPU passes over [B,S]) is ~2-3µs.  These
-kernels fuse the whole scan into ONE Pallas program: the grid is
-(batch_blocks, L) with the time dimension as a sequential ("arbitrary")
-grid axis, the running alpha in a VMEM scratch that persists across
-time steps, and obs blocks streamed HBM→VMEM via BlockSpecs (Pallas
-double-buffers the sequential axis automatically).
+Fused-scan alternates to the XLA ``lax.scan`` path (ops/dp.py): the grid
+runs the time dimension as a sequential ("arbitrary") axis, the running
+alpha lives in a VMEM scratch that persists across grid steps, and obs
+blocks stream HBM→VMEM via BlockSpecs (auto double-buffered).
+
+STATUS (v5e, 2026-08): bit-exact against ops/dp.py on TPU, but SLOWER —
+see the note at ``_KT`` for the measured numbers and the Mosaic
+allocation behavior that currently caps this design.  XLA's scan is the
+production default; keep these as the starting point for future kernel
+work (multi-step blocks, [S, B-lane] layouts, checkpointed Viterbi
+without pointer materialization).
 
 Layout: arrays are time-major ``[L, B, S]`` inside the kernels so every
 block is ``(1, B, S)`` — the TPU lowering requires the last two block
@@ -61,23 +63,34 @@ def _prep(obs: jax.Array, lengths: jax.Array | None):
 # forward
 # ---------------------------------------------------------------------
 
+# Time steps per grid step.  >1 would amortize the ~10µs Mosaic
+# grid-step overhead, but the current Mosaic lowering stack-allocates
+# every unrolled step's intermediates instead of reusing registers, so
+# KT=8 overflows the 16MB VMEM at production batch sizes.  Measured on
+# v5e at B=2048/L=1024/S=20 with KT=1: PAL fwd 13.0ms / bwd 23.1ms /
+# vit 48.9ms vs XLA scan 8.0 / 10.5 / 30.5ms — the XLA `lax.scan` path
+# (ops/dp.py) remains the production default; these kernels are the
+# validated (bit-exact) base for future Mosaic revisions.
+_KT = 1
+
+
 def _forward_kernel(
-    obs_ref,        # [1, Bb, S] observations at step t
+    obs_ref,        # [KT, Bb, S] observations for this time-block
     len_ref,        # [1, Bb] int32 valid lengths
     start_ref,      # [1, S] log_start
     trans_ref,      # [S, S] exp(log_trans)
-    alpha_out,      # [1, Bb, S]
-    dm_out,         # [1, Bb, 1]
+    alpha_out,      # [KT, Bb, S]
+    dm_out,         # [KT, Bb, 1]
     alpha_scr,      # [Bb, S] VMEM carry
 ):
-    t = pl.program_id(0)
-    obs_row = obs_ref[0, :, :]
+    g = pl.program_id(0)
     # Mosaic cannot insert a minor dim on 1-bit vectors: reshape the i32
     # lengths FIRST, compare after, and keep every mask 2-D [Bb, 1].
     lv = len_ref[0, :][:, None]                         # i32 [Bb, 1]
 
-    @pl.when(t == 0)
+    @pl.when(g == 0)
     def _init():
+        obs_row = obs_ref[0, :, :]
         a0 = start_ref[0, :][None, :] + obs_row
         a0 = jnp.where(lv > 0, a0, LOG_ZERO)
         m = jnp.maximum(
@@ -87,8 +100,9 @@ def _forward_kernel(
         alpha_out[0, :, :] = alpha_scr[:, :]
         dm_out[0, :, :] = m
 
-    @pl.when(t != 0)
-    def _step():
+    def _step(k):
+        t = g * _KT + k
+        obs_row = obs_ref[k, :, :]
         a_hat = alpha_scr[:, :]
         p = jnp.exp(a_hat)
         s = jnp.dot(p, trans_ref[:, :],
@@ -101,8 +115,18 @@ def _forward_kernel(
         valid = t < lv                                  # [Bb, 1] bool
         new_hat = jnp.where(valid, new - m, a_hat)
         alpha_scr[:, :] = new_hat
-        alpha_out[0, :, :] = new_hat
-        dm_out[0, :, :] = jnp.where(valid, m, 0.0)
+        alpha_out[k, :, :] = new_hat
+        dm_out[k, :, :] = jnp.where(valid, m, 0.0)
+
+    @pl.when(g == 0)
+    def _rest_of_first_block():
+        for k in range(1, _KT):
+            _step(k)
+
+    @pl.when(g != 0)
+    def _full_block():
+        for k in range(_KT):
+            _step(k)
 
 
 @jax.jit
@@ -117,24 +141,28 @@ def forward_scaled_pallas(
     B, L, S = obs.shape
     obs_t, len2, b_orig, Bp = _prep(obs, lengths)
     trans_exp = jnp.exp(log_trans)
+    # pad L up to a _KT multiple (padding is masked: t >= length)
+    Lp = -(-L // _KT) * _KT
+    if Lp != L:
+        obs_t = jnp.pad(obs_t, ((0, Lp - L), (0, 0), (0, 0)))
 
-    grid = (L,)
+    grid = (Lp // _KT,)
     alpha_hat, dms = pl.pallas_call(
         _forward_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, Bp, S), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, Bp), lambda t: (0, 0)),
-            pl.BlockSpec((1, S), lambda t: (0, 0)),
-            pl.BlockSpec((S, S), lambda t: (0, 0)),
+            pl.BlockSpec((_KT, Bp, S), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, Bp), lambda g: (0, 0)),
+            pl.BlockSpec((1, S), lambda g: (0, 0)),
+            pl.BlockSpec((S, S), lambda g: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, Bp, S), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, Bp, 1), lambda t: (t, 0, 0)),
+            pl.BlockSpec((_KT, Bp, S), lambda g: (g, 0, 0)),
+            pl.BlockSpec((_KT, Bp, 1), lambda g: (g, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((L, Bp, S), jnp.float32),
-            jax.ShapeDtypeStruct((L, Bp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Bp, S), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Bp, 1), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((Bp, S), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -143,8 +171,8 @@ def forward_scaled_pallas(
         interpret=_interpret(),
     )(obs_t, len2, log_start[None, :], trans_exp)
 
-    alpha_hat = jnp.moveaxis(alpha_hat, 0, 1)[:b_orig]     # [B, L, S]
-    dms = jnp.moveaxis(dms[:, :, 0], 0, 1)[:b_orig]        # [B, L]
+    alpha_hat = jnp.moveaxis(alpha_hat[:L], 0, 1)[:b_orig]  # [B, L, S]
+    dms = jnp.moveaxis(dms[:L, :, 0], 0, 1)[:b_orig]        # [B, L]
     log_c = jnp.cumsum(dms, axis=1)
     final = alpha_hat[:, -1, :]
     loglik = (
