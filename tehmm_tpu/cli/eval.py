@@ -21,7 +21,6 @@ from tehmm_tpu.io import (
     read_bed_intervals,
     write_bed_intervals,
 )
-from tehmm_tpu.io.bed import merge_adjacent_intervals
 from tehmm_tpu.models.hmm import MultitrackHmm
 from tehmm_tpu.utils.common import (
     add_logging_options,

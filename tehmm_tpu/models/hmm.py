@@ -27,7 +27,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tehmm_tpu.io.bed import merge_adjacent_intervals
 from tehmm_tpu.io.category import CategoryMap
 from tehmm_tpu.io.trackdata import TrackData, TrackTable
 from tehmm_tpu.io.trackxml import TrackList
@@ -252,6 +251,36 @@ class MultitrackHmm:
         logliks: list[float] = []
         converged = False
         t0 = time.time()
+        # Pipelined host sync: fetching a scalar from the device blocks
+        # until the queue drains (tens of ms through a tunneled runtime),
+        # so iteration i's loglik is read only AFTER iteration i+1 has
+        # been dispatched — the transfer overlaps the next E-step and the
+        # convergence check trails by one iteration.
+        pending = None  # (iter_idx, device_ll, dispatch_time)
+
+        def _drain(it_t0):
+            nonlocal converged
+            if pending is None:
+                return False
+            it, dev_ll, _ = pending
+            ll = float(dev_ll)
+            logliks.append(ll)
+            wall = time.time() - it_t0
+            logger.info(
+                "EM iter %d: loglik %.4f (%.2fs, %.3g pos/s)",
+                it, ll, wall, n_positions / max(wall, 1e-9),
+            )
+            if metrics is not None:
+                metrics.write(
+                    iter=it, loglik=ll, wall=wall,
+                    positions_per_sec=n_positions / max(wall, 1e-9),
+                )
+            if len(logliks) >= 2:
+                delta = logliks[-1] - logliks[-2]
+                if abs(delta) < convergence_tol:
+                    converged = True
+            return converged
+
         for it in range(max_iterations):
             it_t0 = time.time()
             if mesh is None:
@@ -264,26 +293,14 @@ class MultitrackHmm:
                     self.params, symbols, lengths, sizes, mesh, masks,
                     epsilon, obs_weights=obs_weights,
                 )
-            ll = float(ll)
             self.params = new_params
-            logliks.append(ll)
-            wall = time.time() - it_t0
-            logger.info(
-                "EM iter %d: loglik %.4f (%.2fs, %.3g pos/s)",
-                it, ll, wall, n_positions / max(wall, 1e-9),
-            )
-            if metrics is not None:
-                metrics.write(
-                    iter=it, loglik=ll, wall=wall,
-                    positions_per_sec=n_positions / max(wall, 1e-9),
-                )
+            if _drain(it_t0):  # previous iteration's result
+                break
+            pending = (it, ll, it_t0)
             if checkpoint_path and (it + 1) % checkpoint_every == 0:
                 self.save(checkpoint_path, extra={"iteration": it})
-            if len(logliks) >= 2:
-                delta = logliks[-1] - logliks[-2]
-                if abs(delta) < convergence_tol:
-                    converged = True
-                    break
+        if not converged:
+            _drain(time.time())
         return FitResult(
             logliks=logliks,
             iterations=len(logliks),
