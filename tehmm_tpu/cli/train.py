@@ -93,6 +93,9 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None,
                    help="periodic checkpoint path")
     p.add_argument("--checkpointEvery", type=int, default=10)
+    p.add_argument("--deviceLoop", action="store_true",
+                   help="run the whole EM loop on-device (fastest; no "
+                        "per-iteration logging/checkpointing)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler device trace of training "
                         "into DIR (TensorBoard/Perfetto viewable)")
@@ -283,6 +286,7 @@ def _train_unsupervised(
             checkpoint_path=opts.checkpoint,
             checkpoint_every=opts.checkpointEvery,
             obs_weight_arrays=weights,
+            device_loop=opts.deviceLoop,
         )
         final = result.logliks[-1] if result.logliks else -np.inf
         logger.info(

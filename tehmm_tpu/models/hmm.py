@@ -210,6 +210,7 @@ class MultitrackHmm:
         checkpoint_path: str | None = None,
         checkpoint_every: int = 10,
         obs_weight_arrays: Sequence[np.ndarray] | None = None,
+        device_loop: bool = False,
     ) -> FitResult:
         """Baum-Welch EM (reference: basehmm.fit driven by teHmmTrain.py).
 
@@ -219,6 +220,9 @@ class MultitrackHmm:
 
         ``obs_weight_arrays``: optional per-table f32[L] emission weights
         (segment mode --segLen: weight = segment length).
+        ``device_loop``: run the whole EM loop as one on-device
+        ``lax.while_loop`` (fastest; no per-iteration logging or
+        checkpointing; single-device only).
         """
         from tehmm_tpu.parallel.em_sharded import sharded_em_step
 
@@ -251,6 +255,41 @@ class MultitrackHmm:
         logliks: list[float] = []
         converged = False
         t0 = time.time()
+
+        if device_loop:
+            if mesh is not None:
+                raise ValueError(
+                    "device_loop does not support a mesh yet; use the "
+                    "host-driven loop for sharded EM"
+                )
+            new_params, hist, n_it = em_ops.em_run(
+                self.params, symbols, sizes, lengths,
+                max_iterations=max_iterations,
+                convergence_tol=convergence_tol,
+                masks=masks, epsilon=epsilon, obs_weights=obs_weights,
+            )
+            self.params = new_params
+            n = int(n_it)
+            logliks = [float(x) for x in np.asarray(hist)[:n]]
+            wall = time.time() - t0
+            logger.info(
+                "EM device loop: %d iters in %.2fs (%.3g pos/s), final "
+                "loglik %.4f", n, wall,
+                n * n_positions / max(wall, 1e-9),
+                logliks[-1] if logliks else float("nan"),
+            )
+            if metrics is not None:
+                for i, ll in enumerate(logliks):
+                    metrics.write(iter=i, loglik=ll)
+            if checkpoint_path:
+                self.save(checkpoint_path, extra={"iteration": n - 1})
+            return FitResult(
+                logliks=logliks,
+                iterations=n,
+                converged=n < max_iterations,
+                wall_seconds=wall,
+            )
+
         # Pipelined host sync: fetching a scalar from the device blocks
         # until the queue drains (tens of ms through a tunneled runtime),
         # so iteration i's loglik is read only AFTER iteration i+1 has

@@ -308,3 +308,52 @@ def supervised_train(
     log_trans = _normalize_rows(stats.trans, epsilon)
     log_em = normalize_log_em(em, jnp.asarray(alphabet_sizes), epsilon)
     return HmmParams(log_start=log_start, log_trans=log_trans, log_em=log_em)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_iterations", "epsilon", "matmul"),
+)
+def em_run(
+    params: HmmParams,
+    symbols: jax.Array,
+    alphabet_sizes: jax.Array,
+    lengths: jax.Array | None = None,
+    max_iterations: int = 100,
+    convergence_tol: float = 1e-3,
+    masks: ParamMasks | None = None,
+    epsilon: float = EPSILON,
+    matmul: bool = True,
+    obs_weights: jax.Array | None = None,
+) -> tuple[HmmParams, jax.Array, jax.Array]:
+    """The ENTIRE EM training loop as one on-device ``lax.while_loop``.
+
+    No host round-trip happens between iterations (the per-iteration
+    scalar fetch costs tens of ms through a tunneled runtime), so this is
+    the fastest path when per-iteration logging/checkpointing is not
+    needed (CLI: train --deviceLoop).
+
+    Returns (params, logliks f32[max_iterations] with NaN beyond the last
+    executed iteration, n_iterations).
+    """
+    sentinel = jnp.float32(-1e30)
+
+    def cond(carry):
+        _p, prev_ll, ll, it, _hist = carry
+        return (it < max_iterations) & (
+            jnp.abs(ll - prev_ll) >= convergence_tol
+        )
+
+    def body(carry):
+        p, _prev_ll, ll, it, hist = carry
+        stats = em_sufficient_stats(
+            p, symbols, lengths, matmul=matmul, obs_weights=obs_weights
+        )
+        new_p = em_m_step(stats, p, alphabet_sizes, masks, epsilon)
+        hist = hist.at[it].set(stats.loglik)
+        return (new_p, ll, stats.loglik, it + 1, hist)
+
+    hist0 = jnp.full((max_iterations,), jnp.nan, jnp.float32)
+    init = (params, sentinel, sentinel / 2, jnp.int32(0), hist0)
+    final_p, _prev, _ll, n_it, hist = jax.lax.while_loop(cond, body, init)
+    return final_p, hist, n_it

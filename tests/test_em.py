@@ -196,3 +196,50 @@ class TestSupervised:
         np.testing.assert_array_equal(
             np.asarray(params.log_em[:, :, 0]), np.zeros((S, T))
         )
+
+
+class TestDeviceLoop:
+    def test_em_run_matches_stepwise(self, rng, make_hmm):
+        """The on-device while_loop must match the host-driven loop."""
+        import jax.numpy as jnp
+
+        S, T, V, L = 3, 1, 4, 100
+        log_start, log_trans, log_em = make_hmm(S, T, V)
+        params = _to_params(log_start, log_trans, log_em)
+        symbols = jnp.asarray(rng.randint(1, V, size=(2, L, T)))
+        sizes = jnp.asarray([V])
+        n = 6
+        p_dev, hist, n_it = em.em_run(
+            params, symbols, sizes, max_iterations=n,
+            convergence_tol=0.0,
+        )
+        p_host = params
+        lls = []
+        for _ in range(n):
+            p_host, ll = em.em_step(p_host, symbols, sizes)
+            lls.append(float(ll))
+        assert int(n_it) == n
+        np.testing.assert_allclose(
+            np.asarray(hist)[:n], lls, rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(p_dev.log_trans), np.asarray(p_host.log_trans),
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_em_run_converges_early(self, rng, make_hmm):
+        import jax.numpy as jnp
+
+        S, T, V, L = 2, 1, 3, 60
+        log_start, log_trans, log_em = make_hmm(S, T, V)
+        params = _to_params(log_start, log_trans, log_em)
+        symbols = jnp.asarray(rng.randint(1, V, size=(1, L, T)))
+        sizes = jnp.asarray([V])
+        _p, hist, n_it = em.em_run(
+            params, symbols, sizes, max_iterations=100,
+            convergence_tol=1.0,
+        )
+        n = int(n_it)
+        assert n < 100
+        assert np.isfinite(np.asarray(hist)[: n]).all()
+        assert np.isnan(np.asarray(hist)[n:]).all()

@@ -239,3 +239,28 @@ class TestResume:
         )
         loaded = MultitrackHmm.load(ckpt)
         assert "iteration" in loaded.extra
+
+
+class TestDeviceLoopCli:
+    def test_device_loop_training(self, fixture_dir):
+        import json
+
+        f = fixture_dir
+        model_path = str(f["dir"] / "dl.npz")
+        log = str(f["dir"] / "dl.jsonl")
+        rc = cli_train.main(
+            [f["xml"], f["regions_bed"], model_path,
+             "--numStates", "2", "--iter", "20", "--seed", "3",
+             "--deviceLoop", "--logJson", log]
+        )
+        assert rc == 0
+        lls = [json.loads(l)["loglik"] for l in open(log)]
+        assert len(lls) >= 2
+        for a, b in zip(lls, lls[1:]):
+            assert b >= a - 1e-3 * abs(a)
+        out_bed = str(f["dir"] / "dl.bed")
+        cli_eval.main([f["xml"], model_path, f["regions_bed"],
+                       "--bed", out_bed])
+        acc0 = _accuracy(out_bed, f["truth"], f["L"], {"0": 0, "1": 1})
+        acc1 = _accuracy(out_bed, f["truth"], f["L"], {"0": 1, "1": 0})
+        assert max(acc0, acc1) > 0.85
