@@ -94,8 +94,10 @@ def make_parser() -> argparse.ArgumentParser:
                    help="periodic checkpoint path")
     p.add_argument("--checkpointEvery", type=int, default=10)
     p.add_argument("--deviceLoop", action="store_true",
-                   help="run the whole EM loop on-device (fastest; no "
-                        "per-iteration logging/checkpointing)")
+                   help="run the whole EM loop as ONE device dispatch "
+                        "(no per-iteration logging/checkpointing; wins "
+                        "only when per-iteration host latency dominates "
+                        "tiny workloads — see ops/em.em_run)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler device trace of training "
                         "into DIR (TensorBoard/Perfetto viewable)")

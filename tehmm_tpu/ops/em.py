@@ -328,10 +328,14 @@ def em_run(
 ) -> tuple[HmmParams, jax.Array, jax.Array]:
     """The ENTIRE EM training loop as one on-device ``lax.while_loop``.
 
-    No host round-trip happens between iterations (the per-iteration
-    scalar fetch costs tens of ms through a tunneled runtime), so this is
-    the fastest path when per-iteration logging/checkpointing is not
-    needed (CLI: train --deviceLoop).
+    No host round-trip happens between iterations.  Measured reality on
+    v5e (B=2048, L=1024, S=20): the host-driven loop with pipelined
+    scalar fetches (models/hmm.fit) runs 54 it/s vs 16 it/s here —
+    while_loop blocks XLA's cross-iteration buffer donation, so each
+    iteration pays extra copies.  Use this path when iterations are tiny
+    relative to host latency (small models under a high-latency tunnel)
+    or when a single dispatch per training run is operationally valuable;
+    outputs are bit-identical to the host loop (tested).
 
     Returns (params, logliks f32[max_iterations] with NaN beyond the last
     executed iteration, n_iterations).
