@@ -227,14 +227,6 @@ def posterior(
     )
 
 
-def _ptr_dtype(S: int):
-    if S <= 255:
-        return jnp.uint8
-    if S <= 65535:
-        return jnp.uint16
-    return jnp.int32
-
-
 @jax.jit
 def viterbi(
     log_start: jax.Array,
@@ -246,10 +238,17 @@ def viterbi(
     `_do_viterbi_pass`).
 
     Ties break to the lowest state index (NumPy argmax first-hit), both in
-    the per-step pointers and the final state selection — required for
-    bit-exact path parity with a NumPy implementation.  The value carry is
-    max-rescaled every step so the score differences deciding the argmax
-    stay O(1) regardless of L.
+    the per-step predecessor choice and the final state selection —
+    required for bit-exact path parity with a NumPy implementation.  The
+    value carry is max-rescaled every step so the score differences
+    deciding the argmax stay O(1) regardless of L.
+
+    Design note: no predecessor-pointer tables are materialized.  The
+    forward pass stores only the max-normalized value rows; the backtrace
+    recomputes ``argmax_i(v[t-1, i] + logT[i, state_t])`` from them — the
+    same maximization a pointer table would cache, so the result is
+    bit-identical, but the forward step drops its argmax/pointer stream
+    (a per-row transition-column gather replaces it in the backtrace).
 
     Returns:
       (path int32[B, L], score f32[B]).  Entries at t >= length replicate
@@ -258,8 +257,7 @@ def viterbi(
     B, L, S = obs.shape
     lengths = jnp.full((B,), L) if lengths is None else lengths
     obs_t = jnp.moveaxis(obs, 1, 0)
-    pdt = _ptr_dtype(S)
-    ident = jnp.broadcast_to(jnp.arange(S, dtype=pdt)[None, :], (B, S))
+    trans_T = log_trans.T                                   # [j, i]
 
     v0 = log_start[None, :] + obs_t[0]
     v0_hat, m0 = _renorm(v0)
@@ -267,30 +265,35 @@ def viterbi(
     def step(carry, xs):
         v_hat, m = carry
         obs_row, t = xs
-        scores = v_hat[:, :, None] + log_trans[None, :, :]  # [B,S,S] over i
-        best = jnp.max(scores, axis=1)                      # [B,S]
-        ptr = jnp.argmax(scores, axis=1).astype(pdt)        # lowest-i ties
+        best = jnp.max(
+            v_hat[:, :, None] + log_trans[None, :, :], axis=1
+        )
         new_v = best + obs_row
         new_hat, dm = _renorm(new_v)
         valid_t = t < lengths
         new_hat = _mask_carry(new_hat, v_hat, valid_t)
         new_m = jnp.where(valid_t, m + dm, m)
-        ptr = jnp.where(valid_t[:, None], ptr, ident)
-        return (new_hat, new_m), ptr
+        return (new_hat, new_m), new_hat
 
     ts = jnp.arange(1, L)
-    (v_hat, m), ptrs = jax.lax.scan(
+    (v_final, m), v_hats = jax.lax.scan(
         step, (v0_hat, m0), (obs_t[1:], ts)
-    )  # ptrs [L-1,B,S]
-    score = jnp.max(v_hat, axis=-1) + m                     # [B]
-    last_state = jnp.argmax(v_hat, axis=-1).astype(jnp.int32)
+    )  # v_hats[k] == values at position k+1
+    score = jnp.max(v_final, axis=-1) + m                   # [B]
+    last_state = jnp.argmax(v_final, axis=-1).astype(jnp.int32)
 
-    def back(state, ptr_row):                               # ptr_row [B,S]
-        prev = jnp.take_along_axis(
-            ptr_row.astype(jnp.int32), state[:, None], axis=1
-        )[:, 0]
+    v_prev_rows = jnp.concatenate([v0_hat[None], v_hats[:-1]], axis=0)
+
+    def back(state, xs):
+        v_prev, t = xs                                      # values at t-1
+        col = trans_T[state]                                # [B, S]
+        prev = jnp.argmax(v_prev + col, axis=-1).astype(jnp.int32)
+        valid_t = t < lengths
+        prev = jnp.where(valid_t, prev, state)
         return prev, state
 
-    first_state, states = jax.lax.scan(back, last_state, ptrs, reverse=True)
+    first_state, states = jax.lax.scan(
+        back, last_state, (v_prev_rows, ts), reverse=True
+    )
     path = jnp.concatenate([first_state[None], states], axis=0)  # [L,B]
     return jnp.moveaxis(path, 0, 1), score
