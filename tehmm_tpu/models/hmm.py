@@ -381,23 +381,56 @@ class MultitrackHmm:
         return out
 
     def posterior_decode_tables(
-        self, tables: Sequence[TrackTable], chunk_len: int = 1 << 14
+        self,
+        tables: Sequence[TrackTable],
+        chunk_len: int = 1 << 14,
+        halo: int = 256,
+        rows_per_pass: int = 64,
     ) -> list[np.ndarray]:
         """Max-posterior (per-position argmax gamma) decoding
-        (reference: teHmmEval.py --maxPost)."""
-        out = []
-        for tab in tables:
-            sym = jnp.asarray(tab.symbols[None])
+        (reference: teHmmEval.py --maxPost).
+
+        Genome-scale safe: tables are cut into halo chunks like Viterbi;
+        a chunk's posterior at its core positions converges to the
+        monolithic value once the halo exceeds the posterior's mixing
+        range (same forgetting argument as the Viterbi stitcher)."""
+        mats = [t.symbols for t in tables]
+        lengths = [len(m) for m in mats]
+        chunks = plan_chunks(lengths, chunk_len, halo)
+        batch = batch_chunks(mats, chunks)
+        n, Lc, _T = batch.symbols.shape
+        paths = [np.zeros(L, dtype=np.int32) for L in lengths]
+        padded_rows = -(-n // rows_per_pass) * rows_per_pass
+        for lo in range(0, padded_rows, rows_per_pass):
+            hi = min(lo + rows_per_pass, n)
+            sym = batch.symbols[lo:hi]
+            lens = batch.lengths[lo:hi]
+            if hi - lo < rows_per_pass:
+                pad = rows_per_pass - (hi - lo)
+                sym = np.concatenate(
+                    [sym, np.zeros((pad,) + sym.shape[1:], sym.dtype)]
+                )
+                lens = np.concatenate(
+                    [lens, np.zeros((pad,), lens.dtype)]
+                )
             obs = emission_ops.track_log_likelihoods(
-                self.params.log_em, sym
+                self.params.log_em, jnp.asarray(sym)
             )
-            ah, _, ll = dp.forward_scaled(
-                self.params.log_start, self.params.log_trans, obs
+            jl = jnp.asarray(lens)
+            ah, _, _ = dp.forward_scaled(
+                self.params.log_start, self.params.log_trans, obs, jl
             )
-            bh, _ = dp.backward_scaled(self.params.log_trans, obs)
-            gamma = dp.posterior_scaled(ah, bh)
-            out.append(np.asarray(jnp.argmax(gamma[0], axis=-1)))
-        return out
+            bh, _ = dp.backward_scaled(self.params.log_trans, obs, jl)
+            states = np.asarray(
+                jnp.argmax(dp.posterior_scaled(ah, bh), axis=-1)
+            )
+            for row in range(lo, hi):
+                c = chunks[row]
+                core = states[
+                    row - lo, c.core_offset : c.core_offset + c.core_len
+                ]
+                paths[c.table_idx][c.core_start : c.core_end] = core
+        return paths
 
     def posterior_distributions(
         self, tables: Sequence[TrackTable]

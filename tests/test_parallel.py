@@ -223,3 +223,45 @@ class TestStateSharded:
         np.testing.assert_allclose(
             np.asarray(ll), np.asarray(ll_ref), rtol=1e-5
         )
+
+
+class TestChunkedPosterior:
+    def test_chunked_matches_monolithic(self, rng):
+        """Chunked max-posterior decode == whole-sequence decode once the
+        halo exceeds the posterior mixing range."""
+        from tehmm_tpu.io.trackdata import TrackTable
+        from tehmm_tpu.models.hmm import MultitrackHmm
+        from tehmm_tpu.io.trackxml import TrackList, Track
+        from tehmm_tpu.io.category import CategoryMap
+
+        lt = np.log(np.array(
+            [[0.97, 0.02, 0.01], [0.02, 0.96, 0.02], [0.01, 0.02, 0.97]],
+            np.float32))
+        log_em = np.zeros((3, 1, 5), np.float32)
+        probs = np.array([
+            [0.7, 0.1, 0.1, 0.1],
+            [0.1, 0.7, 0.1, 0.1],
+            [0.1, 0.1, 0.1, 0.7],
+        ])
+        log_em[:, 0, 1:] = np.log(probs)
+        params = HmmParams(
+            log_start=jnp.asarray(np.log(np.full(3, 1 / 3, np.float32))),
+            log_trans=jnp.asarray(lt),
+            log_em=jnp.asarray(log_em),
+        )
+        L = 3000
+        sym = (rng.randint(0, 4, (L, 1)) + 1).astype(np.uint8)
+        tl = TrackList()
+        tl.add(Track(name="a", path="unused.bed"))
+        cm = CategoryMap()
+        for v in "1234":
+            cm.get_map(v, update=True)
+        model = MultitrackHmm(params, tl, {"a": cm}, ["x", "y", "z"])
+        tab = TrackTable("chr1", 0, L, sym)
+        mono = model.posterior_decode_tables(
+            [tab], chunk_len=1 << 14
+        )[0]
+        chunked = model.posterior_decode_tables(
+            [tab], chunk_len=400, halo=96, rows_per_pass=4
+        )[0]
+        np.testing.assert_array_equal(chunked, mono)
