@@ -22,7 +22,6 @@ The sequential kernels in ops/dp.py remain the default for wide batches.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -32,8 +32,6 @@ in the kernel; the O(L) backtrace stays in XLA — it is trivial.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -15,7 +15,6 @@ from __future__ import annotations
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from tehmm_tpu.models.params import HmmParams
