@@ -450,19 +450,43 @@ class MultitrackHmm:
             out.append(np.asarray(dp.posterior_scaled(ah, bh)[0]))
         return out
 
-    def score(self, tables: Sequence[TrackTable]) -> float:
-        """Total log-likelihood of the data (reference: basehmm.score)."""
-        total = 0.0
-        for tab in tables:
-            sym = jnp.asarray(tab.symbols[None])
-            obs = emission_ops.track_log_likelihoods(
-                self.params.log_em, sym
-            )
-            _, _, ll = dp.forward_scaled(
-                self.params.log_start, self.params.log_trans, obs
-            )
-            total += float(ll[0])
-        return total
+    def score(
+        self, tables: Sequence[TrackTable], chunk_len: int = 1 << 14
+    ) -> float:
+        """Total log-likelihood of the data (reference: basehmm.score).
+
+        Exact for arbitrarily long tables: the forward alpha is carried
+        across fixed-size chunks (ops.dp.streaming_loglik), so device
+        memory is O(tables × states) and every chunk reuses one compiled
+        shape regardless of table lengths."""
+        mats = [t.symbols for t in tables]
+        true_lens = np.asarray([len(m) for m in mats])
+        L = int(true_lens.max())
+        T = mats[0].shape[1]
+        n_chunks = -(-L // chunk_len)
+
+        def obs_chunks():
+            for c in range(n_chunks):
+                lo = c * chunk_len
+                block = np.zeros(
+                    (len(mats), chunk_len, T), dtype=mats[0].dtype
+                )
+                for b, m in enumerate(mats):
+                    piece = m[lo : lo + chunk_len]
+                    block[b, : len(piece)] = piece
+                yield emission_ops.track_log_likelihoods(
+                    self.params.log_em, jnp.asarray(block)
+                )
+
+        lens = [
+            np.clip(true_lens - c * chunk_len, 0, chunk_len)
+            for c in range(n_chunks)
+        ]
+        ll = dp.streaming_loglik(
+            self.params.log_start, self.params.log_trans,
+            obs_chunks(), lens,
+        )
+        return float(jnp.sum(ll))
 
     # ------------------------------------------------------------------
     # persistence (reference: modelIO.py saveModel/loadModel)

@@ -297,3 +297,90 @@ def viterbi(
     )
     path = jnp.concatenate([first_state[None], states], axis=0)  # [L,B]
     return jnp.moveaxis(path, 0, 1), score
+
+
+@partial(jax.jit, static_argnames=("matmul",))
+def forward_final(
+    log_trans: jax.Array,
+    obs: jax.Array,
+    alpha_hat_init: jax.Array,
+    lengths: jax.Array | None = None,
+    matmul: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Forward pass continuation for streaming whole-chromosome
+    likelihoods (SURVEY.md §5 "forward ... across chunk boundaries via
+    carried alpha — exact, sequential in chunk index").
+
+    Consumes an incoming normalized alpha carry and a chunk of
+    observations; every position of this chunk applies a transition
+    first (the carry is the previous chunk's last position).  Only the
+    final carry and the summed normalizer increments are returned — no
+    per-position output, so memory is O(B·S) regardless of chromosome
+    length.
+
+    Args:
+      obs: f32[B, Lc, S] chunk observations.
+      alpha_hat_init: f32[B, S] max-normalized carry from the previous
+        chunk (for the first chunk use ``log_start[None] + obs[:, 0]``
+        normalized, and pass obs[:, 1:]).
+      lengths: optional int[B] valid positions within THIS chunk.
+
+    Returns:
+      (alpha_hat_final f32[B,S], dm_sum f32[B]) — accumulate dm_sum into
+      the running log-normalizer; the total log-likelihood after the last
+      chunk is ``dm_total + logsumexp(alpha_hat_final)``.
+    """
+    B, Lc, S = obs.shape
+    lengths = jnp.full((B,), Lc) if lengths is None else lengths
+    obs_t = jnp.moveaxis(obs, 1, 0)
+    trans_exp = jnp.exp(log_trans)
+
+    def step(a_hat, xs):
+        obs_row, t = xs
+        new = _logdot(a_hat, log_trans, trans_exp, matmul) + obs_row
+        new_hat, dm = _renorm(new)
+        valid_t = t < lengths
+        new_hat = _mask_carry(new_hat, a_hat, valid_t)
+        dm = jnp.where(valid_t, dm, 0.0)
+        return new_hat, dm
+
+    ts = jnp.arange(Lc)
+    final_hat, dms = jax.lax.scan(step, alpha_hat_init, (obs_t, ts))
+    return final_hat, jnp.sum(dms, axis=0)
+
+
+def streaming_loglik(
+    log_start: jax.Array,
+    log_trans: jax.Array,
+    obs_chunks,
+    lengths_per_chunk=None,
+) -> jax.Array:
+    """Exact log-likelihood of arbitrarily long sequences from an
+    iterator of obs chunks (each f32[B, Lc, S]), O(B·S) device memory.
+
+    ``lengths_per_chunk``: optional iterable of int[B] valid lengths
+    aligned with the chunks (rows may end mid-stream).
+    """
+    it = iter(obs_chunks)
+    lens_it = iter(lengths_per_chunk) if lengths_per_chunk is not None \
+        else None
+    first = next(it)
+    lens0 = next(lens_it) if lens_it is not None else None
+    B, Lc, S = first.shape
+    a0 = log_start[None, :] + first[:, 0, :]
+    if lens0 is not None:
+        a0 = jnp.where((jnp.asarray(lens0) > 0)[:, None], a0, LOG_ZERO)
+    a_hat, m0 = _renorm(a0)
+    rest_lens = None if lens0 is None else jnp.maximum(
+        jnp.asarray(lens0) - 1, 0
+    )
+    a_hat, dm = forward_final(log_trans, first[:, 1:, :], a_hat, rest_lens)
+    total = m0 + dm
+    for chunk in it:
+        lens = next(lens_it) if lens_it is not None else None
+        a_hat, dm = forward_final(
+            log_trans, chunk, a_hat,
+            None if lens is None else jnp.asarray(lens),
+        )
+        total = total + dm
+    return total + jnp.log(jnp.sum(jnp.exp(a_hat), axis=-1))

@@ -227,3 +227,54 @@ class TestLengthIndependence:
             gamma = posterior_scaled(ah, bh)
             err = float(jnp.abs(gamma.sum(-1) - 1).max())
             assert err < 1e-5, (L, err)
+
+
+class TestStreamingForward:
+    def test_streaming_loglik_exact(self, rng, make_hmm):
+        """Chunk-carried forward == monolithic forward (SURVEY.md §5
+        exact cross-boundary alpha carry)."""
+        S, T, V, L = 5, 2, 4, 230
+        log_start, log_trans, log_em = make_hmm(S, T, V)
+        obs = np.stack([
+            oracle.obs_log_likelihoods(
+                log_em, rng.randint(1, V, (L, T))
+            )
+            for _ in range(3)
+        ]).astype(np.float32)
+        ls = jnp.asarray(log_start, jnp.float32)
+        lt = jnp.asarray(log_trans, jnp.float32)
+        _, want = dp.forward(ls, lt, jnp.asarray(obs))
+        for Lc in (32, 50, 128):
+            chunks = [
+                jnp.asarray(obs[:, i : i + Lc])
+                for i in range(0, L, Lc)
+            ]
+            got = dp.streaming_loglik(ls, lt, chunks)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-6
+            )
+
+    def test_streaming_ragged_lengths(self, rng, make_hmm):
+        S, T, V = 4, 1, 4
+        log_start, log_trans, log_em = make_hmm(S, T, V)
+        ls = jnp.asarray(log_start, jnp.float32)
+        lt = jnp.asarray(log_trans, jnp.float32)
+        true_lens = [70, 45]
+        L = max(true_lens)
+        obs = np.zeros((2, L, S), np.float32)
+        for b, ell in enumerate(true_lens):
+            obs[b, :ell] = oracle.obs_log_likelihoods(
+                log_em, rng.randint(1, V, (ell, T))
+            )
+        _, want = dp.forward(
+            ls, lt, jnp.asarray(obs), jnp.asarray(true_lens)
+        )
+        Lc = 32
+        chunks, lens = [], []
+        for i in range(0, L, Lc):
+            chunks.append(jnp.asarray(obs[:, i : i + Lc]))
+            lens.append(np.clip(np.asarray(true_lens) - i, 0, Lc))
+        got = dp.streaming_loglik(ls, lt, chunks, lens)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-6
+        )
