@@ -256,6 +256,27 @@ class MultitrackHmm:
         converged = False
         t0 = time.time()
 
+        # Oversized batches are reshaped into pass-blocks [P, B0, L, T]
+        # and accumulated by ONE lax.scan dispatch per iteration
+        # (em_epoch_scan) — intermediates stay bounded by a pass while
+        # host<->device round trips stay at one per iteration.
+        passes = None
+        max_pass_positions = 4 << 20
+        n_rows, Lr = symbols.shape[0], symbols.shape[1]
+        rows_per_pass = max(1, max_pass_positions // max(Lr, 1))
+        if mesh is None and n_rows > rows_per_pass:
+            P = -(-n_rows // rows_per_pass)
+            pad = P * rows_per_pass - n_rows
+            sym_p = jnp.pad(symbols, ((0, pad), (0, 0), (0, 0)))
+            len_p = jnp.pad(lengths, (0, pad))
+            passes = (
+                sym_p.reshape(P, rows_per_pass, *symbols.shape[1:]),
+                len_p.reshape(P, rows_per_pass),
+                None if obs_weights is None else jnp.pad(
+                    obs_weights, ((0, pad), (0, 0))
+                ).reshape(P, rows_per_pass, -1),
+            )
+
         if device_loop:
             if mesh is not None:
                 raise ValueError(
@@ -322,7 +343,16 @@ class MultitrackHmm:
 
         for it in range(max_iterations):
             it_t0 = time.time()
-            if mesh is None:
+            if mesh is None and passes is not None:
+                stats = em_ops.em_epoch_scan(
+                    self.params, passes[0], passes[1],
+                    obs_weights_passes=passes[2],
+                )
+                new_params = em_ops.em_m_step(
+                    stats, self.params, sizes, masks, epsilon
+                )
+                ll = stats.loglik
+            elif mesh is None:
                 new_params, ll = em_ops.em_step(
                     self.params, symbols, sizes, lengths, masks, epsilon,
                     obs_weights=obs_weights,

@@ -384,3 +384,105 @@ def streaming_loglik(
         )
         total = total + dm
     return total + jnp.log(jnp.sum(jnp.exp(a_hat), axis=-1))
+
+
+# ---------------------------------------------------------------------
+# exact chunked Viterbi (checkpointed carries + per-chunk recompute)
+# ---------------------------------------------------------------------
+
+@jax.jit
+def viterbi_carry(
+    log_trans: jax.Array,
+    obs: jax.Array,
+    v_hat_init: jax.Array,
+    lengths: jax.Array | None = None,
+) -> jax.Array:
+    """Max-plus forward continuation: only the final carry is returned
+    (the cheap first sweep of checkpointed Viterbi; SURVEY.md §7 hard
+    part #3)."""
+    B, Lc, S = obs.shape
+    lengths = jnp.full((B,), Lc) if lengths is None else lengths
+    obs_t = jnp.moveaxis(obs, 1, 0)
+
+    def step(v_hat, xs):
+        obs_row, t = xs
+        best = jnp.max(
+            v_hat[:, :, None] + log_trans[None, :, :], axis=1
+        )
+        new_hat, _ = _renorm(best + obs_row)
+        valid_t = t < lengths
+        return _mask_carry(new_hat, v_hat, valid_t), None
+
+    ts = jnp.arange(Lc)
+    final, _ = jax.lax.scan(step, v_hat_init, (obs_t, ts))
+    return final
+
+
+@jax.jit
+def viterbi_chunk_values(
+    log_trans: jax.Array,
+    obs: jax.Array,
+    v_hat_init: jax.Array,
+    lengths: jax.Array | None = None,
+) -> jax.Array:
+    """Recompute all per-position max-plus values of one chunk from its
+    incoming carry (the backtrace sweep of checkpointed Viterbi).
+
+    Returns v_hats f32[B, Lc, S]; row t holds the values AT chunk
+    position t (position 0 already includes one transition from the
+    carry)."""
+    B, Lc, S = obs.shape
+    lengths = jnp.full((B,), Lc) if lengths is None else lengths
+    obs_t = jnp.moveaxis(obs, 1, 0)
+
+    def step(v_hat, xs):
+        obs_row, t = xs
+        best = jnp.max(
+            v_hat[:, :, None] + log_trans[None, :, :], axis=1
+        )
+        new_hat, _ = _renorm(best + obs_row)
+        valid_t = t < lengths
+        new_hat = _mask_carry(new_hat, v_hat, valid_t)
+        return new_hat, new_hat
+
+    ts = jnp.arange(Lc)
+    _, v_hats = jax.lax.scan(step, v_hat_init, (obs_t, ts))
+    return jnp.moveaxis(v_hats, 0, 1)
+
+
+@jax.jit
+def viterbi_backtrace_chunk(
+    log_trans: jax.Array,
+    v_hats: jax.Array,       # [B, Lc, S] from viterbi_chunk_values
+    v_carry_in: jax.Array,   # [B, S] carry that entered this chunk
+    end_state: jax.Array,    # int32[B] state at the last valid position
+    lengths: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Backtrace one chunk given its end state.
+
+    Returns (path int32[B, Lc], entry_state int32[B]) where entry_state
+    is the optimal state at the previous chunk's last position (computed
+    against ``v_carry_in``)."""
+    B, Lc, S = v_hats.shape
+    lengths = jnp.full((B,), Lc) if lengths is None else lengths
+    trans_T = log_trans.T
+    # clamp the end state onto the last VALID position: positions beyond
+    # length carry values through, so argmax rows there replicate
+    v_prev_rows = jnp.concatenate(
+        [v_carry_in[:, None, :], v_hats[:, :-1, :]], axis=1
+    )                                            # value rows at t-1
+    ts = jnp.arange(Lc)
+
+    def back(state, xs):
+        v_prev, t = xs                           # [B, S], scalar
+        col = trans_T[state]
+        prev = jnp.argmax(v_prev + col, axis=-1).astype(jnp.int32)
+        valid_t = t < lengths
+        prev = jnp.where(valid_t, prev, state)
+        return prev, state
+
+    v_prev_t = jnp.moveaxis(v_prev_rows, 1, 0)
+    entry_state, states = jax.lax.scan(
+        back, end_state, (v_prev_t, ts), reverse=True
+    )
+    return jnp.moveaxis(states, 0, 1), entry_state

@@ -361,3 +361,53 @@ def em_run(
     init = (params, sentinel, sentinel / 2, jnp.int32(0), hist0)
     final_p, _prev, _ll, n_it, hist = jax.lax.while_loop(cond, body, init)
     return final_p, hist, n_it
+
+
+@partial(jax.jit, static_argnames=("matmul",))
+def em_epoch_scan(
+    params: HmmParams,
+    symbols_passes: jax.Array,
+    lengths_passes: jax.Array,
+    matmul: bool = True,
+    obs_weights_passes: jax.Array | None = None,
+) -> EmStats:
+    """One E-step over MANY chunk batches in a single device dispatch.
+
+    ``symbols_passes`` int[P, B, L, T] holds P pass-blocks (stage the
+    whole dataset to HBM once); a ``lax.scan`` over the pass dimension
+    accumulates EmStats without returning to the host — on tunneled
+    runtimes each host->device dispatch costs ~0.25s, so a 23-pass epoch
+    drops from ~6s to the pure compute time.
+    """
+    S, T, V = params.log_em.shape
+
+    zero = EmStats(
+        start=jnp.zeros((S,), jnp.float32),
+        trans=jnp.zeros((S, S), jnp.float32),
+        em=jnp.zeros((S, T, V), jnp.float32),
+        loglik=jnp.zeros((), jnp.float32),
+        n_obs=jnp.zeros((), jnp.float32),
+    )
+
+    if obs_weights_passes is None:
+        def body(acc, xs):
+            sym, lens = xs
+            stats = em_sufficient_stats(params, sym, lens, matmul=matmul)
+            return acc + stats, None
+
+        acc, _ = jax.lax.scan(
+            body, zero, (symbols_passes, lengths_passes)
+        )
+    else:
+        def body_w(acc, xs):
+            sym, lens, w = xs
+            stats = em_sufficient_stats(
+                params, sym, lens, matmul=matmul, obs_weights=w
+            )
+            return acc + stats, None
+
+        acc, _ = jax.lax.scan(
+            body_w, zero,
+            (symbols_passes, lengths_passes, obs_weights_passes),
+        )
+    return acc

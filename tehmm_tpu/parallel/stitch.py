@@ -153,7 +153,18 @@ def viterbi_chunked(
                 break
 
         if ok or cur_halo >= max_halo:
-            if not ok:
+            if not ok and weight_arrays is None:
+                # halo forgetting never kicked in (adversarial/near-tie
+                # model): fall back to the EXACT checkpointed decoder —
+                # sequential over chunks but guaranteed == monolithic
+                logger.warning(
+                    "viterbi_chunked: boundary disagreement persists at "
+                    "max_halo=%d; falling back to the exact checkpointed "
+                    "decoder", max_halo,
+                )
+                paths = viterbi_exact(params, tables, chunk_len)
+                ok = True
+            elif not ok:
                 msg = (
                     f"viterbi_chunked: boundary disagreement persists at "
                     f"max_halo={max_halo}; output may differ from the "
@@ -177,3 +188,76 @@ def viterbi_chunked(
             "viterbi_chunked: widening halo to %d (retry %d)",
             cur_halo, retries,
         )
+
+
+def viterbi_exact(
+    params: HmmParams,
+    tables: Sequence,
+    chunk_len: int = 1 << 14,
+) -> list[np.ndarray]:
+    """EXACT chunked Viterbi via checkpointed carries (SURVEY.md §7 hard
+    part #3): a cheap forward sweep stores only the O(S) carry at every
+    chunk boundary; the backtrace sweep recomputes each chunk's value
+    rows from its stored carry and walks the optimal path backwards
+    through it.  Bit-identical to the monolithic decode for ANY model
+    (no halo/forgetting assumption), with device memory bounded by one
+    chunk.  Sequential over chunks within a sequence, batched across
+    sequences; used as the fallback when halo stitching cannot reach
+    agreement, and directly for adversarial models.
+    """
+    mats = [np.ascontiguousarray(getattr(t, "symbols", t)) for t in tables]
+    B = len(mats)
+    true_lens = np.asarray([len(m) for m in mats], np.int64)
+    T = mats[0].shape[1]
+    Lb = int(true_lens.max()) - 1          # body = positions 1..L-1
+    Lc = min(chunk_len, max(Lb, 1))
+    n_chunks = max(0, -(-Lb // Lc))
+
+    def obs_chunk(c):
+        """obs for body positions [1 + c*Lc, 1 + (c+1)*Lc) padded."""
+        lo = 1 + c * Lc
+        block = np.zeros((B, Lc, T), dtype=mats[0].dtype)
+        for b, m in enumerate(mats):
+            piece = m[lo : lo + Lc]
+            block[b, : len(piece)] = piece
+        obs = track_log_likelihoods(
+            params.log_em, jnp.asarray(block)
+        )
+        lens = jnp.asarray(np.clip(true_lens - lo, 0, Lc))
+        return obs, lens
+
+    # position 0 values
+    block0 = np.stack([m[0] for m in mats])
+    obs0 = track_log_likelihoods(
+        params.log_em, jnp.asarray(block0[:, None, :])
+    )[:, 0, :]
+    v0 = params.log_start[None, :] + obs0
+    m0 = jnp.maximum(jnp.max(v0, axis=-1, keepdims=True), -1e30)
+    carry = v0 - m0
+
+    # ---- forward sweep: store the carry entering each chunk ----
+    entry_carries = []
+    for c in range(n_chunks):
+        entry_carries.append(carry)
+        obs, lens = obs_chunk(c)
+        carry = dp.viterbi_carry(params.log_trans, obs, carry, lens)
+
+    # ---- backtrace sweep ----
+    end_state = jnp.argmax(carry, axis=-1).astype(jnp.int32)
+    paths = np.zeros((B, int(true_lens.max())), np.int32)
+    for c in reversed(range(n_chunks)):
+        obs, lens = obs_chunk(c)
+        v_hats = dp.viterbi_chunk_values(
+            params.log_trans, obs, entry_carries[c], lens
+        )
+        chunk_path, end_state = dp.viterbi_backtrace_chunk(
+            params.log_trans, v_hats, entry_carries[c], end_state, lens
+        )
+        lo = 1 + c * Lc
+        cp = np.asarray(chunk_path)
+        for b in range(B):
+            hi = min(lo + Lc, int(true_lens[b]))
+            if hi > lo:
+                paths[b, lo:hi] = cp[b, : hi - lo]
+    paths[:, 0] = np.asarray(end_state)
+    return [paths[b, : int(true_lens[b])].copy() for b in range(B)]

@@ -145,10 +145,10 @@ class TestViterbiStitch:
         )
         obs = track_log_likelihoods(params.log_em, jnp.asarray(sym))[None]
         mono, _ = dp.viterbi(params.log_start, params.log_trans, obs)
-        # with enough widening the decode must match monolithic whenever
-        # the report says boundaries agree
-        if report.boundaries_ok:
-            np.testing.assert_array_equal(paths[0], np.asarray(mono[0]))
+        # halo widening or the exact-decoder fallback: either way the
+        # result must now equal the monolithic decode unconditionally
+        assert report.boundaries_ok
+        np.testing.assert_array_equal(paths[0], np.asarray(mono[0]))
 
 
 class TestShardedEm:
@@ -265,3 +265,52 @@ class TestChunkedPosterior:
             [tab], chunk_len=400, halo=96, rows_per_pass=4
         )[0]
         np.testing.assert_array_equal(chunked, mono)
+
+
+class TestViterbiExact:
+    def test_exact_matches_monolithic_adversarial(self, rng):
+        """The checkpointed exact decoder must equal monolithic Viterbi
+        even on the near-uniform model where halo stitching struggles."""
+        from tehmm_tpu.parallel.stitch import viterbi_exact
+
+        S = 2
+        lt = np.log(np.full((S, S), 0.5, np.float32))
+        log_em = np.zeros((S, 1, 3), np.float32)
+        log_em[:, 0, 1:] = np.log(
+            np.array([[0.5001, 0.4999], [0.4999, 0.5001]])
+        )
+        params = HmmParams(
+            log_start=jnp.asarray(np.log([0.5, 0.5]).astype(np.float32)),
+            log_trans=jnp.asarray(lt),
+            log_em=jnp.asarray(log_em),
+        )
+        sym = (rng.randint(0, 2, size=(900, 1)) + 1).astype(np.uint8)
+        obs = track_log_likelihoods(params.log_em, jnp.asarray(sym))[None]
+        mono, _ = dp.viterbi(params.log_start, params.log_trans, obs)
+        got = viterbi_exact(params, [sym], chunk_len=128)
+        np.testing.assert_array_equal(got[0], np.asarray(mono[0]))
+
+    def test_exact_ragged_batch(self, rng):
+        from tehmm_tpu.parallel.stitch import viterbi_exact
+
+        lt = np.log(np.array(
+            [[0.95, 0.05], [0.05, 0.95]], np.float32))
+        log_em = np.zeros((2, 1, 4), np.float32)
+        log_em[:, 0, 1:] = np.log(
+            np.array([[0.6, 0.2, 0.2], [0.2, 0.2, 0.6]])
+        )
+        params = HmmParams(
+            log_start=jnp.asarray(np.log([0.5, 0.5]).astype(np.float32)),
+            log_trans=jnp.asarray(lt),
+            log_em=jnp.asarray(log_em),
+        )
+        syms = [
+            (rng.randint(0, 3, size=(L, 1)) + 1).astype(np.uint8)
+            for L in (701, 350, 513)
+        ]
+        got = viterbi_exact(params, syms, chunk_len=100)
+        for sym, path in zip(syms, got):
+            obs = track_log_likelihoods(
+                params.log_em, jnp.asarray(sym))[None]
+            mono, _ = dp.viterbi(params.log_start, params.log_trans, obs)
+            np.testing.assert_array_equal(path, np.asarray(mono[0]))

@@ -65,27 +65,22 @@ def main():
     sizes = jnp.asarray([V] * T)
     lengths = jnp.full((B,), L, jnp.int32)
     t0 = time.perf_counter()
-    dev_blocks = [
-        jax.device_put(
-            sym[p * per_pass : (p + 1) * per_pass].reshape(B, L, T)
-        )
-        for p in range(n_pass)
-    ]
-    jax.block_until_ready(dev_blocks)
+    dev_passes = jax.device_put(
+        sym[: n_pass * per_pass].reshape(n_pass, B, L, T)
+    )
+    dev_lens = jnp.broadcast_to(lengths, (n_pass, B))
+    jax.block_until_ready(dev_passes)
     t_up = time.perf_counter() - t0
     print(f"[stage]  {t_up:6.1f}s  one-time upload of "
           f"{n_pass*per_pass*T/1e6:.0f}MB to HBM", flush=True)
 
-    # ---- EM training: all-device passes ----
+    # ---- EM training: ONE dispatch per iteration (scan over passes) ----
     t0 = time.perf_counter()
     lls = []
     for it in range(args.iters):
-        total = None
-        for sb in dev_blocks:
-            stats = em_ops.em_sufficient_stats(params, sb, lengths)
-            total = stats if total is None else total + stats
-        params = em_ops.em_m_step(total, params, sizes)
-        lls.append(float(total.loglik))
+        stats = em_ops.em_epoch_scan(params, dev_passes, dev_lens)
+        params = em_ops.em_m_step(stats, params, sizes)
+        lls.append(float(stats.loglik))
     t_train = time.perf_counter() - t0
     pos_rate = args.iters * n_pass * per_pass / t_train
     print(f"[train]  {t_train:6.1f}s  {args.iters} EM iterations over "
@@ -96,7 +91,8 @@ def main():
     t0 = time.perf_counter()
     n_states_decoded = 0
     state_hist = np.zeros(S, np.int64)
-    for sb in dev_blocks:
+    for p in range(n_pass):
+        sb = dev_passes[p]
         obs = track_log_likelihoods(params.log_em, sb)
         paths, _ = dp.viterbi(
             params.log_start, params.log_trans, obs, lengths
