@@ -48,6 +48,12 @@ from tehmm_tpu.parallel.stitch import viterbi_chunked
 from tehmm_tpu.utils.common import EPSILON, JsonlMetrics, logger
 
 
+# E-step pass budget: positions per device dispatch (bounds the E-step
+# working set, ~400 bytes/position at S=20).  Module-level so tests and
+# memory-constrained deployments can tune it.
+_MAX_PASS_POSITIONS = 4 << 20
+
+
 @dataclasses.dataclass
 class FitResult:
     logliks: list[float]
@@ -256,12 +262,13 @@ class MultitrackHmm:
         converged = False
         t0 = time.time()
 
-        # Oversized batches are reshaped into pass-blocks [P, B0, L, T]
-        # and accumulated by ONE lax.scan dispatch per iteration
-        # (em_epoch_scan) — intermediates stay bounded by a pass while
-        # host<->device round trips stay at one per iteration.
+        # Oversized batches are cut into pass-blocks so the E-step's
+        # working set (obs/one-hot/alpha/beta, ~400B per position at
+        # S=20) stays bounded; a host loop over pass dispatches keeps
+        # XLA buffer donation intact (a lax.scan over passes — see
+        # em_epoch_scan — loses donation and pays copies per pass).
         passes = None
-        max_pass_positions = 4 << 20
+        max_pass_positions = _MAX_PASS_POSITIONS
         n_rows, Lr = symbols.shape[0], symbols.shape[1]
         rows_per_pass = max(1, max_pass_positions // max(Lr, 1))
         if mesh is None and n_rows > rows_per_pass:
@@ -344,10 +351,15 @@ class MultitrackHmm:
         for it in range(max_iterations):
             it_t0 = time.time()
             if mesh is None and passes is not None:
-                stats = em_ops.em_epoch_scan(
-                    self.params, passes[0], passes[1],
-                    obs_weights_passes=passes[2],
-                )
+                stats = None
+                for pi in range(passes[0].shape[0]):
+                    s = em_ops.em_sufficient_stats(
+                        self.params, passes[0][pi], passes[1][pi],
+                        obs_weights=(
+                            None if passes[2] is None else passes[2][pi]
+                        ),
+                    )
+                    stats = s if stats is None else stats + s
                 new_params = em_ops.em_m_step(
                     stats, self.params, sizes, masks, epsilon
                 )

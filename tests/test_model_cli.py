@@ -264,3 +264,36 @@ class TestDeviceLoopCli:
         acc0 = _accuracy(out_bed, f["truth"], f["L"], {"0": 0, "1": 1})
         acc1 = _accuracy(out_bed, f["truth"], f["L"], {"0": 1, "1": 0})
         assert max(acc0, acc1) > 0.85
+
+
+class TestOversizedBatch:
+    def test_fit_pass_blocks_match_flat(self, fixture_dir):
+        """fit() must give the same training result whether the batch is
+        processed flat or in pass-blocks (memory-bounding path)."""
+        from tehmm_tpu.io import TrackList, load_track_data
+        from tehmm_tpu.models import hmm as hmm_mod
+        from tehmm_tpu.models.hmm import MultitrackHmm
+
+        f = fixture_dir
+        tl = TrackList(f["xml"])
+        td = load_track_data(tl, [("chr1", 0, f["L"])])
+
+        import tehmm_tpu.models.hmm as H
+
+        def train():
+            m = MultitrackHmm.initialized(
+                2, td, init="random", seed=7
+            )
+            m.fit(td.tables, max_iterations=5, convergence_tol=0.0,
+                  chunk_len=256)  # 12 chunk rows
+            return np.asarray(m.params.log_trans)
+
+        flat = train()
+        orig = H._MAX_PASS_POSITIONS
+        try:
+            # 1024 positions per pass -> 4 rows/pass -> 3 passes
+            H._MAX_PASS_POSITIONS = 1024
+            split = train()
+        finally:
+            H._MAX_PASS_POSITIONS = orig
+        np.testing.assert_allclose(flat, split, rtol=1e-4, atol=1e-5)
