@@ -47,6 +47,10 @@ def make_parser() -> argparse.ArgumentParser:
                    help="decode chunk length")
     p.add_argument("--halo", type=int, default=256,
                    help="stitching halo width")
+    p.add_argument("--exact", action="store_true",
+                   help="use the exact checkpointed chunked decoder "
+                        "instead of halo stitching (always equals the "
+                        "monolithic decode; sequential over chunks)")
     p.add_argument("--segment", action="store_true",
                    help="query BED contains segment-tracks output: one "
                         "observation per segment (reference: teHmmEval "
@@ -102,6 +106,12 @@ def main(argv=None) -> int:
     cfg_meta = model.extra.get("cfg") if model.extra else None
     if cfg_meta:
         paths = _cfg_decode(model, cfg_meta, track_data.tables)
+    elif opts.exact:
+        from tehmm_tpu.parallel.stitch import viterbi_exact
+
+        paths = viterbi_exact(
+            model.params, track_data.tables, chunk_len=opts.chunk
+        )
     elif opts.maxPost:
         paths = model.posterior_decode_tables(
             track_data.tables, chunk_len=opts.chunk
