@@ -241,7 +241,7 @@ def _train_unsupervised(
             n_states, track_data, init=init, seed=opts.seed,
             state_names=state_names,
         )
-        log_em = np.asarray(model.params.log_em)
+        log_em = np.array(model.params.log_em)  # mutable copy
         if log_em.shape[2] < prior.shape[2]:
             pad = prior.shape[2] - log_em.shape[2]
             log_em = np.pad(log_em, ((0, 0), (0, 0), (0, pad)))

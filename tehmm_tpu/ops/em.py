@@ -192,6 +192,32 @@ def _apply_force(log_p: jax.Array, force: jax.Array) -> jax.Array:
     return jnp.log(jnp.maximum(new_p, 1e-300)).astype(jnp.float32)
 
 
+def _apply_force_em(
+    log_em: jax.Array, force: jax.Array, alphabet_sizes: jax.Array
+) -> jax.Array:
+    """Emission variant of _apply_force: only REAL symbols (1 <= v <
+    alphabet size) participate — the missing column carries probability
+    1.0 by convention and pads are inert, so including them in the free
+    mass would corrupt the renormalization.  Output re-obeys the params
+    conventions (missing col 0.0, pads 0.0)."""
+    S, T, V = log_em.shape
+    v_idx = jnp.arange(V)[None, :]
+    sizes = jnp.asarray(alphabet_sizes)[:, None]
+    real = ((v_idx >= 1) & (v_idx < sizes))[None]          # [1, T, V]
+    forced = (force >= 0.0) & real
+    p = jnp.where(real, jnp.exp(log_em), 0.0)
+    forced_mass = jnp.sum(jnp.where(forced, force, 0.0), -1, keepdims=True)
+    free_mass = jnp.sum(jnp.where(forced, 0.0, p), -1, keepdims=True)
+    scale = jnp.where(
+        free_mass > 0,
+        (1.0 - forced_mass) / jnp.maximum(free_mass, 1e-300),
+        0.0,
+    )
+    new_p = jnp.where(forced, force, p * scale)
+    log_out = jnp.log(jnp.maximum(new_p, 1e-300)).astype(jnp.float32)
+    return jnp.where(real, log_out, 0.0)
+
+
 @partial(jax.jit, static_argnames=("epsilon",))
 def em_m_step(
     stats: EmStats,
@@ -216,7 +242,9 @@ def em_m_step(
         if masks.force_trans is not None:
             log_trans = _apply_force(log_trans, masks.force_trans)
         if masks.force_em is not None:
-            log_em = _apply_force(log_em, masks.force_em)
+            log_em = _apply_force_em(
+                log_em, masks.force_em, alphabet_sizes
+            )
 
     return HmmParams(
         log_start=log_start, log_trans=log_trans, log_em=log_em

@@ -297,3 +297,56 @@ class TestOversizedBatch:
         finally:
             H._MAX_PASS_POSITIONS = orig
         np.testing.assert_allclose(flat, split, rtol=1e-4, atol=1e-5)
+
+
+class TestEmissionPriors:
+    def test_init_and_force_em_probs(self, fixture_dir):
+        """--initEmProbs seeds named states with emission values;
+        --forceEmProbs overwrites entries after training
+        (reference: teHmmTrain.py semi-supervised emission pinning)."""
+        f = fixture_dir
+        init_em = f["dir"] / "em_init.txt"
+        init_em.write_text(
+            "# state track value prob\n"
+            "TE a X 0.8\n"
+            "TE a Y 0.2\n"
+            "BG a X 0.1\n"
+            "BG a Y 0.9\n"
+        )
+        model_path = str(f["dir"] / "emprior.npz")
+        rc = cli_train.main(
+            [f["xml"], f["regions_bed"], model_path,
+             "--initEmProbs", str(init_em), "--fixEm",
+             "--iter", "10", "--seed", "1"]
+        )
+        assert rc == 0
+        model = MultitrackHmm.load(model_path)
+        assert model.state_names[:2] == ["TE", "BG"]
+        cm = model.category_maps["a"]
+        x = cm.get_map("X")
+        te = model.state_names.index("TE")
+        em = np.exp(np.asarray(model.params.log_em))
+        # --fixEm froze the seeded values
+        np.testing.assert_allclose(em[te, 0, x], 0.8, atol=1e-5)
+
+        force_em = f["dir"] / "em_force.txt"
+        force_em.write_text("0 a X 0.5\n")
+        m2 = str(f["dir"] / "emforce.npz")
+        rc = cli_train.main(
+            [f["xml"], f["regions_bed"], m2,
+             "--numStates", "2", "--forceEmProbs", str(force_em),
+             "--iter", "5", "--seed", "1"]
+        )
+        assert rc == 0
+        model2 = MultitrackHmm.load(m2)
+        s0 = model2.state_names.index("0")
+        cm2 = model2.category_maps["a"]
+        em2 = np.exp(np.asarray(model2.params.log_em))
+        np.testing.assert_allclose(
+            em2[s0, 0, cm2.get_map("X")], 0.5, atol=1e-4
+        )
+        # row still sums to 1 over real symbols
+        sizes = model2.alphabet_sizes
+        np.testing.assert_allclose(
+            em2[s0, 0, 1:sizes[0]].sum(), 1.0, atol=1e-4
+        )

@@ -40,8 +40,12 @@ def _planted_dataset(rng, n_states, n_tracks, alphabet, length):
             s = draws[i]
         true[i] = s
     sym = np.zeros((length, n_tracks), np.uint8)
+    # per-track coprime moduli so the track-symbol VECTOR identifies the
+    # state (a single shared modulus aliases states s and s+m)
+    moduli = [7, 5, 3, 7, 5, 3, 7, 5][: n_tracks]
     for t in range(n_tracks):
-        correct = (true % (alphabet - 1)) + 1
+        m = min(moduli[t % len(moduli)], alphabet - 1)
+        correct = (true % m) + 1
         noise = rng.randint(1, alphabet, length)
         take = rng.rand(length) < 0.7
         sym[:, t] = np.where(take, correct, noise)
@@ -98,7 +102,7 @@ def _device_configs(out):
     rng = np.random.RandomState(1)
 
     # ---- config 2: 10 states, 5 tracks, supervised viterbi, 1 "chrom"
-    S, T, V, N = 10, 5, 8, 10_000_000
+    S, T, V, N = 10, 5, 8, 4_194_304
     sym, true = _planted_dataset(rng, S, T, V, N)
     from tehmm_tpu.ops.em import supervised_counts  # noqa: F401
     # supervised params via native counting through the model facade path
