@@ -245,9 +245,14 @@ def _train_unsupervised(
         if log_em.shape[2] < prior.shape[2]:
             pad = prior.shape[2] - log_em.shape[2]
             log_em = np.pad(log_em, ((0, 0), (0, 0), (0, pad)))
-        spec = prior >= 0
-        log_em[spec] = np.log(np.maximum(prior[spec], 1e-300))
-        log_em = apply_emission_conventions(log_em, sizes)
+        # seeded entries overwrite the random init and the remaining REAL
+        # symbols renormalize to the leftover mass (same semantics as
+        # --forceEmProbs; reference: applyUserEmission init handling)
+        log_em = np.asarray(em_ops._apply_force_em(
+            jnp.asarray(apply_emission_conventions(log_em, sizes)),
+            jnp.asarray(prior[:, :, : log_em.shape[2]]),
+            jnp.asarray(sizes),
+        ))
         model.params = HmmParams(
             log_start=model.params.log_start,
             log_trans=model.params.log_trans,

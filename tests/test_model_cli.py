@@ -350,3 +350,27 @@ class TestEmissionPriors:
         np.testing.assert_allclose(
             em2[s0, 0, 1:sizes[0]].sum(), 1.0, atol=1e-4
         )
+
+    def test_init_em_rows_renormalized(self, fixture_dir):
+        """Partially-specified --initEmProbs rows must still sum to 1
+        over real symbols."""
+        f = fixture_dir
+        init_em = f["dir"] / "partial.txt"
+        init_em.write_text("TE a X 0.7\n")  # Y left free
+        model_path = str(f["dir"] / "partial.npz")
+        rc = cli_train.main(
+            [f["xml"], f["regions_bed"], model_path,
+             "--initEmProbs", str(init_em), "--fixEm", "--iter", "2"]
+        )
+        assert rc == 0
+        model = MultitrackHmm.load(model_path)
+        te = model.state_names.index("TE")
+        sizes = model.alphabet_sizes
+        em = np.exp(np.asarray(model.params.log_em))
+        cm = model.category_maps["a"]
+        np.testing.assert_allclose(
+            em[te, 0, cm.get_map("X")], 0.7, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            em[te, 0, 1:sizes[0]].sum(), 1.0, atol=1e-5
+        )
