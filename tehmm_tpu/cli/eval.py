@@ -69,7 +69,12 @@ def main(argv=None) -> int:
     opts = make_parser().parse_args(argv)
     set_logging_from_options(opts)
 
-    model = MultitrackHmm.load(opts.inputModel)
+    try:
+        model = MultitrackHmm.load(opts.inputModel)
+    except FileNotFoundError:
+        raise SystemExit(
+            f"model file not found: {opts.inputModel}"
+        )
     # tracks XML may point at different data paths than training; names
     # must match the model's tracks
     track_list = TrackList(opts.tracksInfo)

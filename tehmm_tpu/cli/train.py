@@ -57,6 +57,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0, help="RNG seed")
     p.add_argument("--reps", type=int, default=1,
                    help="random restarts; best final loglik wins")
+    p.add_argument("--numThreads", type=int, default=1,
+                   help="accepted for reference compatibility; restarts "
+                        "run sequentially here (a single accelerator "
+                        "serializes them anyway)")
     p.add_argument("--initTransProbs", default=None,
                    help="transition prior text file (init values)")
     p.add_argument("--fixTrans", action="store_true",

@@ -40,7 +40,12 @@ def main(argv=None) -> int:
 
     setup_jax()
     opts = make_parser().parse_args(argv)
-    model = MultitrackHmm.load(opts.inputModel)
+    try:
+        model = MultitrackHmm.load(opts.inputModel)
+    except FileNotFoundError:
+        raise SystemExit(
+            f"model file not found: {opts.inputModel}"
+        )
     np.set_printoptions(precision=opts.precision, suppress=True)
     show_all = not (opts.trans or opts.em or opts.start)
 
