@@ -395,9 +395,9 @@ class MultitrackHmm:
     def decode_tables(
         self,
         tables: Sequence[TrackTable],
-        chunk_len: int = 1 << 14,
+        chunk_len: int = 4096,
         halo: int = 256,
-        rows_per_pass: int = 64,
+        rows_per_pass: int = 512,
     ) -> tuple[list[np.ndarray], object]:
         """Viterbi state paths for each table (boundary-exact chunked)."""
         paths, report = viterbi_chunked(
@@ -409,7 +409,7 @@ class MultitrackHmm:
     def decode_to_bed(
         self,
         tables: Sequence[TrackTable],
-        chunk_len: int = 1 << 14,
+        chunk_len: int = 4096,
         halo: int = 256,
     ) -> list[tuple]:
         """Viterbi -> merged (chrom, start, end, stateName) intervals

@@ -82,11 +82,11 @@ def _decode_batch(
 def viterbi_chunked(
     params: HmmParams,
     tables: Sequence,
-    chunk_len: int = 1 << 14,
+    chunk_len: int = 4096,
     halo: int = 256,
     max_halo: int = 1 << 14,
     agree_frac: float = 0.5,
-    rows_per_pass: int = 64,
+    rows_per_pass: int = 512,
     strict: bool = False,
     weight_arrays: Sequence[np.ndarray] | None = None,
 ) -> tuple[list[np.ndarray], StitchReport]:
