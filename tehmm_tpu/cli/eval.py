@@ -107,7 +107,7 @@ def main(argv=None) -> int:
         eval_list, regions, category_maps=model.category_maps
     )
 
-    total_ll = model.score(track_data.tables)
+    total_ll = model.score(track_data.tables, chunk_len=opts.chunk)
     print(f"{total_ll}")
 
     cfg_meta = model.extra.get("cfg") if model.extra else None
