@@ -387,3 +387,188 @@ def viterbi_pallas(
     )
     path = jnp.concatenate([first_state[None], states], axis=0)
     return jnp.moveaxis(path, 0, 1)[:b_orig], score
+
+
+# ---------------------------------------------------------------------
+# v2 forward: grid-free fori_loop with manual double-buffered DMA.
+# Layout [L, S_pad, Bp]: batch rides the 128-lane dim (aligned for DMA
+# slicing), states ride sublanes padded to a multiple of 8.
+# ---------------------------------------------------------------------
+
+_KV2 = 4  # time steps per fori iteration (per-block DMA + K-unrolled math)
+
+
+def _forward_kernel_v2(
+    len_ref,        # [1, Bp] int32 (VMEM)
+    start_ref,      # [S_pad, Bp] log_start broadcast (VMEM)
+    trans_t_ref,    # [S_pad, S_pad] exp(log_trans).T zero-padded (VMEM)
+    obs_hbm,        # [NB, K, S_pad, Bp] (ANY/HBM), pad rows = LOG_ZERO
+    alpha_hbm,      # [NB, K, S_pad, Bp] out
+    dm_hbm,         # [NB, K, 8, Bp] out (normalizer row replicated 8x)
+    obs_buf,        # VMEM [2, K, S_pad, Bp]
+    out_buf,        # VMEM [2, K, S_pad, Bp]
+    dm_buf,         # VMEM [2, K, 8, Bp]
+    alpha_scr,      # VMEM [S_pad, Bp]
+    in_sem, out_sem, dm_sem,
+):
+    NB = obs_hbm.shape[0]
+    K = obs_hbm.shape[1]
+    lens = len_ref[0, :][None, :]                       # [1, Bp] i32
+
+    def in_dma(slot, blk):
+        return pltpu.make_async_copy(
+            obs_hbm.at[blk], obs_buf.at[slot], in_sem.at[slot]
+        )
+
+    def out_dma(slot, blk):
+        return pltpu.make_async_copy(
+            out_buf.at[slot], alpha_hbm.at[blk], out_sem.at[slot]
+        )
+
+    def dm_dma(slot, blk):
+        return pltpu.make_async_copy(
+            dm_buf.at[slot], dm_hbm.at[blk], dm_sem.at[slot]
+        )
+
+    in_dma(0, 0).start()
+
+    def body(blk, _):
+        slot = jax.lax.rem(blk, 2)
+        nxt = jax.lax.rem(blk + 1, 2)
+
+        @pl.when(blk + 1 < NB)
+        def _prefetch():
+            in_dma(nxt, blk + 1).start()
+
+        in_dma(slot, blk).wait()
+
+        @pl.when(blk >= 2)
+        def _drain():
+            out_dma(slot, blk - 2).wait()
+            dm_dma(slot, blk - 2).wait()
+
+        for k in range(K):                     # static unroll
+            t = blk * K + k
+            obs_row = obs_buf[slot, k]
+            a_hat = alpha_scr[:, :]
+            p = jnp.exp(a_hat)
+            # new[j, b] = sum_i T[i, j] p[i, b]  ==  T^T @ p
+            s = jnp.dot(trans_t_ref[:, :], p,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            trans_term = jnp.where(s > 0, jnp.log(s), LOG_ZERO)
+            base = jnp.where(t == 0, start_ref[:, :], trans_term)
+            new = base + obs_row               # pad rows stay low
+            m = jnp.maximum(
+                jnp.max(new, axis=0, keepdims=True), LOG_ZERO
+            )                                  # [1, Bp]
+            valid = t < lens                   # [1, Bp] bool
+            new_hat = jnp.where(valid, new - m, a_hat)
+            dm = jnp.where(valid, m, 0.0)
+            alpha_scr[:, :] = new_hat
+            out_buf[slot, k] = new_hat
+            dm_buf[slot, k] = jnp.broadcast_to(
+                dm, dm_buf[slot, k].shape
+            )
+        out_dma(slot, blk).start()
+        dm_dma(slot, blk).start()
+        return 0
+
+    jax.lax.fori_loop(0, NB, body, 0)
+
+    @pl.when(NB >= 2)
+    def _():
+        out_dma(jax.lax.rem(NB - 2, 2), NB - 2).wait()
+        dm_dma(jax.lax.rem(NB - 2, 2), NB - 2).wait()
+    out_dma(jax.lax.rem(NB - 1, 2), NB - 1).wait()
+    dm_dma(jax.lax.rem(NB - 1, 2), NB - 1).wait()
+
+
+@jax.jit
+def forward_scaled_pallas_v2(
+    log_start: jax.Array,
+    log_trans: jax.Array,
+    obs: jax.Array,
+    lengths: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Grid-free fused forward: ONE Pallas program whose fori_loop walks
+    the whole time axis with double-buffered HBM<->VMEM DMA (the guide's
+    streaming pattern) — no per-step Mosaic grid overhead.
+
+    STATUS (v5e, 2026-08): 5.5ms vs 7.1ms for the XLA scan at
+    B=2048/L=1024/S=20 (23% faster, 380M pos/s).  alpha_hat matches the
+    XLA path to ~2e-6 (so posteriors/decodes are unaffected), but the
+    per-step normalizer stream is quantized at ~2^-10 by the Mosaic
+    matmul in this [S,S]@[S,B] orientation REGARDLESS of the requested
+    precision (an explicit VPU accumulation compiles to the same result),
+    giving ~3e-4 relative error on accumulated log-likelihoods.  Until
+    that Mosaic behavior changes, ops/dp.forward_scaled stays the default
+    and this kernel is for throughput-critical training where 3e-4 on
+    the convergence metric is immaterial."""
+    B, L, S = obs.shape
+    lengths = jnp.full((B,), L, jnp.int32) if lengths is None else lengths
+    Bp = -(-B // 128) * 128
+    Sp = -(-S // 8) * 8
+    K = _KV2
+    Lp = -(-L // K) * K
+    NB = Lp // K
+    obs_t = jnp.moveaxis(obs, 1, 0)                      # [L, B, S]
+    obs_t = jnp.swapaxes(obs_t, 1, 2)                    # [L, S, B]
+    obs_t = jnp.pad(
+        obs_t, ((0, Lp - L), (0, Sp - S), (0, Bp - B)),
+        constant_values=LOG_ZERO,
+    ).reshape(NB, K, Sp, Bp)
+    len2 = jnp.pad(lengths.astype(jnp.int32), (0, Bp - B))[None, :]
+    trans_t = jnp.pad(
+        jnp.exp(log_trans).T, ((0, Sp - S), (0, Sp - S))
+    )
+    start2 = jnp.broadcast_to(
+        jnp.pad(log_start, (0, Sp - S),
+                constant_values=LOG_ZERO)[:, None],
+        (Sp, Bp),
+    )
+
+    alpha_pad, dm_pad = pl.pallas_call(
+        _forward_kernel_v2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, Bp), lambda g: (0, 0)),
+            pl.BlockSpec((Sp, Bp), lambda g: (0, 0)),
+            pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NB, K, Sp, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((NB, K, 8, Bp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, K, Sp, Bp), jnp.float32),
+            pltpu.VMEM((2, K, Sp, Bp), jnp.float32),
+            pltpu.VMEM((2, K, 8, Bp), jnp.float32),
+            pltpu.VMEM((Sp, Bp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(len2, start2, trans_t, obs_t)
+
+    alpha_flat = alpha_pad.reshape(Lp, Sp, Bp)[:L]
+    dm_flat = dm_pad.reshape(Lp, 8, Bp)[:L]
+    alpha_hat = jnp.transpose(
+        alpha_flat[:, :S, :B], (2, 0, 1)
+    )                                                    # [B, L, S]
+    dms = jnp.transpose(dm_flat[:, 0, :B], (1, 0))       # [B, L]
+    log_c = jnp.cumsum(dms, axis=1)
+    final = alpha_hat[:, -1, :]
+    loglik = (
+        jnp.log(jnp.sum(jnp.exp(final), axis=-1)) + jnp.sum(dms, axis=1)
+    )
+    return alpha_hat, log_c, loglik

@@ -81,3 +81,17 @@ class TestPallasParity:
         p_ref, _ = dp.viterbi(ls, lt, obs)
         p, _ = pk.viterbi_pallas(ls, lt, obs)
         np.testing.assert_array_equal(np.asarray(p), np.asarray(p_ref))
+
+
+class TestStreamingV2:
+    def test_v2_forward_parity(self, rng, make_hmm):
+        ls, lt, obs = _setup(rng, make_hmm, S=5, T=2, V=4, L=37, B=3)
+        lens = jnp.asarray([37, 20, 7])
+        ah_ref, lc_ref, ll_ref = dp.forward_scaled(ls, lt, obs, lens)
+        ah, lc, ll = pk.forward_scaled_pallas_v2(ls, lt, obs, lens)
+        np.testing.assert_allclose(
+            np.asarray(ah), np.asarray(ah_ref), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(ll), np.asarray(ll_ref), rtol=1e-6
+        )
