@@ -535,11 +535,11 @@ def forward_scaled_pallas_v2(
             pl.BlockSpec((1, Bp), lambda g: (0, 0)),
             pl.BlockSpec((Sp, Bp), lambda g: (0, 0)),
             pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((NB, K, Sp, Bp), jnp.float32),
@@ -572,3 +572,144 @@ def forward_scaled_pallas_v2(
         jnp.log(jnp.sum(jnp.exp(final), axis=-1)) + jnp.sum(dms, axis=1)
     )
     return alpha_hat, log_c, loglik
+
+
+# ---------------------------------------------------------------------
+# v2 backward (same streaming design, time reversed)
+# ---------------------------------------------------------------------
+
+def _backward_kernel_v2(
+    len_ref,        # [1, Bp] int32
+    trans_ref,      # [S_pad, S_pad] exp(log_trans) zero-padded (VMEM)
+    obs_hbm,        # [NB, K, S_pad, Bp] REVERSED time order
+    beta_hbm,       # [NB, K, S_pad, Bp] out (reversed order)
+    obs_buf, out_buf, beta_scr,
+    in_sem, out_sem,
+):
+    NB = obs_hbm.shape[0]
+    K = obs_hbm.shape[1]
+    L = NB * K
+    lens = len_ref[0, :][None, :]
+
+    def in_dma(slot, blk):
+        return pltpu.make_async_copy(
+            obs_hbm.at[blk], obs_buf.at[slot], in_sem.at[slot]
+        )
+
+    def out_dma(slot, blk):
+        return pltpu.make_async_copy(
+            out_buf.at[slot], beta_hbm.at[blk], out_sem.at[slot]
+        )
+
+    in_dma(0, 0).start()
+
+    def body(blk, _):
+        slot = jax.lax.rem(blk, 2)
+        nxt = jax.lax.rem(blk + 1, 2)
+
+        @pl.when(blk + 1 < NB)
+        def _prefetch():
+            in_dma(nxt, blk + 1).start()
+
+        in_dma(slot, blk).wait()
+
+        @pl.when(blk >= 2)
+        def _drain():
+            out_dma(slot, blk - 2).wait()
+
+        for k in range(K):             # static unroll
+            # reversed stream index r -> t_next = L - r
+            r = blk * K + k
+            t_next = L - r
+            obs_next = obs_buf[slot, k]           # obs at t_next
+            b_hat = beta_scr[:, :]
+            @pl.when(r == 0)
+            def _init():
+                beta_scr[:, :] = jnp.zeros_like(beta_scr)
+            b_hat = beta_scr[:, :]
+            x = obs_next + b_hat
+            xm = jnp.maximum(
+                jnp.max(x, axis=0, keepdims=True), LOG_ZERO
+            )
+            p = jnp.exp(x - xm)
+            # new[i, b] = sum_j T[i, j] p[j, b]  ==  T @ p
+            s = jnp.dot(trans_ref[:, :], p,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            new = jnp.where(s > 0, jnp.log(s), LOG_ZERO)
+            nm = jnp.maximum(
+                jnp.max(new, axis=0, keepdims=True), LOG_ZERO
+            )
+            valid = t_next < lens
+            new_hat = jnp.where(valid, new - nm, b_hat)
+            beta_scr[:, :] = new_hat
+            out_buf[slot, k] = new_hat
+        out_dma(slot, blk).start()
+        return 0
+
+    jax.lax.fori_loop(0, NB, body, 0)
+
+    @pl.when(NB >= 2)
+    def _():
+        out_dma(jax.lax.rem(NB - 2, 2), NB - 2).wait()
+    out_dma(jax.lax.rem(NB - 1, 2), NB - 1).wait()
+
+
+@jax.jit
+def backward_hat_pallas_v2(
+    log_trans: jax.Array,
+    obs: jax.Array,
+    lengths: jax.Array | None = None,
+) -> jax.Array:
+    """Streaming v2 backward returning beta_hat only (the quantity EM
+    consumes; cumulative normalizers are not produced — see the v2
+    forward STATUS note).  Returns beta_hat[B, L, S]."""
+    B, L, S = obs.shape
+    lengths = jnp.full((B,), L, jnp.int32) if lengths is None else lengths
+    Bp = -(-B // 128) * 128
+    Sp = -(-S // 8) * 8
+    K = _KV2
+    # Reversed body stream: index r consumes obs at t_next = Lp - r and
+    # emits beta_hat for position t_next - 1 = Lp - 1 - r.  The kernel
+    # derives t_next from its own padded length (NB*K), so padding must
+    # sit at the stream HEAD as dummies with t_next >= L (invalid for
+    # every row) — tail padding would alias t_next <= 0 as valid steps.
+    Lp = -(-L // K) * K
+    NB = Lp // K
+    obs_t = jnp.moveaxis(obs, 1, 0)
+    obs_t = jnp.swapaxes(obs_t, 1, 2)                    # [L, S, B]
+    obs_t = jnp.pad(
+        obs_t, ((0, 0), (0, Sp - S), (0, Bp - B)),
+        constant_values=LOG_ZERO,
+    )
+    idx = jnp.clip(Lp - jnp.arange(Lp), 0, L - 1)
+    obs_rev = obs_t[idx].reshape(NB, K, Sp, Bp)
+    len2 = jnp.pad(lengths.astype(jnp.int32), (0, Bp - B))[None, :]
+    trans_p = jnp.pad(jnp.exp(log_trans), ((0, Sp - S), (0, Sp - S)))
+
+    beta_pad = pl.pallas_call(
+        _backward_kernel_v2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, Bp), lambda g: (0, 0)),
+            pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((NB, K, Sp, Bp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, K, Sp, Bp), jnp.float32),
+            pltpu.VMEM((2, K, Sp, Bp), jnp.float32),
+            pltpu.VMEM((Sp, Bp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(len2, trans_p, obs_rev)
+
+    # stream index r wrote beta_hat at position Lp - 1 - r
+    beta_flat = beta_pad.reshape(Lp, Sp, Bp)[::-1][:L]   # -> position order
+    return jnp.transpose(beta_flat[:, :S, :B], (2, 0, 1))

@@ -25,14 +25,15 @@ from tehmm_tpu.utils.common import EPSILON
 
 def _local_stats(params, symbols, lengths, matmul):
     stats = em_ops.em_sufficient_stats(
-        params, symbols, lengths, matmul=matmul
+        params, symbols, lengths, matmul=matmul, engine="xla"
     )
     return jax.lax.psum(stats, DATA_AXIS)
 
 
 def _local_stats_weighted(params, symbols, lengths, weights, matmul):
     stats = em_ops.em_sufficient_stats(
-        params, symbols, lengths, matmul=matmul, obs_weights=weights
+        params, symbols, lengths, matmul=matmul, obs_weights=weights,
+        engine="xla",
     )
     return jax.lax.psum(stats, DATA_AXIS)
 
