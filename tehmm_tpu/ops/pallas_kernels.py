@@ -713,3 +713,183 @@ def backward_hat_pallas_v2(
     # stream index r wrote beta_hat at position Lp - 1 - r
     beta_flat = beta_pad.reshape(Lp, Sp, Bp)[::-1][:L]   # -> position order
     return jnp.transpose(beta_flat[:, :S, :B], (2, 0, 1))
+
+
+# ---------------------------------------------------------------------
+# v2 Viterbi values (max-plus streaming; backtrace stays in XLA)
+# ---------------------------------------------------------------------
+
+def _viterbi_kernel_v2(
+    len_ref,        # [1, Bp] int32
+    start_ref,      # [S_pad, Bp] log_start broadcast (pad rows LOG_ZERO)
+    trans_ref,      # [S_pad, S_pad] log_trans (pad entries LOG_ZERO)
+    obs_hbm,        # [NB, K, S_pad, Bp]
+    v_hbm,          # [NB, K, S_pad, Bp] out: max-normalized values
+    dm_hbm,         # [NB, K, 8, Bp] out: normalizer increments
+    obs_buf, out_buf, dm_buf, v_scr,
+    in_sem, out_sem, dm_sem,
+):
+    NB = obs_hbm.shape[0]
+    K = obs_hbm.shape[1]
+    Sp = obs_hbm.shape[2]
+    lens = len_ref[0, :][None, :]
+
+    def in_dma(slot, blk):
+        return pltpu.make_async_copy(
+            obs_hbm.at[blk], obs_buf.at[slot], in_sem.at[slot]
+        )
+
+    def out_dma(slot, blk):
+        return pltpu.make_async_copy(
+            out_buf.at[slot], v_hbm.at[blk], out_sem.at[slot]
+        )
+
+    def dm_dma(slot, blk):
+        return pltpu.make_async_copy(
+            dm_buf.at[slot], dm_hbm.at[blk], dm_sem.at[slot]
+        )
+
+    in_dma(0, 0).start()
+
+    def body(blk, _):
+        slot = jax.lax.rem(blk, 2)
+        nxt = jax.lax.rem(blk + 1, 2)
+
+        @pl.when(blk + 1 < NB)
+        def _prefetch():
+            in_dma(nxt, blk + 1).start()
+
+        in_dma(slot, blk).wait()
+
+        @pl.when(blk >= 2)
+        def _drain():
+            out_dma(slot, blk - 2).wait()
+            dm_dma(slot, blk - 2).wait()
+
+        for k in range(K):                 # static unroll
+            t = blk * K + k
+            obs_row = obs_buf[slot, k]
+            v_hat = v_scr[:, :]
+            # best[j, b] = max_i (v[i, b] + T[i, j]) — accumulated on the
+            # VPU (no MXU analogue for max-plus)
+            best = v_hat[0:1, :] + trans_ref[0, :][:, None]
+            for i in range(1, Sp):
+                best = jnp.maximum(
+                    best, v_hat[i:i + 1, :] + trans_ref[i, :][:, None]
+                )
+            base = jnp.where(t == 0, start_ref[:, :], best)
+            new = base + obs_row
+            m = jnp.maximum(
+                jnp.max(new, axis=0, keepdims=True), LOG_ZERO
+            )
+            valid = t < lens
+            new_hat = jnp.where(valid, new - m, v_hat)
+            v_scr[:, :] = new_hat
+            out_buf[slot, k] = new_hat
+            dm_buf[slot, k] = jnp.broadcast_to(
+                jnp.where(valid, m, 0.0), dm_buf[slot, k].shape
+            )
+        out_dma(slot, blk).start()
+        dm_dma(slot, blk).start()
+        return 0
+
+    jax.lax.fori_loop(0, NB, body, 0)
+
+    @pl.when(NB >= 2)
+    def _():
+        out_dma(jax.lax.rem(NB - 2, 2), NB - 2).wait()
+        dm_dma(jax.lax.rem(NB - 2, 2), NB - 2).wait()
+    out_dma(jax.lax.rem(NB - 1, 2), NB - 1).wait()
+    dm_dma(jax.lax.rem(NB - 1, 2), NB - 1).wait()
+
+
+@jax.jit
+def viterbi_pallas_v2(
+    log_start: jax.Array,
+    log_trans: jax.Array,
+    obs: jax.Array,
+    lengths: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Streaming-v2 Viterbi: max-plus values from the fused kernel (pure
+    VPU — immune to the v2 matmul quantization note), then the same
+    pointer-free XLA backtrace as ops.dp.viterbi.  Bit-identical
+    tie-breaking (lowest predecessor index via first-hit maximum)."""
+    B, L, S = obs.shape
+    lengths = jnp.full((B,), L, jnp.int32) if lengths is None else lengths
+    Bp = -(-B // 128) * 128
+    Sp = -(-S // 8) * 8
+    K = _KV2
+    Lp = -(-L // K) * K
+    NB = Lp // K
+    obs_t = jnp.moveaxis(obs, 1, 0)
+    obs_t = jnp.swapaxes(obs_t, 1, 2)
+    obs_t = jnp.pad(
+        obs_t, ((0, Lp - L), (0, Sp - S), (0, Bp - B)),
+        constant_values=LOG_ZERO,
+    ).reshape(NB, K, Sp, Bp)
+    len2 = jnp.pad(lengths.astype(jnp.int32), (0, Bp - B))[None, :]
+    trans_p = jnp.pad(
+        log_trans, ((0, Sp - S), (0, Sp - S)),
+        constant_values=LOG_ZERO,
+    )
+    start2 = jnp.broadcast_to(
+        jnp.pad(log_start, (0, Sp - S),
+                constant_values=LOG_ZERO)[:, None],
+        (Sp, Bp),
+    )
+
+    v_pad, dm_pad = pl.pallas_call(
+        _viterbi_kernel_v2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, Bp), lambda g: (0, 0)),
+            pl.BlockSpec((Sp, Bp), lambda g: (0, 0)),
+            pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NB, K, Sp, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((NB, K, 8, Bp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, K, Sp, Bp), jnp.float32),
+            pltpu.VMEM((2, K, Sp, Bp), jnp.float32),
+            pltpu.VMEM((2, K, 8, Bp), jnp.float32),
+            pltpu.VMEM((Sp, Bp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(len2, start2, trans_p, obs_t)
+
+    v_flat = v_pad.reshape(Lp, Sp, Bp)[:L, :S, :B]      # [L, S, B]
+    v_hats = jnp.transpose(v_flat, (0, 2, 1))           # [L, B, S]
+    dms = dm_pad.reshape(Lp, 8, Bp)[:L, 0, :B]          # [L, B]
+
+    v_final = v_hats[-1]
+    score = jnp.max(v_final, axis=-1) + jnp.sum(dms, axis=0)
+    last_state = jnp.argmax(v_final, axis=-1).astype(jnp.int32)
+    trans_T = log_trans.T
+
+    def back(state, xs):
+        v_prev, t = xs
+        col = trans_T[state]
+        prev = jnp.argmax(v_prev + col, axis=-1).astype(jnp.int32)
+        valid_t = t < lengths
+        prev = jnp.where(valid_t, prev, state)
+        return prev, state
+
+    ts = jnp.arange(1, L)
+    first_state, states = jax.lax.scan(
+        back, last_state, (v_hats[:-1], ts), reverse=True, unroll=8
+    )
+    path = jnp.concatenate([first_state[None], states], axis=0)
+    return jnp.moveaxis(path, 0, 1), score

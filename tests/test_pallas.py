@@ -95,3 +95,13 @@ class TestStreamingV2:
         np.testing.assert_allclose(
             np.asarray(ll), np.asarray(ll_ref), rtol=1e-6
         )
+
+    def test_v2_viterbi_parity(self, rng, make_hmm):
+        ls, lt, obs = _setup(rng, make_hmm, S=6, T=3, V=5, L=52, B=3)
+        lens = jnp.asarray([52, 31, 9])
+        p_ref, s_ref = dp.viterbi(ls, lt, obs, lens)
+        p, s = pk.viterbi_pallas_v2(ls, lt, obs, lens)
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(p_ref))
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(s_ref), rtol=1e-5
+        )
