@@ -72,19 +72,20 @@ def _decode_batch(
         obs = track_log_likelihoods(params.log_em, jnp.asarray(sym))
         if w is not None:
             obs = obs * jnp.asarray(w)[:, :, None]
-        paths, _ = _viterbi_engine()(
+        paths, _ = _viterbi_engine(obs.shape[-1])(
             params.log_start, params.log_trans, obs, jnp.asarray(lens)
         )
         out[lo:hi] = np.asarray(paths)[: hi - lo]
     return out
 
 
-def _viterbi_engine():
+def _viterbi_engine(num_states: int):
     """Streaming Pallas Viterbi on TPU (1.4x, bit-identical paths —
-    measured zero mismatches on device), XLA scan elsewhere."""
+    measured zero mismatches on device at S <= 64), XLA scan elsewhere.
+    The kernel's unrolled max-plus loop exceeds VMEM past ~64 states."""
     import jax
 
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and num_states <= 64:
         from tehmm_tpu.ops import pallas_kernels as pk
 
         return pk.viterbi_pallas_v2
