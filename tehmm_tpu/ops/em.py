@@ -101,7 +101,16 @@ def em_sufficient_stats(
     if obs_weights is not None:
         obs = obs * obs_weights[:, :, None]
     if engine == "auto":
-        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # streaming kernels need 4 double-buffered [K, Sp, Bp] VMEM
+        # tiles; stay under ~10MB of the 16MB VMEM or fall back
+        Sp = -(-S // 8) * 8
+        Bp = -(-B // 128) * 128
+        vmem_est = 4 * 2 * 4 * Sp * Bp * 4  # bufs x slots x K x f32
+        engine = (
+            "pallas"
+            if jax.default_backend() == "tpu" and vmem_est <= 10 << 20
+            else "xla"
+        )
     if engine == "pallas":
         from tehmm_tpu.ops import pallas_kernels as _pk
 
