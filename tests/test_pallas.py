@@ -105,3 +105,13 @@ class TestStreamingV2:
         np.testing.assert_allclose(
             np.asarray(s), np.asarray(s_ref), rtol=1e-5
         )
+
+
+class TestEngineSelection:
+    def test_viterbi_engine_gates_on_states(self):
+        from tehmm_tpu.parallel.stitch import _viterbi_engine
+        from tehmm_tpu.ops import dp as _dp
+
+        # on CPU both sizes use the XLA scan; on TPU only S <= 64 may
+        # return the Pallas kernel — either way S=128 must be XLA
+        assert _viterbi_engine(128) is _dp.viterbi
