@@ -208,59 +208,16 @@ def _train_unsupervised(
     ]
 
     init = "flat" if opts.flatEm else "random"
+    rand_range = tuple(float(x) for x in opts.emRandRange.split(","))
     if init_model is not None:
         model = init_model
         state_names = model.state_names
         n_states = model.num_states
+        _apply_init_priors(opts, model, track_data, state_names)
     else:
-        model = MultitrackHmm.initialized(
-            n_states, track_data, init=init, seed=opts.seed,
-            rand_range=tuple(
-                float(x) for x in opts.emRandRange.split(",")
-            ),
-            state_names=state_names,
-        )
-
-    # ---- apply init priors ----
-    if opts.initTransProbs:
-        prior = priors_io.read_trans_prior(
-            opts.initTransProbs, state_names
-        )
-        trans = priors_io.prior_to_init(prior)
-        model.params = HmmParams(
-            log_start=model.params.log_start,
-            log_trans=jnp.asarray(
-                np.log(np.maximum(trans, 1e-300)), jnp.float32
-            ),
-            log_em=model.params.log_em,
-        )
-    if opts.initEmProbs:
-        prior = priors_io.read_em_prior(
-            opts.initEmProbs, state_names, track_data.track_list,
-            track_data.category_maps,
-        )
-        # re-init with possibly grown alphabets, then overwrite specified
-        sizes = track_data.alphabet_sizes
-        model = MultitrackHmm.initialized(
-            n_states, track_data, init=init, seed=opts.seed,
-            state_names=state_names,
-        )
-        log_em = np.array(model.params.log_em)  # mutable copy
-        if log_em.shape[2] < prior.shape[2]:
-            pad = prior.shape[2] - log_em.shape[2]
-            log_em = np.pad(log_em, ((0, 0), (0, 0), (0, pad)))
-        # seeded entries overwrite the random init and the remaining REAL
-        # symbols renormalize to the leftover mass (same semantics as
-        # --forceEmProbs; reference: applyUserEmission init handling)
-        log_em = np.asarray(em_ops._apply_force_em(
-            jnp.asarray(apply_emission_conventions(log_em, sizes)),
-            jnp.asarray(prior[:, :, : log_em.shape[2]]),
-            jnp.asarray(sizes),
-        ))
-        model.params = HmmParams(
-            log_start=model.params.log_start,
-            log_trans=model.params.log_trans,
-            log_em=jnp.asarray(log_em),
+        model = _init_model(
+            opts, track_data, state_names, n_states, init, opts.seed,
+            rand_range,
         )
 
     # ---- build masks ----
@@ -282,9 +239,12 @@ def _train_unsupervised(
     for rep in range(max(1, opts.reps)):
         rep_model = model
         if rep > 0:
-            rep_model = MultitrackHmm.initialized(
-                n_states, track_data, init="random",
-                seed=opts.seed + rep, state_names=state_names,
+            # random restart: fresh random emissions with the user's
+            # rand_range, with the SAME init priors re-applied so fix/
+            # force masks pin the user's values, not random ones
+            rep_model = _init_model(
+                opts, track_data, state_names, n_states, "random",
+                opts.seed + rep, rand_range,
             )
         result = rep_model.fit(
             tables,
@@ -307,6 +267,70 @@ def _train_unsupervised(
         if best is None or final > best[0]:
             best = (final, rep_model)
     return best[1]
+
+
+def _init_model(
+    opts, track_data, state_names, n_states, init, seed, rand_range
+) -> MultitrackHmm:
+    """Fresh model + init priors, shared by rep 0 and random restarts."""
+    if opts.initEmProbs:
+        # grow the category maps from the prior file FIRST so the fresh
+        # emission init normalizes over the final alphabet (the padding
+        # path in _apply_init_priors is then only for --initModel resume)
+        priors_io.read_em_prior(
+            opts.initEmProbs, state_names, track_data.track_list,
+            track_data.category_maps,
+        )
+    model = MultitrackHmm.initialized(
+        n_states, track_data, init=init, seed=seed,
+        rand_range=rand_range, state_names=state_names,
+    )
+    _apply_init_priors(opts, model, track_data, state_names)
+    return model
+
+
+def _apply_init_priors(opts, model, track_data, state_names) -> None:
+    """Apply --initTransProbs / --initEmProbs onto an existing model
+    IN PLACE, preserving whatever parameters are not named by the prior
+    files (reference: hmm.py applyUserTrans/applyUserEmission — priors
+    overlay the current init, they do not reset it)."""
+    if opts.initTransProbs:
+        prior = priors_io.read_trans_prior(
+            opts.initTransProbs, state_names
+        )
+        trans = priors_io.prior_to_init(prior)
+        model.params = HmmParams(
+            log_start=model.params.log_start,
+            log_trans=jnp.asarray(
+                np.log(np.maximum(trans, 1e-300)), jnp.float32
+            ),
+            log_em=model.params.log_em,
+        )
+    if opts.initEmProbs:
+        prior = priors_io.read_em_prior(
+            opts.initEmProbs, state_names, track_data.track_list,
+            track_data.category_maps,
+        )
+        # keep the CURRENT emissions (and transitions/start untouched),
+        # padding the symbol axis if the prior file grew an alphabet;
+        # specified entries overwrite and the remaining REAL symbols
+        # renormalize to the leftover mass (same semantics as
+        # --forceEmProbs; reference: applyUserEmission init handling)
+        sizes = track_data.alphabet_sizes
+        log_em = np.array(model.params.log_em)  # mutable copy
+        if log_em.shape[2] < prior.shape[2]:
+            pad = prior.shape[2] - log_em.shape[2]
+            log_em = np.pad(log_em, ((0, 0), (0, 0), (0, pad)))
+        log_em = np.asarray(em_ops._apply_force_em(
+            jnp.asarray(apply_emission_conventions(log_em, sizes)),
+            jnp.asarray(prior[:, :, : log_em.shape[2]]),
+            jnp.asarray(sizes),
+        ))
+        model.params = HmmParams(
+            log_start=model.params.log_start,
+            log_trans=model.params.log_trans,
+            log_em=jnp.asarray(log_em),
+        )
 
 
 def _build_masks(opts, model, track_data, state_names):

@@ -25,6 +25,7 @@ class FastaFile:
             line_base = 0
             line_full = 0
             first_line = True
+            pending_short = False  # a shorter line must be the LAST
 
             def commit():
                 if name is not None:
@@ -33,7 +34,7 @@ class FastaFile:
                     )
 
             offset = 0
-            for raw in fh:
+            for lineno, raw in enumerate(fh, 1):
                 ll = len(raw)
                 line = raw.rstrip(b"\r\n")
                 if line.startswith(b">"):
@@ -44,11 +45,33 @@ class FastaFile:
                     line_base = 0
                     line_full = 0
                     first_line = True
+                    pending_short = False
                 elif line:
+                    # offset arithmetic in fetch() assumes every sequence
+                    # line except the last has the first line's length —
+                    # the samtools-faidx invariant.  Ragged interior lines
+                    # would silently return WRONG bases, so reject them.
+                    if pending_short:
+                        raise ValueError(
+                            f"{self.path}:{lineno}: ragged FASTA — "
+                            f"sequence {name!r} has an interior line "
+                            f"shorter than its first line ({line_base}); "
+                            f"re-wrap the file to fixed-width lines"
+                        )
                     if first_line:
                         line_base = len(line)
                         line_full = ll
                         first_line = False
+                    elif len(line) < line_base:
+                        pending_short = True
+                    elif len(line) > line_base:
+                        raise ValueError(
+                            f"{self.path}:{lineno}: ragged FASTA — "
+                            f"sequence {name!r} line is longer "
+                            f"({len(line)}) than its first line "
+                            f"({line_base}); re-wrap the file to "
+                            f"fixed-width lines"
+                        )
                     seq_len += len(line)
                 offset += ll
             commit()

@@ -173,6 +173,47 @@ class TestFasta:
         assert fa.fetch("chr2", 2, 6) == "NNAC"
         assert fa.fetch("chr1", 18, 25) == "GT"  # clipped at end
 
+    def test_short_last_line_ok(self, tmp_text):
+        path = tmp_text(
+            "ok.fa",
+            """\
+            >chr1
+            ACGTACGTAC
+            GTAC
+            """,
+        )
+        fa = FastaFile(path)
+        assert fa.length("chr1") == 14
+        assert fa.fetch("chr1", 8, 14) == "ACGTAC"
+
+    def test_ragged_interior_lines_rejected(self, tmp_text):
+        """Ragged interior line lengths would make fetch() return WRONG
+        bases silently (the offset math assumes faidx-style fixed-width
+        lines) — indexing must raise instead."""
+        import pytest
+
+        short_interior = tmp_text(
+            "bad1.fa",
+            """\
+            >chr1
+            ACGTACGTAC
+            GTAC
+            ACGTACGTAC
+            """,
+        )
+        with pytest.raises(ValueError, match="ragged"):
+            FastaFile(short_interior)
+        long_interior = tmp_text(
+            "bad2.fa",
+            """\
+            >chr1
+            ACGT
+            ACGTACGTAC
+            """,
+        )
+        with pytest.raises(ValueError, match="ragged"):
+            FastaFile(long_interior)
+
 
 class TestBigWig:
     def test_write_read_roundtrip(self, tmp_path):

@@ -166,6 +166,63 @@ class TestUnsupervisedPipeline:
             trans, [[0.98, 0.02], [0.1, 0.9]], atol=1e-5
         )
 
+    def test_combined_trans_and_em_priors(self, fixture_dir):
+        """--initTransProbs + --initEmProbs together: the emission prior
+        must NOT clobber the transition prior (regression: the initEm
+        branch used to rebuild the model from scratch, silently training
+        --fixTrans runs with flat transitions)."""
+        f = fixture_dir
+        trans_prior = f["dir"] / "trans2.txt"
+        trans_prior.write_text("BG BG 0.9\nBG TE 0.1\nTE TE 0.7\nTE BG 0.3\n")
+        em_prior = f["dir"] / "em2.txt"
+        em_prior.write_text("TE a X 0.8\nBG a Y 0.6\n")
+        model_path = str(f["dir"] / "combo.npz")
+        rc = cli_train.main(
+            [f["xml"], f["regions_bed"], model_path,
+             "--initTransProbs", str(trans_prior), "--fixTrans",
+             "--initEmProbs", str(em_prior), "--fixEm",
+             "--iter", "3", "--seed", "7"]
+        )
+        assert rc == 0
+        model = MultitrackHmm.load(model_path)
+        trans = np.exp(np.asarray(model.params.log_trans))
+        bg = model.state_names.index("BG")
+        te = model.state_names.index("TE")
+        np.testing.assert_allclose(trans[bg, bg], 0.9, atol=1e-5)
+        np.testing.assert_allclose(trans[te, te], 0.7, atol=1e-5)
+        # emission prior applied too
+        a_track = model.track_list.get_track_by_name("a")
+        x_sym = model.category_maps["a"].get_map(
+            a_track.bin("X"), update=False
+        )
+        em = np.exp(np.asarray(model.params.log_em))
+        np.testing.assert_allclose(
+            em[te, a_track.number, x_sym], 0.8, atol=1e-5
+        )
+
+    def test_reps_reapply_priors(self, fixture_dir):
+        """--reps restarts must re-apply init priors so --fixTrans pins
+        the USER's values on every rep (regression: rep>0 used to pin
+        whatever the fresh random init produced)."""
+        f = fixture_dir
+        trans_prior = f["dir"] / "trans3.txt"
+        trans_prior.write_text("BG BG 0.95\nBG TE 0.05\nTE TE 0.8\nTE BG 0.2\n")
+        model_path = str(f["dir"] / "reps.npz")
+        rc = cli_train.main(
+            [f["xml"], f["regions_bed"], model_path,
+             "--initTransProbs", str(trans_prior), "--fixTrans",
+             "--reps", "3", "--iter", "3", "--seed", "11",
+             "--emRandRange", "0.2,0.8"]
+        )
+        assert rc == 0
+        model = MultitrackHmm.load(model_path)
+        trans = np.exp(np.asarray(model.params.log_trans))
+        bg = model.state_names.index("BG")
+        te = model.state_names.index("TE")
+        np.testing.assert_allclose(
+            trans[[bg, te], [bg, te]], [0.95, 0.8], atol=1e-5
+        )
+
     def test_force_trans_probs(self, fixture_dir):
         f = fixture_dir
         force = f["dir"] / "force.txt"
