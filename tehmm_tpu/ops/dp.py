@@ -129,6 +129,9 @@ def forward_scaled(
     loglik = (
         jnp.log(jnp.sum(jnp.exp(final_hat), axis=-1)) + jnp.sum(incs, axis=0)
     )
+    # empty sequences (length 0, e.g. mesh row padding) have loglik 0
+    # (empty product), not the LOG_ZERO their masked init would imply
+    loglik = jnp.where(lengths > 0, loglik, 0.0)
     return (
         jnp.moveaxis(alpha_hat, 0, 1),
         jnp.moveaxis(log_c, 0, 1),
@@ -391,6 +394,108 @@ def streaming_loglik(
         )
         total = total + dm
     return total + jnp.log(jnp.sum(jnp.exp(a_hat), axis=-1))
+
+
+# ---------------------------------------------------------------------
+# exact chunked posteriors (checkpointed carries + per-chunk recompute)
+#
+# The op sequence inside these chunk continuations is IDENTICAL to the
+# monolithic forward_scaled / backward_scaled scans (same per-step
+# renormalizations in the same order), so recomputed alpha_hat/beta_hat
+# — and therefore posterior argmax decisions — are bit-identical to a
+# monolithic pass, with device memory bounded by one chunk
+# (reference: teHmmEval.py --maxPost/--pd at genome scale; SURVEY.md §5
+# long-context, §7 hard part #3).
+# ---------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("matmul",))
+def forward_chunk_values(
+    log_trans: jax.Array,
+    obs: jax.Array,
+    a_hat_init: jax.Array,
+    lengths: jax.Array | None = None,
+    matmul: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-position scaled alphas of one chunk from its incoming carry.
+
+    Every position of this chunk applies a transition first (the carry
+    is the previous chunk's — or position 0's — alpha_hat).
+
+    Returns (alpha_hats f32[B, Lc, S], final carry f32[B, S])."""
+    B, Lc, S = obs.shape
+    lengths = jnp.full((B,), Lc) if lengths is None else lengths
+    obs_t = jnp.moveaxis(obs, 1, 0)
+    trans_exp = jnp.exp(log_trans)
+
+    def step(a_hat, xs):
+        obs_row, t = xs
+        new = _logdot(a_hat, log_trans, trans_exp, matmul) + obs_row
+        new_hat, _ = _renorm(new)
+        valid_t = t < lengths
+        new_hat = _mask_carry(new_hat, a_hat, valid_t)
+        return new_hat, new_hat
+
+    ts = jnp.arange(Lc)
+    final, a_hats = jax.lax.scan(
+        step, a_hat_init, (obs_t, ts), unroll=_UNROLL
+    )
+    return jnp.moveaxis(a_hats, 0, 1), final
+
+
+@partial(jax.jit, static_argnames=("matmul",))
+def backward_chunk_values(
+    log_trans: jax.Array,
+    obs: jax.Array,
+    x_carry: jax.Array,
+    continuing: jax.Array,
+    lengths: jax.Array | None = None,
+    matmul: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-position scaled betas of one chunk from its incoming carry.
+
+    Args:
+      obs: f32[B, Lc, S] chunk observations.
+      x_carry: f32[B, S] the max-normalized ``obs + beta`` row at the
+        NEXT chunk's first position (the quantity backward_scaled
+        renormalizes internally before each transition).
+      continuing: bool[B] rows whose sequence extends past this chunk
+        (rows that END inside the chunk init from beta = 0 at their last
+        valid position instead, exactly like the monolithic scan).
+      lengths: int[B] valid positions WITHIN this chunk.
+
+    Returns (beta_hats f32[B, Lc, S], x_carry_out f32[B, S] for the
+    previous chunk, computed at this chunk's first position)."""
+    B, Lc, S = obs.shape
+    lengths = jnp.full((B,), Lc) if lengths is None else lengths
+    obs_t = jnp.moveaxis(obs, 1, 0)
+    log_trans_T = log_trans.T
+    trans_exp_T = jnp.exp(log_trans_T)
+
+    b_cont = _renorm(
+        _logdot(x_carry, log_trans_T, trans_exp_T, matmul)
+    )[0]
+    b_init = jnp.where(
+        continuing[:, None], b_cont, jnp.zeros_like(b_cont)
+    )
+
+    def step(b_hat, xs):
+        obs_next, t_next = xs
+        x = obs_next + b_hat
+        x_hat, _ = _renorm(x)
+        new = _logdot(x_hat, log_trans_T, trans_exp_T, matmul)
+        new_hat, _ = _renorm(new)
+        valid_t = t_next < lengths
+        new_hat = _mask_carry(new_hat, b_hat, valid_t)
+        return new_hat, new_hat
+
+    ts = jnp.arange(1, Lc)
+    _, b_hats = jax.lax.scan(
+        step, b_init, (obs_t[1:], ts), reverse=True, unroll=_UNROLL
+    )
+    beta_hat = jnp.concatenate([b_hats, b_init[None]], axis=0)
+    beta_hat = jnp.moveaxis(beta_hat, 0, 1)
+    x_out = _renorm(obs[:, 0, :] + beta_hat[:, 0, :])[0]
+    return beta_hat, x_out
 
 
 # ---------------------------------------------------------------------

@@ -101,25 +101,43 @@ def em_sufficient_stats(
     if obs_weights is not None:
         obs = obs * obs_weights[:, :, None]
     if engine == "auto":
-        # streaming kernels need 4 double-buffered [K, Sp, Bp] VMEM
-        # tiles; stay under ~10MB of the 16MB VMEM or fall back
-        Sp = -(-S // 8) * 8
-        Bp = -(-B // 128) * 128
-        vmem_est = 4 * 2 * 4 * Sp * Bp * 4  # bufs x slots x K x f32
+        # the v3 prob-space kernels self-select their batch-group size,
+        # so the only gate is the resident [Sp, Sp] transition tile
         engine = (
             "pallas"
-            if jax.default_backend() == "tpu" and vmem_est <= 10 << 20
+            if jax.default_backend() == "tpu" and S <= 1024
             else "xla"
         )
     if engine == "pallas":
+        # Probability-space streaming engine (ops/pallas_kernels.py v3):
+        # the kernels emit alpha_p = exp(alpha_hat) and beta_p =
+        # exp(beta_hat) directly — exactly the factors the contractions
+        # below consume, so no per-cell exp/log happens anywhere.
         from tehmm_tpu.ops import pallas_kernels as _pk
 
-        alpha_hat, _, loglik = _pk.forward_scaled_pallas_v2(
-            params.log_start, params.log_trans, obs, lengths
+        o_m = jnp.max(obs, axis=-1)                            # [B,L]
+        obs_p = jnp.exp(obs - o_m[..., None])
+        alpha_p, dms = _pk.forward_prob_pallas_v3(
+            params.log_start, params.log_trans, obs_p, lengths
         )
-        beta_hat = _pk.backward_hat_pallas_v2(
-            params.log_trans, obs, lengths
+        beta_p = _pk.backward_prob_pallas_v3(
+            params.log_trans, obs_p, lengths
         )
+        loglik = (
+            jnp.log(jnp.sum(alpha_p[:, -1, :], axis=-1))
+            + jnp.sum(dms, axis=1)
+            + jnp.sum(jnp.where(valid, o_m, 0.0), axis=1)
+        )
+        loglik = jnp.where(lengths > 0, loglik, 0.0)
+        ab = alpha_p * beta_p
+        gamma = ab / jnp.maximum(
+            jnp.sum(ab, axis=-1, keepdims=True), 1e-30
+        )
+        a_fac = alpha_p[:, :-1, :]                             # <= 1
+        xb = obs_p[:, 1:, :] * beta_p[:, 1:, :]
+        b_fac = xb / jnp.maximum(
+            jnp.max(xb, axis=-1, keepdims=True), 1e-30
+        )                                                      # <= 1
     else:
         alpha_hat, _, loglik = dp.forward_scaled(
             params.log_start, params.log_trans, obs, lengths,
@@ -128,24 +146,23 @@ def em_sufficient_stats(
         beta_hat, _ = dp.backward_scaled(
             params.log_trans, obs, lengths, matmul=matmul
         )
+        gamma = dp.posterior_scaled(alpha_hat, beta_hat)
+        # ----- factored, per-step-normalized transition counts -----
+        # For every (b, t):  xi[t,i,j] = a[i]·T[i,j]·b[j] / z[t]  with
+        #   a[i] = exp(alpha_hat[t,i]),  b[j] = exp(obs[t+1,j]+
+        #   beta_hat[t+1,j] − max_j(·)),  z[t] = Σ_ij a T b = (a@T)·b,
+        # which is EXACT (Σ_ij xi[t] = 1 in exact math, so every
+        # cumulative normalizer cancels per step) and keeps all factors
+        # in [0, 1].  Then trans[i,j] = Σ_{b,t} xi = T ⊙ einsum(a/z, b)
+        # — one [B·L, S] @ [S, B·L] MXU contraction, no [L,S,S]
+        # materialized.
+        a_fac = jnp.exp(alpha_hat[:, :-1, :])                  # <= 1
+        bb = obs[:, 1:, :] + beta_hat[:, 1:, :]
+        bb = bb - jnp.max(bb, axis=-1, keepdims=True)
+        b_fac = jnp.exp(jnp.clip(bb, -_CLIP, _CLIP))           # <= 1
 
-    gamma = dp.posterior_scaled(alpha_hat, beta_hat)
     gamma = gamma * valid[..., None]
-
     start = gamma[:, 0, :].sum(axis=0)
-
-    # ----- transition counts (factored, per-step-normalized einsum) -----
-    # For every (b, t):  xi[t,i,j] = a[i] · T[i,j] · b[j] / z[t]  with
-    #   a[i] = exp(alpha_hat[t,i]),  b[j] = exp(obs[t+1,j]+beta_hat[t+1,j]
-    #   − max_j(·)),  z[t] = Σ_ij a T b = (a @ T) · b,
-    # which is EXACT (Σ_ij xi[t] = 1 in exact math, so every cumulative
-    # normalizer cancels per step) and keeps all factors in [0, 1].  Then
-    #   trans[i,j] = Σ_{b,t} xi = T ⊙ einsum(a/z, b)
-    # — one [B·L, S] @ [S, B·L] MXU contraction, no [L,S,S] materialized.
-    a_fac = jnp.exp(alpha_hat[:, :-1, :])                      # <= 1
-    bb = obs[:, 1:, :] + beta_hat[:, 1:, :]
-    bb = bb - jnp.max(bb, axis=-1, keepdims=True)
-    b_fac = jnp.exp(jnp.clip(bb, -_CLIP, _CLIP))               # <= 1
     trans_exp = jnp.exp(params.log_trans)
     aT = jnp.einsum(
         "bli,ij->blj", a_fac, trans_exp,

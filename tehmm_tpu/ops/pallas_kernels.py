@@ -176,6 +176,7 @@ def forward_scaled_pallas(
     loglik = (
         jnp.log(jnp.sum(jnp.exp(final), axis=-1)) + jnp.sum(dms, axis=1)
     )
+    loglik = jnp.where(len2[0, :b_orig] > 0, loglik, 0.0)
     return alpha_hat, log_c, loglik
 
 
@@ -431,6 +432,10 @@ def _forward_kernel_v2(
         )
 
     in_dma(0, 0).start()
+    # rows with length 0 never take the valid branch: the carry they
+    # propagate to every output row must be defined (zero, matching the
+    # XLA path's masked init), not uninitialized VMEM garbage
+    alpha_scr[:, :] = jnp.zeros_like(alpha_scr)
 
     def body(blk, _):
         slot = jax.lax.rem(blk, 2)
@@ -571,7 +576,355 @@ def forward_scaled_pallas_v2(
     loglik = (
         jnp.log(jnp.sum(jnp.exp(final), axis=-1)) + jnp.sum(dms, axis=1)
     )
+    loglik = jnp.where(lengths > 0, loglik, 0.0)
     return alpha_hat, log_c, loglik
+
+
+# ---------------------------------------------------------------------
+# v3 probability-space streaming forward/backward: the large-S MXU
+# engine.
+#
+# The v2 kernels carry log-space state and pay exp() + log() + max-
+# renormalize per cell per step — at S >= 64 those VPU transcendentals,
+# not the [S,S] matmul, dominate the step.  The v3 kernels carry the
+# SCALED PROBABILITY vector p = exp(alpha_hat) directly (per-column max
+# 1), so one step is
+#
+#     u = (T^T @ p) * obs_p[t]          (MXU matmul + one VPU multiply)
+#     m = max_s u ;  p' = u * (1/m)     (one reduce + one broadcast mult)
+#     dm = log(m)                       ([1, B] only — not per cell)
+#
+# with obs_p[t] = exp(obs[t] - max_s obs[t]) precomputed in XLA (fused
+# into the emission one-hot matmul's epilogue) and the per-position
+# max_s obs[t] added back to the normalizer stream outside the kernel.
+# ZERO per-cell transcendentals remain, and the downstream E-step wants
+# exactly these probability-space quantities (a_fac = exp(alpha_hat),
+# b_fac), so the consumer's exp() disappears too.
+#
+# Grid: (G,) batch groups of Bg columns each, sized so the double-
+# buffered [K, Sp, Bg] VMEM tiles fit at any S (S=256 runs at Bg=256);
+# within a group the fori_loop streams the time axis with the same
+# double-buffered DMA pattern as v2.  Numerics: states whose scaled
+# probability underflows f32 (~1e-38, i.e. e^-87 below the per-column
+# max) flush to zero — the identical underflow the XLA path takes when
+# the E-step computes exp(alpha_hat) (reference: basehmm.py forward in
+# float64 avoids this only by paying 2x memory; SURVEY.md §2a).
+# ---------------------------------------------------------------------
+
+
+def _pick_batch_group(S: int, B: int, K: int = _KV2) -> int:
+    """Largest lane-multiple batch group whose v3 VMEM working set
+    (2x obs + 2x out double buffers of [K, Sp, Bg] f32 + carries + the
+    [Sp, Sp] transition tile) stays comfortably inside the 16MB VMEM."""
+    Sp = max(-(-S // 8) * 8, 8)
+    budget = (10 << 20) - Sp * Sp * 4            # minus resident trans
+    per_col = 4 * K * Sp * 4 + 2 * Sp * 4 + 2 * K * 8 * 4  # bufs+carry+dm
+    bg = max(128, (budget // per_col) // 128 * 128)
+    Bp = -(-B // 128) * 128
+    return min(bg, Bp)
+
+
+def _forward_kernel_v3(
+    len_ref,        # [1, Bg] int32 for THIS batch group (VMEM)
+    start_ref,      # [S_pad, Bg] exp(log_start) broadcast, pad rows 0
+    trans_t_ref,    # [S_pad, S_pad] exp(log_trans).T zero-padded (VMEM)
+    obs_hbm,        # [G, NB, K, S_pad, Bg] obs_p (ANY/HBM), pad rows 0
+    alpha_hbm,      # [G, NB, K, S_pad, Bg] out: scaled prob alpha
+    dm_hbm,         # [G, NB, K, 8, Bg] out: log(m) increments
+    obs_buf,        # VMEM [2, K, S_pad, Bg]
+    out_buf,        # VMEM [2, K, S_pad, Bg]
+    dm_buf,         # VMEM [2, K, 8, Bg]
+    p_scr,          # VMEM [S_pad, Bg] probability carry
+    in_sem, out_sem, dm_sem,
+):
+    g = pl.program_id(0)
+    NB = obs_hbm.shape[1]
+    K = obs_hbm.shape[2]
+    lens = len_ref[0, 0, :][None, :]                    # [1, Bg] i32
+    start_p = start_ref[0]                              # [Sp, Bg]
+
+    def in_dma(slot, blk):
+        return pltpu.make_async_copy(
+            obs_hbm.at[g, blk], obs_buf.at[slot], in_sem.at[slot]
+        )
+
+    def out_dma(slot, blk):
+        return pltpu.make_async_copy(
+            out_buf.at[slot], alpha_hbm.at[g, blk], out_sem.at[slot]
+        )
+
+    def dm_dma(slot, blk):
+        return pltpu.make_async_copy(
+            dm_buf.at[slot], dm_hbm.at[g, blk], dm_sem.at[slot]
+        )
+
+    in_dma(0, 0).start()
+    # zero-length rows propagate the initial carry to every output row:
+    # ones == exp(alpha_hat = 0), matching the XLA path's masked init
+    p_scr[:, :] = jnp.ones_like(p_scr)
+
+    def body(blk, _):
+        slot = jax.lax.rem(blk, 2)
+        nxt = jax.lax.rem(blk + 1, 2)
+
+        @pl.when(blk + 1 < NB)
+        def _prefetch():
+            in_dma(nxt, blk + 1).start()
+
+        in_dma(slot, blk).wait()
+
+        @pl.when(blk >= 2)
+        def _drain():
+            out_dma(slot, blk - 2).wait()
+            dm_dma(slot, blk - 2).wait()
+
+        for k in range(K):                     # static unroll
+            t = blk * K + k
+            obs_row = obs_buf[slot, k]
+            p = p_scr[:, :]
+            s = jnp.dot(trans_t_ref[:, :], p,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            base = jnp.where(t == 0, start_p, s)
+            u = base * obs_row                 # pad rows stay 0
+            m = jnp.max(u, axis=0, keepdims=True)       # [1, Bg]
+            m_safe = jnp.maximum(m, 1e-37)
+            valid = t < lens                   # [1, Bg] bool
+            new_p = jnp.where(valid, u * (1.0 / m_safe), p)
+            dm = jnp.where(valid, jnp.log(m_safe), 0.0)
+            p_scr[:, :] = new_p
+            out_buf[slot, k] = new_p
+            dm_buf[slot, k] = jnp.broadcast_to(dm, dm_buf[slot, k].shape)
+        out_dma(slot, blk).start()
+        dm_dma(slot, blk).start()
+        return 0
+
+    jax.lax.fori_loop(0, NB, body, 0)
+
+    @pl.when(NB >= 2)
+    def _():
+        out_dma(jax.lax.rem(NB - 2, 2), NB - 2).wait()
+        dm_dma(jax.lax.rem(NB - 2, 2), NB - 2).wait()
+    out_dma(jax.lax.rem(NB - 1, 2), NB - 1).wait()
+    dm_dma(jax.lax.rem(NB - 1, 2), NB - 1).wait()
+
+
+def _backward_kernel_v3(
+    len_ref,        # [1, Bg] int32
+    trans_ref,      # [S_pad, S_pad] exp(log_trans) zero-padded (VMEM)
+    obs_hbm,        # [G, NB, K, S_pad, Bg] obs_p REVERSED time order
+    beta_hbm,       # [G, NB, K, S_pad, Bg] out: scaled prob beta
+    obs_buf, out_buf, b_scr,
+    in_sem, out_sem,
+):
+    g = pl.program_id(0)
+    NB = obs_hbm.shape[1]
+    K = obs_hbm.shape[2]
+    L = NB * K
+    lens = len_ref[0, 0, :][None, :]
+
+    def in_dma(slot, blk):
+        return pltpu.make_async_copy(
+            obs_hbm.at[g, blk], obs_buf.at[slot], in_sem.at[slot]
+        )
+
+    def out_dma(slot, blk):
+        return pltpu.make_async_copy(
+            out_buf.at[slot], beta_hbm.at[g, blk], out_sem.at[slot]
+        )
+
+    in_dma(0, 0).start()
+    b_scr[:, :] = jnp.ones_like(b_scr)
+
+    def body(blk, _):
+        slot = jax.lax.rem(blk, 2)
+        nxt = jax.lax.rem(blk + 1, 2)
+
+        @pl.when(blk + 1 < NB)
+        def _prefetch():
+            in_dma(nxt, blk + 1).start()
+
+        in_dma(slot, blk).wait()
+
+        @pl.when(blk >= 2)
+        def _drain():
+            out_dma(slot, blk - 2).wait()
+
+        for k in range(K):             # static unroll
+            # reversed stream index r -> t_next = L - r
+            r = blk * K + k
+            t_next = L - r
+            obs_next = obs_buf[slot, k]           # obs_p at t_next
+            b = b_scr[:, :]
+            x = obs_next * b
+            xm = jnp.maximum(
+                jnp.max(x, axis=0, keepdims=True), 1e-37
+            )
+            xn = x * (1.0 / xm)
+            s = jnp.dot(trans_ref[:, :], xn,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            nm = jnp.maximum(
+                jnp.max(s, axis=0, keepdims=True), 1e-37
+            )
+            valid = t_next < lens
+            new_b = jnp.where(valid, s * (1.0 / nm), b)
+            b_scr[:, :] = new_b
+            out_buf[slot, k] = new_b
+        out_dma(slot, blk).start()
+        return 0
+
+    jax.lax.fori_loop(0, NB, body, 0)
+
+    @pl.when(NB >= 2)
+    def _():
+        out_dma(jax.lax.rem(NB - 2, 2), NB - 2).wait()
+    out_dma(jax.lax.rem(NB - 1, 2), NB - 1).wait()
+
+
+def _v3_layout(obs_p: jax.Array, B: int, L: int, S: int, Bg: int,
+               reverse: bool = False):
+    """[B, L, S] -> ([G, NB, K, Sp, Bg], dims) kernel layout with zero
+    padding (pad state rows AND pad batch columns are 0; pad time rows
+    are masked by lengths in-kernel)."""
+    K = _KV2
+    Sp = max(-(-S // 8) * 8, 8)
+    Bp = -(-B // Bg) * Bg
+    G = Bp // Bg
+    Lp = -(-L // K) * K
+    NB = Lp // K
+    obs_t = jnp.swapaxes(jnp.moveaxis(obs_p, 1, 0), 1, 2)   # [L, S, B]
+    if reverse:
+        # reversed stream: index r consumes position t_next = Lp - r;
+        # pad at the HEAD as dummies with t_next >= L (invalid everywhere)
+        idx = jnp.clip(Lp - jnp.arange(Lp), 0, L - 1)
+        obs_t = jnp.pad(
+            obs_t, ((0, 0), (0, Sp - S), (0, Bp - B))
+        )[idx]
+    else:
+        obs_t = jnp.pad(
+            obs_t, ((0, Lp - L), (0, Sp - S), (0, Bp - B))
+        )
+    # [Lp, Sp, Bp] -> [G, NB, K, Sp, Bg]
+    arr = obs_t.reshape(NB, K, Sp, G, Bg)
+    arr = jnp.moveaxis(arr, 3, 0)
+    return arr, (K, Sp, Bp, G, Lp, NB)
+
+
+@jax.jit
+def forward_prob_pallas_v3(
+    log_start: jax.Array,
+    log_trans: jax.Array,
+    obs_p: jax.Array,
+    lengths: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Probability-space streaming forward (the large-S MXU engine).
+
+    Args:
+      obs_p: f32[B, L, S] = exp(obs_ll - max_s obs_ll) scaled
+        probability-space observations (compute via ``scaled_obs_prob``).
+
+    Returns:
+      (alpha_p[B, L, S], dm[B, L]) where alpha_p = exp(alpha_hat) (per-
+      position max 1) and dm are the per-step log-normalizer increments
+      EXCLUDING the obs max (add the caller's o_m stream for totals).
+    """
+    B, L, S = obs_p.shape
+    lengths = jnp.full((B,), L, jnp.int32) if lengths is None else lengths
+    Bg = _pick_batch_group(S, B)
+    obs_arr, (K, Sp, Bp, G, Lp, NB) = _v3_layout(obs_p, B, L, S, Bg)
+    len_g = jnp.pad(lengths.astype(jnp.int32), (0, Bp - B)) \
+        .reshape(G, 1, Bg)
+    trans_t = jnp.pad(jnp.exp(log_trans).T, ((0, Sp - S), (0, Sp - S)))
+    start_g = jnp.broadcast_to(
+        jnp.pad(jnp.exp(log_start), (0, Sp - S))[None, :, None],
+        (G, Sp, Bg),
+    )
+
+    alpha_pad, dm_pad = pl.pallas_call(
+        _forward_kernel_v3,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 1, Bg), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, Sp, Bg), lambda g: (g, 0, 0)),
+            pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, NB, K, Sp, Bg), jnp.float32),
+            jax.ShapeDtypeStruct((G, NB, K, 8, Bg), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
+            pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
+            pltpu.VMEM((2, K, 8, Bg), jnp.float32),
+            pltpu.VMEM((Sp, Bg), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(len_g, start_g, trans_t, obs_arr)
+
+    # [G, NB, K, Sp, Bg] -> [B, L, S]
+    alpha_p = jnp.moveaxis(alpha_pad, 0, 3).reshape(Lp, Sp, Bp)
+    alpha_p = jnp.transpose(alpha_p[:L, :S, :B], (2, 0, 1))
+    dms = jnp.moveaxis(dm_pad[:, :, :, 0, :], 0, 2).reshape(Lp, Bp)
+    dms = jnp.transpose(dms[:L, :B], (1, 0))             # [B, L]
+    return alpha_p, dms
+
+
+@jax.jit
+def backward_prob_pallas_v3(
+    log_trans: jax.Array,
+    obs_p: jax.Array,
+    lengths: jax.Array | None = None,
+) -> jax.Array:
+    """Probability-space streaming backward.  Returns beta_p[B, L, S] =
+    exp(beta_hat) (per-position max 1; positions >= length carry 1s)."""
+    B, L, S = obs_p.shape
+    lengths = jnp.full((B,), L, jnp.int32) if lengths is None else lengths
+    Bg = _pick_batch_group(S, B)
+    obs_arr, (K, Sp, Bp, G, Lp, NB) = _v3_layout(
+        obs_p, B, L, S, Bg, reverse=True
+    )
+    len_g = jnp.pad(lengths.astype(jnp.int32), (0, Bp - B)) \
+        .reshape(G, 1, Bg)
+    trans_p = jnp.pad(jnp.exp(log_trans), ((0, Sp - S), (0, Sp - S)))
+
+    beta_pad = pl.pallas_call(
+        _backward_kernel_v3,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 1, Bg), lambda g: (g, 0, 0)),
+            pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((G, NB, K, Sp, Bg), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
+            pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
+            pltpu.VMEM((Sp, Bg), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(len_g, trans_p, obs_arr)
+
+    # stream index r wrote beta at position Lp - 1 - r
+    beta = jnp.moveaxis(beta_pad, 0, 3).reshape(Lp, Sp, Bp)[::-1][:L]
+    return jnp.transpose(beta[:, :S, :B], (2, 0, 1))
 
 
 # ---------------------------------------------------------------------
@@ -750,6 +1103,9 @@ def _viterbi_kernel_v2(
         )
 
     in_dma(0, 0).start()
+    # zero-length rows carry the initial scratch through to every output
+    # row — it must be defined (see _forward_kernel_v2)
+    v_scr[:, :] = jnp.zeros_like(v_scr)
 
     def body(blk, _):
         slot = jax.lax.rem(blk, 2)

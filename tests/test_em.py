@@ -86,6 +86,32 @@ class TestSufficientStats:
         )
         assert float(trimmed.n_obs) == L
 
+    def test_zero_length_rows_inert(self, rng, make_hmm):
+        """All-padding rows (mesh row padding has length 0) contribute
+        NOTHING — in particular not a LOG_ZERO per row to the loglik
+        (regression) — on both the XLA and Pallas engines."""
+        S, T, V, L = 3, 2, 4, 30
+        log_start, log_trans, log_em = make_hmm(S, T, V)
+        params = _to_params(log_start, log_trans, log_em)
+        symbols = rng.randint(1, V, size=(L, T))
+        base = em.em_sufficient_stats(params, jnp.asarray(symbols)[None])
+        padded = np.stack([symbols, np.zeros_like(symbols)])
+        for engine in ("xla", "pallas"):
+            got = em.em_sufficient_stats(
+                params, jnp.asarray(padded), jnp.asarray([L, 0]),
+                engine=engine,
+            )
+            np.testing.assert_allclose(
+                float(base.loglik), float(got.loglik), rtol=1e-5,
+                err_msg=engine,
+            )
+            np.testing.assert_allclose(
+                np.asarray(base.trans), np.asarray(got.trans),
+                rtol=1e-4, atol=1e-5, err_msg=engine,
+            )
+            assert float(got.n_obs) == L
+            assert np.isfinite(np.asarray(got.em)).all(), engine
+
 
 class TestEmIteration:
     def test_loglik_monotone(self, rng, make_hmm):

@@ -107,6 +107,83 @@ class TestStreamingV2:
         )
 
 
+class TestProbSpaceV3:
+    """The large-S MXU engine: probability-space streaming kernels must
+    reproduce the XLA scaled scans (alpha_p == exp(alpha_hat) etc.)."""
+
+    def _obs_split(self, obs):
+        o_m = jnp.max(obs, axis=-1)
+        return jnp.exp(obs - o_m[..., None]), o_m
+
+    def test_v3_forward_parity(self, rng, make_hmm):
+        ls, lt, obs = _setup(rng, make_hmm, S=5, T=2, V=4, L=37, B=3)
+        lens = jnp.asarray([37, 20, 7])
+        ah_ref, _, ll_ref = dp.forward_scaled(ls, lt, obs, lens)
+        obs_p, o_m = self._obs_split(obs)
+        alpha_p, dms = pk.forward_prob_pallas_v3(ls, lt, obs_p, lens)
+        np.testing.assert_allclose(
+            np.asarray(alpha_p), np.exp(np.asarray(ah_ref)), atol=2e-6
+        )
+        valid = np.arange(37)[None, :] < np.asarray(lens)[:, None]
+        ll = (
+            np.log(np.asarray(alpha_p)[:, -1, :].sum(-1))
+            + np.asarray(dms).sum(1)
+            + (np.asarray(o_m) * valid).sum(1)
+        )
+        np.testing.assert_allclose(ll, np.asarray(ll_ref), rtol=1e-5)
+
+    def test_v3_backward_parity(self, rng, make_hmm):
+        ls, lt, obs = _setup(rng, make_hmm, S=5, T=2, V=4, L=37, B=3)
+        lens = jnp.asarray([37, 20, 7])
+        bh_ref, _ = dp.backward_scaled(lt, obs, lens)
+        obs_p, _ = self._obs_split(obs)
+        beta_p = pk.backward_prob_pallas_v3(lt, obs_p, lens)
+        np.testing.assert_allclose(
+            np.asarray(beta_p), np.exp(np.asarray(bh_ref)), atol=2e-6
+        )
+
+    def test_v3_large_s_multigroup(self, rng, make_hmm):
+        """Force several batch groups (Bg floor is 128, so fake a tiny
+        group via the module knob is not needed — use B > 128 with a
+        large S so the picker still returns >= 128; parity is the
+        point)."""
+        ls, lt, obs = _setup(rng, make_hmm, S=9, T=2, V=4, L=12, B=5)
+        lens = jnp.asarray([12, 1, 7, 12, 3])
+        ah_ref, _, _ = dp.forward_scaled(ls, lt, obs, lens)
+        obs_p, _ = self._obs_split(obs)
+        alpha_p, _ = pk.forward_prob_pallas_v3(ls, lt, obs_p, lens)
+        np.testing.assert_allclose(
+            np.asarray(alpha_p), np.exp(np.asarray(ah_ref)), atol=2e-6
+        )
+
+    def test_v3_zero_transitions_and_zero_lengths(self, rng, make_hmm):
+        log_start, log_trans, log_em = make_hmm(
+            5, 2, 4, zero_trans_frac=0.3
+        )
+        from tehmm_tpu import oracle as _oracle
+
+        obs1 = _oracle.obs_log_likelihoods(
+            log_em, rng.randint(1, 4, size=(40, 2))
+        ).astype(np.float32)
+        obs = jnp.asarray(np.stack([obs1, np.zeros_like(obs1)]))
+        ls = jnp.asarray(log_start, jnp.float32)
+        lt = jnp.asarray(log_trans, jnp.float32)
+        lens = jnp.asarray([40, 0])
+        _, _, ll_ref = dp.forward_scaled(ls, lt, obs, lens)
+        o_m = jnp.max(obs, axis=-1)
+        obs_p = jnp.exp(obs - o_m[..., None])
+        alpha_p, dms = pk.forward_prob_pallas_v3(ls, lt, obs_p, lens)
+        ll0 = (
+            float(jnp.log(alpha_p[0, -1].sum()))
+            + float(dms[0].sum())
+            + float(o_m[0].sum())
+        )
+        np.testing.assert_allclose(ll0, float(ll_ref[0]), rtol=1e-5)
+        # zero-length row: alpha_p stays exp(0) = 1, dm contributions 0
+        np.testing.assert_array_equal(np.asarray(alpha_p[1]), 1.0)
+        np.testing.assert_array_equal(np.asarray(dms[1]), 0.0)
+
+
 class TestEngineSelection:
     def test_viterbi_engine_gates_on_states(self):
         from tehmm_tpu.parallel.stitch import _viterbi_engine

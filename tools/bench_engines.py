@@ -1,0 +1,114 @@
+"""On-device EM/DP engine benchmark + parity sweep (v5e).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_engines.py
+       [--configs S20,S64,...] [--engines xla,pallas] [--iters N]
+
+Timing protocol (memory: axon tunnel): warm up each jitted shape, then
+bracket the timed loop with scalar fetches (block_until_ready can return
+before the tunneled queue drains).  Reports positions/s, cell-updates/s
+(pos x S^2) and MXU-matmul FLOP/s with the %-of-peak columns used by
+BASELINE.md (peaks: 197e12 bf16, 197e12/4 f32-HIGHEST-equivalent —
+stated assumption, see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tehmm_tpu.models.params import HmmParams
+from tehmm_tpu.ops import em as em_ops
+
+BF16_PEAK = 197e12  # v5e MXU peak (bf16 FLOP/s), public spec
+
+CONFIGS = {
+    # name: (S, T, V, B, L)
+    "S20": (20, 5, 8, 2048, 1024),
+    "S64": (64, 10, 12, 1024, 1024),
+    "S128": (128, 15, 16, 512, 1024),
+    "S256": (256, 20, 16, 256, 1024),
+}
+
+
+def make_inputs(S, T, V, B, L, seed=0):
+    rng = np.random.RandomState(seed)
+    start = rng.dirichlet(np.ones(S))
+    trans = rng.dirichlet(np.ones(S), size=S)
+    log_em = np.zeros((S, T, V), np.float32)
+    for t in range(T):
+        p = rng.dirichlet(np.ones(V - 1), size=S)
+        log_em[:, t, 1:] = np.log(p)
+    params = HmmParams(
+        log_start=jnp.asarray(np.log(start), jnp.float32),
+        log_trans=jnp.asarray(np.log(trans), jnp.float32),
+        log_em=jnp.asarray(log_em),
+    )
+    symbols = jnp.asarray(rng.randint(1, V, size=(B, L, T)), jnp.int32)
+    return params, symbols
+
+
+def time_estep(params, symbols, engine, iters):
+    def run():
+        st = em_ops.em_sufficient_stats(params, symbols, engine=engine)
+        return st
+
+    st = run()
+    _sync = float(st.loglik)  # warm + queue drain
+    t0 = time.time()
+    for _ in range(iters):
+        st = run()
+    _sync = float(st.loglik)
+    dt = (time.time() - t0) / iters
+    return dt, _sync
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="S20,S64,S128,S256")
+    ap.add_argument("--engines", default="xla,pallas")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.device_kind}", flush=True)
+    rows = []
+    for name in args.configs.split(","):
+        S, T, V, B, L = CONFIGS[name]
+        params, symbols = make_inputs(S, T, V, B, L)
+        lls = {}
+        for engine in args.engines.split(","):
+            dt, ll = time_estep(params, symbols, engine, args.iters)
+            lls[engine] = ll
+            pos_s = B * L / dt
+            cells = pos_s * S * S
+            # matmul FLOPs actually issued per E-step position:
+            # fwd + bwd scans (2x 2*S^2) + aT/pair einsums (2x 2*S^2)
+            # + obs one-hot matmul (2*S*T*V) + em-counts (2*S*T*V)
+            flops = B * L * (8 * S * S + 4 * S * T * V) / dt
+            row = dict(
+                config=name, S=S, T=T, V=V, B=B, L=L, engine=engine,
+                estep_ms=round(dt * 1e3, 2),
+                positions_per_s=round(pos_s),
+                cellupdates_per_s=round(cells),
+                mxu_flops_per_s=round(flops),
+                pct_bf16_peak=round(100 * flops / BF16_PEAK, 2),
+                loglik=ll,
+            )
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+        if len(lls) == 2:
+            a, b = lls.values()
+            rel = abs(a - b) / max(abs(a), 1e-9)
+            print(f"# {name} engine loglik rel-delta: {rel:.3e}",
+                  flush=True)
+    print("# done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
