@@ -232,13 +232,15 @@ class MultitrackHmm:
         """
         from tehmm_tpu.parallel.em_sharded import sharded_em_step
 
+        from tehmm_tpu.parallel.mesh import stage_batch
+
         mats = [t.symbols for t in tables]
         chunks = plan_chunks([len(m) for m in mats], chunk_len, halo=0)
         batch = batch_chunks(mats, chunks)
         if mesh is not None:
             batch = pad_batch_rows(batch, int(np.prod(list(mesh.shape.values()))))
-        symbols = jnp.asarray(batch.symbols)
-        lengths = jnp.asarray(batch.lengths)
+        symbols = stage_batch(batch.symbols, mesh)
+        lengths = stage_batch(batch.lengths, mesh)
         sizes = jnp.asarray(self.alphabet_sizes)
         obs_weights = None
         if obs_weight_arrays is not None:
@@ -255,7 +257,7 @@ class MultitrackHmm:
                         np.float32,
                     )]
                 )
-            obs_weights = jnp.asarray(w)
+            obs_weights = stage_batch(w, mesh)
 
         n_positions = int(batch.lengths.sum())
         logliks: list[float] = []
@@ -432,64 +434,43 @@ class MultitrackHmm:
         """Max-posterior (per-position argmax gamma) decoding
         (reference: teHmmEval.py --maxPost).
 
-        Genome-scale safe: tables are cut into halo chunks like Viterbi;
-        a chunk's posterior at its core positions converges to the
-        monolithic value once the halo exceeds the posterior's mixing
-        range (same forgetting argument as the Viterbi stitcher)."""
-        mats = [t.symbols for t in tables]
-        lengths = [len(m) for m in mats]
-        chunks = plan_chunks(lengths, chunk_len, halo)
-        batch = batch_chunks(mats, chunks)
-        n, Lc, _T = batch.symbols.shape
-        paths = [np.zeros(L, dtype=np.int32) for L in lengths]
-        padded_rows = -(-n // rows_per_pass) * rows_per_pass
-        for lo in range(0, padded_rows, rows_per_pass):
-            hi = min(lo + rows_per_pass, n)
-            sym = batch.symbols[lo:hi]
-            lens = batch.lengths[lo:hi]
-            if hi - lo < rows_per_pass:
-                pad = rows_per_pass - (hi - lo)
-                sym = np.concatenate(
-                    [sym, np.zeros((pad,) + sym.shape[1:], sym.dtype)]
-                )
-                lens = np.concatenate(
-                    [lens, np.zeros((pad,), lens.dtype)]
-                )
-            obs = emission_ops.track_log_likelihoods(
-                self.params.log_em, jnp.asarray(sym)
-            )
-            jl = jnp.asarray(lens)
-            ah, _, _ = dp.forward_scaled(
-                self.params.log_start, self.params.log_trans, obs, jl
-            )
-            bh, _ = dp.backward_scaled(self.params.log_trans, obs, jl)
-            states = np.asarray(
-                jnp.argmax(dp.posterior_scaled(ah, bh), axis=-1)
-            )
-            for row in range(lo, hi):
-                c = chunks[row]
-                core = states[
-                    row - lo, c.core_offset : c.core_offset + c.core_len
-                ]
-                paths[c.table_idx][c.core_start : c.core_end] = core
+        Genome-scale safe AND verified: halo chunks with the same
+        boundary agreement check + adaptive widening as the Viterbi
+        stitcher, falling back to the exact carried-alpha/beta decoder
+        (bit-identical to monolithic) when agreement cannot be reached
+        (parallel/stitch.posterior_chunked)."""
+        from tehmm_tpu.parallel.stitch import posterior_chunked
+
+        paths, _report = posterior_chunked(
+            self.params, tables, chunk_len=chunk_len, halo=halo,
+            rows_per_pass=rows_per_pass,
+        )
         return paths
 
     def posterior_distributions(
-        self, tables: Sequence[TrackTable]
+        self, tables: Sequence[TrackTable], chunk_len: int = 1 << 14
     ) -> list[np.ndarray]:
         """Full per-position posterior state distributions
-        (reference: teHmmEval.py --pd output [R?])."""
-        out = []
-        for tab in tables:
-            sym = jnp.asarray(tab.symbols[None])
-            obs = emission_ops.track_log_likelihoods(
-                self.params.log_em, sym
-            )
-            ah, _, _ = dp.forward_scaled(
-                self.params.log_start, self.params.log_trans, obs
-            )
-            bh, _ = dp.backward_scaled(self.params.log_trans, obs)
-            out.append(np.asarray(dp.posterior_scaled(ah, bh)[0]))
+        (reference: teHmmEval.py --pd output [R?]).
+
+        Streams in bounded device memory: the exact carried-alpha/beta
+        chunk sweep recomputes gamma one chunk at a time (bit-identical
+        to a monolithic pass), so arbitrarily long tables only ever hold
+        one [chunk, S] block on device; the host output array is the
+        deliverable."""
+        from tehmm_tpu.parallel.stitch import posterior_sweep
+
+        S = self.params.num_states
+        out = [
+            np.zeros((len(tab), S), np.float32) for tab in tables
+        ]
+
+        def consume(b, start, gamma):
+            out[b][start : start + len(gamma)] = gamma
+
+        posterior_sweep(
+            self.params, tables, chunk_len=chunk_len, consume=consume
+        )
         return out
 
     def score(
@@ -559,6 +540,26 @@ class MultitrackHmm:
         model = cls(params, track_list, maps, meta["state_names"])
         model.extra = meta.get("extra", {})
         return model
+
+
+def path_log_score(
+    params: HmmParams, symbols: np.ndarray, path: np.ndarray
+) -> float:
+    """Joint log-probability log P(obs, path) of a decoded state path —
+    the quantity the reference's ``decode()`` returns (sklearn-style
+    Viterbi logprob [R]).  Pure host gathers, O(L·T): no device pass."""
+    log_em = np.asarray(params.log_em, np.float64)
+    log_trans = np.asarray(params.log_trans, np.float64)
+    log_start = np.asarray(params.log_start, np.float64)
+    path = np.asarray(path, np.int64)
+    if len(path) == 0:
+        return 0.0
+    s = float(log_start[path[0]])
+    if len(path) > 1:
+        s += float(log_trans[path[:-1], path[1:]].sum())
+    for t in range(symbols.shape[1]):
+        s += float(log_em[path, t, symbols[:, t].astype(np.int64)].sum())
+    return s
 
 
 def path_to_intervals(

@@ -24,8 +24,10 @@ from tehmm_tpu.utils.common import EPSILON
 
 
 def _local_stats(params, symbols, lengths, matmul):
+    # "auto": each device runs the streaming Pallas engine on its local
+    # shard on TPU, the XLA scans on CPU meshes (tests)
     stats = em_ops.em_sufficient_stats(
-        params, symbols, lengths, matmul=matmul, engine="xla"
+        params, symbols, lengths, matmul=matmul, engine="auto"
     )
     return jax.lax.psum(stats, DATA_AXIS)
 
@@ -33,7 +35,7 @@ def _local_stats(params, symbols, lengths, matmul):
 def _local_stats_weighted(params, symbols, lengths, weights, matmul):
     stats = em_ops.em_sufficient_stats(
         params, symbols, lengths, matmul=matmul, obs_weights=weights,
-        engine="xla",
+        engine="auto",
     )
     return jax.lax.psum(stats, DATA_AXIS)
 

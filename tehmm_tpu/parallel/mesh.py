@@ -45,6 +45,41 @@ def make_data_state_mesh(
     return jax.sharding.Mesh(grid, (DATA_AXIS, STATE_AXIS))
 
 
+def is_multiprocess(mesh: jax.sharding.Mesh) -> bool:
+    """True when the mesh spans devices of more than one JAX process
+    (multi-host training)."""
+    return any(
+        d.process_index != jax.process_index()
+        for d in mesh.devices.flat
+    )
+
+
+def stage_batch(arr, mesh: jax.sharding.Mesh | None):
+    """Host array -> device array ready for ``shard_map`` over the data
+    axis.
+
+    Single process: a plain committed array (shard_map re-shards it).
+    Multi-process: every process holds the full host array (genome data
+    is on shared storage, like the reference's single-host load) and
+    materializes ONLY its addressable shards via
+    ``jax.make_array_from_callback`` — the global array is assembled
+    without any cross-host data movement (SURVEY.md §7 layer 6)."""
+    import jax.numpy as jnp
+    import numpy as _np
+
+    if mesh is None:
+        return jnp.asarray(arr)
+    arr = _np.asarray(arr)
+    if not is_multiprocess(mesh):
+        return jnp.asarray(arr)
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(DATA_AXIS)
+    )
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
 def initialize_distributed(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
@@ -53,7 +88,13 @@ def initialize_distributed(
     """Multi-host entry point (SURVEY.md §2c comm backend row):
     ``jax.distributed.initialize`` + XLA collectives replace any
     NCCL/MPI-style backend.  No-op when single-process args are absent
-    and env auto-detection finds nothing."""
+    and env auto-detection finds nothing.
+
+    Must run before the JAX backend initializes (CLI mains call it
+    right after ``setup_jax``).  On the CPU backend cross-process
+    collectives need the gloo transport — selecting it is harmless on
+    TPU (the option only affects CPU executables), so it is always set."""
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
     kwargs = {}
     if coordinator_address is not None:
         kwargs.update(

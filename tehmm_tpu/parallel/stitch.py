@@ -203,6 +203,218 @@ def viterbi_chunked(
         )
 
 
+def posterior_chunked(
+    params: HmmParams,
+    tables: Sequence,
+    chunk_len: int = 1 << 14,
+    halo: int = 256,
+    max_halo: int = 1 << 14,
+    agree_frac: float = 0.5,
+    rows_per_pass: int = 64,
+    strict: bool = False,
+) -> tuple[list[np.ndarray], StitchReport]:
+    """Max-posterior decoding with the same boundary guarantees as
+    viterbi_chunked: halo chunks, per-boundary agreement check, adaptive
+    halo widening, and an EXACT carried-alpha/beta fallback when
+    agreement cannot be reached (reference: teHmmEval.py --maxPost;
+    SURVEY.md §2b).  Returns one int32[L] argmax-gamma path per table."""
+    mats = [getattr(t, "symbols", t) for t in tables]
+    lengths = [len(m) for m in mats]
+    retries = 0
+
+    cur_halo = min(halo, max_halo)
+    while True:
+        chunks = plan_chunks(lengths, chunk_len, cur_halo)
+        batch = batch_chunks(mats, chunks)
+        decoded = _posterior_batch(
+            params, batch.symbols, batch.lengths, rows_per_pass
+        )
+
+        paths = [np.zeros(L, dtype=np.int32) for L in lengths]
+        for row, c in enumerate(chunks):
+            core = decoded[row, c.core_offset : c.core_offset + c.core_len]
+            paths[c.table_idx][c.core_start : c.core_end] = core
+
+        w = max(1, int(cur_halo * agree_frac))
+        n_checked = 0
+        ok = True
+        for (ra, a), (rb, b) in zip(
+            enumerate(chunks[:-1]), list(enumerate(chunks))[1:]
+        ):
+            if a.table_idx != b.table_idx:
+                continue
+            x = a.core_end
+            lo = max(x - w, a.load_start, b.load_start)
+            hi = min(x + w, a.load_end, b.load_end)
+            if lo >= hi:
+                continue
+            seg_a = decoded[ra, lo - a.load_start : hi - a.load_start]
+            seg_b = decoded[rb, lo - b.load_start : hi - b.load_start]
+            n_checked += 1
+            if not np.array_equal(seg_a, seg_b):
+                ok = False
+                break
+
+        if ok or cur_halo >= max_halo:
+            if not ok:
+                logger.warning(
+                    "posterior_chunked: boundary disagreement persists "
+                    "at max_halo=%d; falling back to the exact carried-"
+                    "alpha/beta decoder", max_halo,
+                )
+                paths = posterior_exact(params, tables, chunk_len)
+                ok = True
+            report = StitchReport(
+                n_chunks=len(chunks),
+                final_halo=cur_halo,
+                retries=retries,
+                boundaries_checked=n_checked,
+                boundaries_ok=ok,
+            )
+            return paths, report
+
+        retries += 1
+        cur_halo = min(cur_halo * 2, max_halo)
+        logger.info(
+            "posterior_chunked: widening halo to %d (retry %d)",
+            cur_halo, retries,
+        )
+
+
+def _posterior_batch(
+    params: HmmParams,
+    symbols: np.ndarray,
+    lengths: np.ndarray,
+    rows_per_pass: int,
+) -> np.ndarray:
+    """argmax-gamma over a chunk batch in fixed-shape row groups."""
+    n, L, _T = symbols.shape
+    out = np.zeros((n, L), dtype=np.int32)
+    padded_rows = -(-n // rows_per_pass) * rows_per_pass
+    for lo in range(0, padded_rows, rows_per_pass):
+        hi = min(lo + rows_per_pass, n)
+        sym = symbols[lo:hi]
+        lens = lengths[lo:hi]
+        if hi - lo < rows_per_pass:
+            pad = rows_per_pass - (hi - lo)
+            sym = np.concatenate(
+                [sym, np.zeros((pad,) + sym.shape[1:], sym.dtype)]
+            )
+            lens = np.concatenate([lens, np.zeros((pad,), lens.dtype)])
+        obs = track_log_likelihoods(params.log_em, jnp.asarray(sym))
+        jl = jnp.asarray(lens)
+        ah, _, _ = dp.forward_scaled(
+            params.log_start, params.log_trans, obs, jl
+        )
+        bh, _ = dp.backward_scaled(params.log_trans, obs, jl)
+        states = jnp.argmax(dp.posterior_scaled(ah, bh), axis=-1)
+        out[lo:hi] = np.asarray(states)[: hi - lo]
+    return out
+
+
+def posterior_sweep(
+    params: HmmParams,
+    tables: Sequence,
+    chunk_len: int = 1 << 14,
+    consume=None,
+) -> list[np.ndarray]:
+    """EXACT chunked posterior machinery (carried alpha forward sweep +
+    carried beta backward sweep, per-chunk recompute; SURVEY.md §7 hard
+    part #3).  Device memory is bounded by one chunk; the op sequence
+    matches the monolithic scans so gamma — and its argmax — is
+    bit-identical to a whole-table pass.
+
+    ``consume(table_idx, start, gamma_chunk)`` is called for every chunk
+    in REVERSE time order with gamma f32[valid, S]; the default consumer
+    collects argmax paths.  Returns the argmax paths list."""
+    mats = [np.ascontiguousarray(getattr(t, "symbols", t)) for t in tables]
+    B = len(mats)
+    true_lens = np.asarray([len(m) for m in mats], np.int64)
+    T = mats[0].shape[1]
+    Lb = int(true_lens.max()) - 1          # body = positions 1..L-1
+    Lc = min(chunk_len, max(Lb, 1))
+    n_chunks = max(0, -(-Lb // Lc))
+
+    def obs_chunk(c):
+        lo = 1 + c * Lc
+        block = np.zeros((B, Lc, T), dtype=mats[0].dtype)
+        for b, m in enumerate(mats):
+            piece = m[lo : lo + Lc]
+            block[b, : len(piece)] = piece
+        obs = track_log_likelihoods(params.log_em, jnp.asarray(block))
+        lens = jnp.asarray(np.clip(true_lens - lo, 0, Lc))
+        return obs, lens
+
+    # position 0 values
+    block0 = np.stack([m[0] for m in mats])
+    obs0 = track_log_likelihoods(
+        params.log_em, jnp.asarray(block0[:, None, :])
+    )[:, 0, :]
+    a0 = params.log_start[None, :] + obs0
+    m0 = jnp.maximum(jnp.max(a0, axis=-1, keepdims=True), -1e30)
+    carry = a0 - m0
+
+    # ---- forward sweep: store the carry entering each chunk ----
+    entry_carries = []
+    for c in range(n_chunks):
+        entry_carries.append(carry)
+        obs, lens = obs_chunk(c)
+        _, carry = dp.forward_chunk_values(
+            params.log_trans, obs, carry, lens
+        )
+
+    paths = [np.zeros(L, np.int32) for L in map(int, true_lens)]
+
+    def default_consume(b, start, gamma):
+        paths[b][start : start + len(gamma)] = np.argmax(gamma, axis=-1)
+
+    consume = consume or default_consume
+
+    # ---- backward sweep with per-chunk gamma ----
+    S = params.num_states
+    x_carry = jnp.zeros((B, S), jnp.float32)
+    for c in reversed(range(n_chunks)):
+        obs, lens = obs_chunk(c)
+        lo = 1 + c * Lc
+        continuing = jnp.asarray(true_lens > lo + Lc)
+        a_hats, _ = dp.forward_chunk_values(
+            params.log_trans, obs, entry_carries[c], lens
+        )
+        b_hats, x_carry = dp.backward_chunk_values(
+            params.log_trans, obs, x_carry, continuing, lens
+        )
+        gamma = np.asarray(dp.posterior_scaled(a_hats, b_hats))
+        lens_np = np.asarray(lens)
+        for b in range(B):
+            n_valid = int(lens_np[b])
+            if n_valid > 0:
+                consume(b, lo, gamma[b, :n_valid])
+
+    # ---- position 0: gamma from a0 and the final x_carry ----
+    # beta at position 0 = logdot(x_carry, T^T) for rows longer than 1
+    beta0 = dp.backward_chunk_values(
+        params.log_trans,
+        jnp.asarray(obs0[:, None, :]) * 0.0,  # obs row unused at Lc=1
+        x_carry,
+        jnp.asarray(true_lens > 1),
+        jnp.asarray(np.ones(B, np.int64)),
+    )[0][:, 0, :]
+    gamma0 = np.asarray(dp.posterior_scaled(a0 - m0, beta0))
+    for b in range(B):
+        if true_lens[b] > 0:
+            consume(b, 0, gamma0[b : b + 1])
+    return paths
+
+
+def posterior_exact(
+    params: HmmParams,
+    tables: Sequence,
+    chunk_len: int = 1 << 14,
+) -> list[np.ndarray]:
+    """Exact max-posterior paths (argmax of the bit-exact chunked gamma)."""
+    return posterior_sweep(params, tables, chunk_len)
+
+
 def viterbi_exact(
     params: HmmParams,
     tables: Sequence,

@@ -314,3 +314,111 @@ class TestViterbiExact:
                 params.log_em, jnp.asarray(sym))[None]
             mono, _ = dp.viterbi(params.log_start, params.log_trans, obs)
             np.testing.assert_array_equal(path, np.asarray(mono[0]))
+
+
+class TestPosteriorExact:
+    def _adversarial(self, rng, L=900):
+        """Near-uniform emissions: posterior argmax rides razor-thin
+        margins, so halo forgetting never converges — the exact path
+        must still equal the monolithic decode BITWISE."""
+        S = 2
+        lt = np.log(np.full((S, S), 0.5, np.float32))
+        log_em = np.zeros((S, 1, 3), np.float32)
+        log_em[:, 0, 1:] = np.log(
+            np.array([[0.5001, 0.4999], [0.4999, 0.5001]])
+        )
+        params = HmmParams(
+            log_start=jnp.asarray(np.log([0.5, 0.5]).astype(np.float32)),
+            log_trans=jnp.asarray(lt),
+            log_em=jnp.asarray(log_em),
+        )
+        sym = (rng.randint(0, 2, size=(L, 1)) + 1).astype(np.uint8)
+        return params, sym
+
+    def _mono_gamma(self, params, sym):
+        obs = track_log_likelihoods(params.log_em, jnp.asarray(sym))[None]
+        ah, _, _ = dp.forward_scaled(
+            params.log_start, params.log_trans, obs
+        )
+        bh, _ = dp.backward_scaled(params.log_trans, obs)
+        return np.asarray(dp.posterior_scaled(ah, bh)[0])
+
+    def test_exact_matches_monolithic_adversarial(self, rng):
+        from tehmm_tpu.parallel.stitch import posterior_exact
+
+        params, sym = self._adversarial(rng)
+        mono = np.argmax(self._mono_gamma(params, sym), axis=-1)
+        got = posterior_exact(params, [sym], chunk_len=128)
+        np.testing.assert_array_equal(got[0], mono)
+
+    def test_exact_ragged_batch(self, rng):
+        from tehmm_tpu.parallel.stitch import posterior_exact
+
+        lt = np.log(np.array([[0.95, 0.05], [0.05, 0.95]], np.float32))
+        log_em = np.zeros((2, 1, 4), np.float32)
+        log_em[:, 0, 1:] = np.log(
+            np.array([[0.6, 0.2, 0.2], [0.2, 0.2, 0.6]])
+        )
+        params = HmmParams(
+            log_start=jnp.asarray(np.log([0.5, 0.5]).astype(np.float32)),
+            log_trans=jnp.asarray(lt),
+            log_em=jnp.asarray(log_em),
+        )
+        syms = [
+            (rng.randint(0, 3, size=(L, 1)) + 1).astype(np.uint8)
+            for L in (701, 350, 513, 1)
+        ]
+        got = posterior_exact(params, syms, chunk_len=100)
+        for sym, path in zip(syms, got):
+            mono = np.argmax(self._mono_gamma(params, sym), axis=-1)
+            np.testing.assert_array_equal(path, mono)
+
+    def test_chunked_posterior_falls_back_to_exact(self, rng):
+        """posterior_chunked on the adversarial model must end up equal
+        to monolithic via the exact fallback (boundaries_ok reports
+        True because the fallback is unconditional)."""
+        from tehmm_tpu.parallel.stitch import posterior_chunked
+
+        params, sym = self._adversarial(rng, L=800)
+        mono = np.argmax(self._mono_gamma(params, sym), axis=-1)
+        paths, report = posterior_chunked(
+            params, [sym], chunk_len=100, halo=8, max_halo=256,
+            rows_per_pass=4,
+        )
+        assert report.boundaries_ok
+        np.testing.assert_array_equal(paths[0], mono)
+
+    def test_posterior_distributions_stream_bitexact(self, rng):
+        """--pd streaming: chunk-recomputed gamma == monolithic gamma
+        bitwise (identical op sequences)."""
+        from tehmm_tpu.io.trackdata import TrackTable
+        from tehmm_tpu.models.hmm import MultitrackHmm
+        from tehmm_tpu.io.trackxml import TrackList, Track
+        from tehmm_tpu.io.category import CategoryMap
+
+        lt = np.log(np.array(
+            [[0.97, 0.02, 0.01], [0.02, 0.96, 0.02], [0.01, 0.02, 0.97]],
+            np.float32))
+        log_em = np.zeros((3, 1, 5), np.float32)
+        log_em[:, 0, 1:] = np.log(np.array([
+            [0.7, 0.1, 0.1, 0.1],
+            [0.1, 0.7, 0.1, 0.1],
+            [0.1, 0.1, 0.1, 0.7],
+        ]))
+        params = HmmParams(
+            log_start=jnp.asarray(np.log(np.full(3, 1 / 3, np.float32))),
+            log_trans=jnp.asarray(lt),
+            log_em=jnp.asarray(log_em),
+        )
+        L = 1777
+        sym = (rng.randint(0, 4, (L, 1)) + 1).astype(np.uint8)
+        tl = TrackList()
+        tl.add(Track(name="a", path="unused.bed"))
+        cm = CategoryMap()
+        for v in "1234":
+            cm.get_map(v, update=True)
+        model = MultitrackHmm(params, tl, {"a": cm}, ["x", "y", "z"])
+        tab = TrackTable("chr1", 0, L, sym)
+        got = model.posterior_distributions([tab], chunk_len=256)[0]
+        mono = self._mono_gamma(params, sym)
+        np.testing.assert_array_equal(got, mono.astype(np.float32))
