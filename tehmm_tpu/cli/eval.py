@@ -49,6 +49,11 @@ def make_parser() -> argparse.ArgumentParser:
                         "best at 4096 x 512 rows per pass)")
     p.add_argument("--halo", type=int, default=256,
                    help="stitching halo width")
+    p.add_argument("--maxSpan", type=int, default=None,
+                   help="CFG models: CYK chart budget per window "
+                        "(default: the model's training --maxSpan); "
+                        "longer regions decode via halo-stitched "
+                        "windows")
     p.add_argument("--exact", action="store_true",
                    help="use the exact checkpointed chunked decoder "
                         "instead of halo stitching (always equals the "
@@ -107,31 +112,52 @@ def main(argv=None) -> int:
         eval_list, regions, category_maps=model.category_maps
     )
 
-    total_ll = model.score(track_data.tables, chunk_len=opts.chunk)
-    print(f"{total_ll}")
-
     cfg_meta = model.extra.get("cfg") if model.extra else None
-    if cfg_meta:
-        paths = _cfg_decode(model, cfg_meta, track_data.tables)
-    elif opts.exact:
-        from tehmm_tpu.parallel.stitch import viterbi_exact
+    viterbi_like = not (cfg_meta or opts.maxPost)
+    paths = None
+    if opts.bed or not viterbi_like:
+        if cfg_meta:
+            paths = _cfg_decode(
+                model, cfg_meta, track_data.tables, opts.maxSpan
+            )
+        elif opts.exact:
+            from tehmm_tpu.parallel.stitch import viterbi_exact
 
-        paths = viterbi_exact(
-            model.params, track_data.tables, chunk_len=opts.chunk
-        )
-    elif opts.maxPost:
-        paths = model.posterior_decode_tables(
-            track_data.tables, chunk_len=opts.chunk
+            paths = viterbi_exact(
+                model.params, track_data.tables, chunk_len=opts.chunk
+            )
+        elif opts.maxPost:
+            paths = model.posterior_decode_tables(
+                track_data.tables, chunk_len=opts.chunk
+            )
+        else:
+            paths, report = model.decode_tables(
+                track_data.tables, chunk_len=opts.chunk, halo=opts.halo
+            )
+            logger.info(
+                "decoded %d chunks (halo %d, retries %d, "
+                "boundaries ok=%s)",
+                report.n_chunks, report.final_halo, report.retries,
+                report.boundaries_ok,
+            )
+
+    # Printed score (reference: teHmmEval prints the log probability from
+    # hmm.decode [R] — i.e. the VITERBI path's joint log-prob when Viterbi
+    # decoding).  Deriving it from the decoded path costs O(L·T) on the
+    # host instead of a second full forward pass over the device
+    # (round-1 review: eval paid ~2x device work just for this print).
+    # Posterior/CFG modes (and plain scoring without --bed) print the
+    # forward log-likelihood.
+    if viterbi_like and paths is not None:
+        from tehmm_tpu.models.hmm import path_log_score
+
+        total_ll = sum(
+            path_log_score(model.params, tab.symbols, p)
+            for tab, p in zip(track_data.tables, paths)
         )
     else:
-        paths, report = model.decode_tables(
-            track_data.tables, chunk_len=opts.chunk, halo=opts.halo
-        )
-        logger.info(
-            "decoded %d chunks (halo %d, retries %d, boundaries ok=%s)",
-            report.n_chunks, report.final_halo, report.retries,
-            report.boundaries_ok,
-        )
+        total_ll = model.score(track_data.tables, chunk_len=opts.chunk)
+    print(f"{total_ll}")
 
     if opts.bed:
         from tehmm_tpu.models.hmm import path_to_intervals
@@ -203,27 +229,38 @@ def _eval_segments(opts, model, seg_tables) -> int:
     return 0
 
 
-def _cfg_decode(model, cfg_meta, tables):
+def _cfg_decode(model, cfg_meta, tables, max_span=None):
     """Pair-grammar decode (reference: teHmmEval on a --cfg model).
-    Each table is one parse; tables must fit the O(L·D) chart, so use
-    chunked query regions for long chromosomes."""
+    Tables longer than the chart budget (``max_span``, from the model's
+    training meta or --maxSpan) decode via halo-stitched CYK windows
+    (models/cfg.cfg_viterbi_decode_chunked)."""
     import jax.numpy as jnp
+    import numpy as np
 
-    from tehmm_tpu.models.cfg import cfg_viterbi_decode, make_cfg_params
+    from tehmm_tpu.models.cfg import (
+        cfg_viterbi_decode_chunked, make_cfg_params,
+    )
     from tehmm_tpu.models.emission import track_log_likelihoods
 
     pair_idx = [
         model.state_index(n) for n in cfg_meta.get("pair_states", [])
     ]
+    log_match = cfg_meta.get("log_match")
     cfg = make_cfg_params(
         model.params, pair_idx,
         float(cfg_meta.get("match_bonus", 0.0)),
+        log_match=None if log_match is None
+        else np.asarray(log_match, np.float32),
     )
+    if max_span is None:
+        max_span = int(cfg_meta.get("max_span", 4096))
     paths = []
     for tab in tables:
         sym = jnp.asarray(tab.symbols)
         obs = track_log_likelihoods(model.params.log_em, sym)
-        path, _score = cfg_viterbi_decode(cfg, obs, sym)
+        path, _score = cfg_viterbi_decode_chunked(
+            cfg, obs, sym, max_span
+        )
         paths.append(path)
     return paths
 

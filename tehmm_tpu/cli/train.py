@@ -79,9 +79,16 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--pairStates", default="",
                    help="comma-separated state names that emit paired "
                         "(nested) left/right ends")
-    p.add_argument("--matchBonus", type=float, default=1.0,
+    p.add_argument("--maxSpan", type=int, default=4096,
+                   help="with --cfg: maximum pair-bracket span (bounds "
+                        "the CYK chart; also the window for the "
+                        "unsupervised match-bonus fit)")
+    p.add_argument("--matchBonus", type=float, default=None,
                    help="per-track log bonus when pair-state end symbols "
-                        "match (reference: PairEmissionModel weighting)")
+                        "match (reference: PairEmissionModel weighting). "
+                        "Default: LEARNED — supervised counting of pair-"
+                        "end agreement (--supervised) or an inside-"
+                        "likelihood fit (EM mode)")
     p.add_argument("--segment", action="store_true",
                    help="training BED contains segment-tracks output: "
                         "one observation per segment interval "
@@ -93,7 +100,18 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk", type=int, default=1 << 14,
                    help="EM chunk length (positions per sequence)")
     p.add_argument("--mesh", type=int, default=0,
-                   help="shard EM over this many devices (0 = single)")
+                   help="shard EM over this many devices (0 = single, "
+                        "or all global devices under multi-host)")
+    p.add_argument("--coordinatorAddress", default=None,
+                   metavar="HOST:PORT",
+                   help="multi-host training: process-0 coordinator "
+                        "address (jax.distributed; SURVEY.md §7 layer "
+                        "6). Launch one identical invocation per host "
+                        "with --numProcesses/--processId")
+    p.add_argument("--numProcesses", type=int, default=None,
+                   help="multi-host: total number of processes")
+    p.add_argument("--processId", type=int, default=None,
+                   help="multi-host: this process's rank (0-based)")
     p.add_argument("--checkpoint", default=None,
                    help="periodic checkpoint path")
     p.add_argument("--checkpointEvery", type=int, default=10)
@@ -119,8 +137,21 @@ def main(argv=None) -> int:
 
     setup_jax()
     opts = make_parser().parse_args(argv)
+    is_proc0 = True
+    if opts.coordinatorAddress is not None:
+        from tehmm_tpu.parallel.mesh import initialize_distributed
+        import jax
+
+        initialize_distributed(
+            opts.coordinatorAddress, opts.numProcesses, opts.processId
+        )
+        is_proc0 = jax.process_index() == 0
+        if not opts.mesh:
+            opts.mesh = jax.device_count()
+        if not is_proc0:
+            opts.checkpoint = None
     set_logging_from_options(opts)
-    metrics = JsonlMetrics(opts.logJson)
+    metrics = JsonlMetrics(opts.logJson if is_proc0 else None)
 
     track_list = TrackList(opts.tracksInfo)
     # training regions: merged span of the BED (reference:
@@ -182,14 +213,25 @@ def main(argv=None) -> int:
                 f"--pairStates names not in model: {unknown} "
                 f"(states: {model.state_names})"
             )
-        extra = {
-            "cfg": {
-                "pair_states": pair_names,
-                "match_bonus": opts.matchBonus,
-            }
+        cfg_meta = {
+            "pair_states": pair_names,
+            "max_span": opts.maxSpan,
         }
-    model.save(opts.outputModel, extra=extra)
-    logger.info("saved model to %s", opts.outputModel)
+        if opts.matchBonus is not None:
+            cfg_meta["match_bonus"] = opts.matchBonus
+        elif pair_names:
+            cfg_meta.update(_learn_pair_params(
+                opts, model, track_data, pair_names,
+                labeled if opts.supervised else None,
+            ))
+        else:
+            cfg_meta["match_bonus"] = 0.0
+        extra = {"cfg": cfg_meta}
+    # multi-host: the EM result is replicated on every process; only
+    # process 0 writes the model/metrics files (shared filesystem)
+    if is_proc0:
+        model.save(opts.outputModel, extra=extra)
+        logger.info("saved model to %s", opts.outputModel)
     metrics.close()
     return 0
 
@@ -267,6 +309,54 @@ def _train_unsupervised(
         if best is None or final > best[0]:
             best = (final, rep_model)
     return best[1]
+
+
+def _learn_pair_params(opts, model, track_data, pair_names, labeled):
+    """Learn the CFG pair parameters (reference: PairEmissionModel
+    match/mismatch weighting, SURVEY.md §2a — the reference takes these
+    from training; round-1 review flagged the constant-only bonus).
+
+    Supervised: per-state log-odds bonus from counted pair-end agreement
+    (models/cfg.estimate_match_bonus).  EM mode: a shared bonus fit by
+    maximizing the inside log-likelihood over --maxSpan windows
+    (models/cfg.fit_match_bonus)."""
+    import jax.numpy as jnp
+
+    from tehmm_tpu.models import cfg as cfg_mod
+    from tehmm_tpu.models.emission import track_log_likelihoods
+    from tehmm_tpu.models.hmm import label_tables
+
+    pair_idx = [model.state_names.index(n) for n in pair_names]
+    if labeled is not None:
+        name_to_idx = {n: i for i, n in enumerate(model.state_names)}
+        states_per_table = label_tables(
+            track_data.tables, labeled, name_to_idx
+        )
+        log_match = cfg_mod.estimate_match_bonus(
+            track_data.tables, states_per_table, pair_idx,
+            np.asarray(model.params.log_em), model.num_states,
+        )
+        logger.info(
+            "supervised pair-emission fit: log_match=%s",
+            {n: round(float(log_match[i]), 4)
+             for n, i in zip(pair_names, pair_idx)},
+        )
+        return {"log_match": [float(x) for x in log_match]}
+
+    # EM mode: shared-bonus likelihood fit on bounded windows
+    params = cfg_mod.make_cfg_params(model.params, pair_idx, 0.0)
+    obs_list, sym_list = [], []
+    for tab in track_data.tables:
+        sym = jnp.asarray(tab.symbols[: opts.maxSpan])
+        obs_list.append(
+            track_log_likelihoods(model.params.log_em, sym[None])[0]
+        )
+        sym_list.append(sym)
+    bonus = cfg_mod.fit_match_bonus(
+        params, obs_list, sym_list, opts.maxSpan
+    )
+    logger.info("inside-likelihood match-bonus fit: %s", bonus)
+    return {"match_bonus": float(bonus)}
 
 
 def _init_model(

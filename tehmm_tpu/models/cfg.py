@@ -66,12 +66,21 @@ def make_cfg_params(
     hmm: HmmParams,
     pair_states: list[int],
     match_bonus: float = 0.0,
+    log_match: np.ndarray | None = None,
 ) -> CfgParams:
+    """``log_match`` (per-state learned weights, see
+    ``estimate_match_bonus``) overrides the scalar ``match_bonus``."""
     S = hmm.num_states
     mask = np.zeros(S, bool)
     for s in pair_states:
         mask[s] = True
-    bonus = np.where(mask, np.float32(match_bonus), 0.0).astype(np.float32)
+    if log_match is not None:
+        bonus = np.where(mask, np.asarray(log_match, np.float32), 0.0)
+        bonus = bonus.astype(np.float32)
+    else:
+        bonus = np.where(
+            mask, np.float32(match_bonus), 0.0
+        ).astype(np.float32)
     return CfgParams(
         hmm=hmm,
         pair_mask=jnp.asarray(mask),
@@ -204,6 +213,135 @@ def cfg_inside_loglik(
     return jnp.log(jnp.sum(jnp.exp(root - m))) + m
 
 
+# ---------------------------------------------------------------------
+# pair-parameter training (reference: emission.py PairEmissionModel
+# match/mismatch weighting + cfg.py supervised training [R?])
+# ---------------------------------------------------------------------
+
+
+def estimate_match_bonus(
+    tables: "Sequence",
+    states_per_table: "Sequence[np.ndarray]",
+    pair_state_indices: "Sequence[int]",
+    log_em: np.ndarray,
+    num_states: int,
+    max_bonus: float = 8.0,
+) -> np.ndarray:
+    """Supervised estimation of the per-state match weight from labeled
+    paths (reference: PairEmissionModel match/mismatch weighting fit by
+    supervised counting [R?]).
+
+    Within every maximal labeled run of a pair state, positions pair up
+    symmetrically — (s+k, e-1-k), the grammar's own nesting — and the
+    observed cross-track symbol agreement rate is counted.  The learned
+    bonus is the log-odds ratio between the OBSERVED agreement and the
+    CHANCE agreement implied by the state's (independently trained)
+    emission distribution:
+
+        log_match[s] = logit(p_observed) - logit(p_chance),
+        p_chance(track) = sum_v P(v | s, track)^2  (non-missing v)
+
+    so the pair emission ``em_i + em_j + n_match * log_match`` upweights
+    parses exactly as much as the training data says matched ends are
+    enriched over independence.  States with no (or degenerate) counts
+    keep bonus 0.  Missing symbols (0) never count as matches.
+
+    Returns f32[num_states] (0 for non-pair states)."""
+    log_em = np.asarray(log_em, np.float64)
+    S, T, V = log_em.shape
+    out = np.zeros(num_states, np.float32)
+    pair_set = set(int(i) for i in pair_state_indices)
+    eps = 1e-9
+    for p in pair_set:
+        n_match = 0.0
+        n_tot = 0.0
+        for tab, states in zip(tables, states_per_table):
+            sym = getattr(tab, "symbols", tab)
+            runs = _state_runs(np.asarray(states), p)
+            for s, e in runs:
+                half = (e - s) // 2
+                if half == 0:
+                    continue
+                left = sym[s : s + half]                  # [half, T]
+                right = sym[e - half : e][::-1]
+                both = (left > 0) & (right > 0)
+                n_match += float(((left == right) & both).sum())
+                n_tot += float(both.sum())
+        if n_tot < 1:
+            continue
+        p_obs = min(max(n_match / n_tot, eps), 1 - eps)
+        em_p = np.exp(log_em[p])                          # [T, V]
+        em_p[:, 0] = 0.0
+        norm = em_p.sum(axis=1, keepdims=True)
+        em_p = em_p / np.maximum(norm, eps)
+        p_chance = float(np.mean(np.sum(em_p**2, axis=1)))
+        p_chance = min(max(p_chance, eps), 1 - eps)
+        bonus = (np.log(p_obs / (1 - p_obs))
+                 - np.log(p_chance / (1 - p_chance)))
+        out[p] = np.clip(bonus, -max_bonus, max_bonus)
+    return out
+
+
+def _state_runs(states: np.ndarray, s: int) -> list[tuple[int, int]]:
+    """Maximal [start, end) runs where states == s."""
+    hit = states == s
+    if not hit.any():
+        return []
+    d = np.diff(hit.astype(np.int8))
+    starts = list(np.where(d == 1)[0] + 1)
+    ends = list(np.where(d == -1)[0] + 1)
+    if hit[0]:
+        starts.insert(0, 0)
+    if hit[-1]:
+        ends.append(len(states))
+    return list(zip(starts, ends))
+
+
+def fit_match_bonus(
+    params: CfgParams,
+    obs_list: "Sequence[jax.Array]",
+    symbols_list: "Sequence[jax.Array]",
+    max_span: int,
+    candidates: "Sequence[float]" = (0.0, 0.5, 1.0, 2.0, 4.0),
+    refine_rounds: int = 2,
+) -> float:
+    """Unsupervised fit of a SHARED match bonus: maximize the total
+    inside log-likelihood over a coarse grid, then golden-style refine
+    around the best point (the likelihood in w is smooth and unimodal in
+    practice; each evaluation is a full inside pass).  This is the
+    trainable counterpart of the reference's user-set match weighting
+    (reference: teHmmTrain --cfg [R?])."""
+
+    def total_ll(w: float) -> float:
+        p = CfgParams(
+            hmm=params.hmm,
+            pair_mask=params.pair_mask,
+            log_match=jnp.where(
+                params.pair_mask, jnp.float32(w), 0.0
+            ),
+        )
+        tot = 0.0
+        for obs, sym in zip(obs_list, symbols_list):
+            L = obs.shape[0]
+            tot += float(
+                cfg_inside_loglik(p, obs, sym, min(max_span, L))
+            )
+        return tot
+
+    scored = {float(w): total_ll(float(w)) for w in candidates}
+    for _ in range(refine_rounds):
+        ws = sorted(scored)
+        best = max(ws, key=lambda w: scored[w])
+        i = ws.index(best)
+        lo = ws[max(i - 1, 0)]
+        hi = ws[min(i + 1, len(ws) - 1)]
+        for w in ((lo + best) / 2, (best + hi) / 2):
+            w = round(float(w), 6)
+            if w not in scored:
+                scored[w] = total_ll(w)
+    return max(scored, key=lambda w: scored[w])
+
+
 def cfg_viterbi_decode(
     params: CfgParams,
     obs: jax.Array,
@@ -247,3 +385,94 @@ def cfg_viterbi_decode(
         else:                         # left emission
             stack.append((i + 1, j, nxt))
     return path, score
+
+
+def cfg_viterbi_decode_chunked(
+    params: CfgParams,
+    obs: jax.Array,
+    symbols: jax.Array,
+    max_span: int,
+    halo: int = 128,
+    max_halo: int | None = None,
+    agree_frac: float = 0.5,
+    strict: bool = False,
+) -> tuple[np.ndarray, float]:
+    """CYK decode of sequences LONGER than the chart budget.
+
+    The sequence is cut into core windows stitched with the same
+    halo-agreement machinery as the HMM Viterbi stitcher
+    (parallel/stitch.py): each window of core C + 2·halo is parsed as an
+    independent full-span CFG (window length <= max_span bounds the
+    chart to O(max_span²·S)); neighboring windows overlap 2·halo around
+    every boundary and must agree on a window centered there, else the
+    halo doubles and the pass retries.  Pair brackets therefore live
+    WITHIN a window span — the grammar's bounded-element premise
+    (reference: cfg.py bounded TE elements [R?]; SURVEY.md §2a) — while
+    unbounded background runs stitch exactly like the HMM case.
+
+    Returns (path, score) where score sums the window root scores over
+    cores (an upper-bound surrogate, printed nowhere; eval reports the
+    HMM forward log-likelihood for CFG models)."""
+    import logging
+
+    logger = logging.getLogger("tehmm")
+    L = obs.shape[0]
+    if L <= max_span:
+        return cfg_viterbi_decode(params, obs, symbols, max_span)
+    if max_halo is None:
+        max_halo = max_span // 4
+    cur_halo = min(halo, max_halo)
+
+    while True:
+        core = max_span - 2 * cur_halo
+        if core <= 0:
+            raise ValueError(
+                f"halo {cur_halo} leaves no core in max_span {max_span}"
+            )
+        n_win = -(-L // core)
+        decoded = []
+        bounds = []
+        score = 0.0
+        for k in range(n_win):
+            c_lo, c_hi = k * core, min((k + 1) * core, L)
+            lo = max(c_lo - cur_halo, 0)
+            hi = min(c_hi + cur_halo, L)
+            p, sc = cfg_viterbi_decode(
+                params, obs[lo:hi], symbols[lo:hi], hi - lo
+            )
+            decoded.append((lo, hi, c_lo, c_hi, p))
+            bounds.append((c_lo, c_hi))
+            score += sc * (c_hi - c_lo) / (hi - lo)
+
+        ok = True
+        w = max(1, int(cur_halo * agree_frac))
+        for (lo_a, hi_a, _, ce_a, pa), (lo_b, hi_b, cs_b, _, pb) in zip(
+            decoded[:-1], decoded[1:]
+        ):
+            x = ce_a  # == cs_b
+            lo = max(x - w, lo_a, lo_b)
+            hi = min(x + w, hi_a, hi_b)
+            if lo >= hi:
+                continue
+            if not np.array_equal(
+                pa[lo - lo_a : hi - lo_a], pb[lo - lo_b : hi - lo_b]
+            ):
+                ok = False
+                break
+
+        if ok or cur_halo * 2 > max_halo:
+            if not ok:
+                msg = (
+                    f"cfg_viterbi_decode_chunked: boundary disagreement "
+                    f"persists at halo={cur_halo} (max_span "
+                    f"{max_span}); a pair bracket may straddle a window "
+                    f"boundary — raise --maxSpan"
+                )
+                if strict:
+                    raise RuntimeError(msg)
+                logger.warning(msg)
+            path = np.zeros(L, np.int32)
+            for lo, hi, c_lo, c_hi, p in decoded:
+                path[c_lo:c_hi] = p[c_lo - lo : c_hi - lo]
+            return path, score
+        cur_halo = min(cur_halo * 2, max_halo)

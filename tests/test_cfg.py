@@ -175,3 +175,200 @@ class TestCfgCli:
                 [str(xml), truth_bed, str(tmp_path / "m.npz"),
                  "--supervised", "--cfg", "--pairStates", "NOPE"]
             )
+
+
+class TestPairTraining:
+    """Learned pair parameters (reference: PairEmissionModel
+    match/mismatch weighting fit from training data; round-1 review
+    item #5)."""
+
+    def test_estimate_match_bonus_positive_for_matching_ends(self, rng):
+        from tehmm_tpu.models.cfg import estimate_match_bonus
+
+        S, T, V, L = 2, 1, 5, 400
+        # state 1 runs with symmetric (palindromic) ends; state 0 random
+        sym = rng.randint(1, V, size=(L, T)).astype(np.int32)
+        states = np.zeros(L, np.int32)
+        for s in range(40, L - 40, 100):
+            e = s + 30
+            states[s:e] = 1
+            for k in range(15):
+                sym[e - 1 - k] = sym[s + k]          # perfect mirror
+        log_em = np.full((S, T, V), np.log(1 / (V - 1)), np.float32)
+        log_em[:, :, 0] = -1e30
+        bonus = estimate_match_bonus(
+            [sym], [states], [1], log_em, S
+        )
+        assert bonus[1] > 1.0, bonus
+        assert bonus[0] == 0.0
+
+    def test_estimate_match_bonus_chance_is_zero(self, rng):
+        from tehmm_tpu.models.cfg import estimate_match_bonus
+
+        S, T, V, L = 2, 1, 5, 4000
+        sym = rng.randint(1, V, size=(L, T)).astype(np.int32)
+        states = np.zeros(L, np.int32)
+        states[100:3900] = 1                         # random ends
+        log_em = np.full((S, T, V), np.log(1 / (V - 1)), np.float32)
+        log_em[:, :, 0] = -1e30
+        bonus = estimate_match_bonus([sym], [states], [1], log_em, S)
+        assert abs(bonus[1]) < 0.75, bonus           # ~chance agreement
+
+    def test_fit_match_bonus_prefers_positive_on_mirrored_data(
+        self, rng
+    ):
+        from tehmm_tpu.models.cfg import fit_match_bonus
+
+        S, T, V, L = 2, 1, 4, 24
+        log_start = np.log([0.5, 0.5]).astype(np.float32)
+        log_trans = np.log([[0.6, 0.4], [0.4, 0.6]]).astype(np.float32)
+        log_em = np.zeros((S, T, V), np.float32)
+        log_em[:, :, 1:] = np.log(1 / 3)
+        hmm = HmmParams(
+            log_start=jnp.asarray(log_start),
+            log_trans=jnp.asarray(log_trans),
+            log_em=jnp.asarray(log_em),
+        )
+        cfg = make_cfg_params(hmm, pair_states=[1], match_bonus=0.0)
+        # perfectly mirrored sequence: matches at every nesting level
+        half = rng.randint(1, V, size=(L // 2, T))
+        sym = np.concatenate([half, half[::-1]]).astype(np.int32)
+        obs = jnp.asarray(
+            oracle.obs_log_likelihoods(log_em, sym), jnp.float32
+        )
+        w = fit_match_bonus(
+            cfg, [obs], [jnp.asarray(sym)], L,
+            candidates=(0.0, 1.0, 2.0, 4.0), refine_rounds=1,
+        )
+        assert w > 0.0, w
+
+    def test_supervised_cli_learns_log_match(self, tmp_path, rng):
+        """--cfg --supervised without --matchBonus stores a learned
+        per-state log_match in the model meta, and eval decodes."""
+        from tehmm_tpu.cli import train as cli_train
+        from tehmm_tpu.cli import eval as cli_eval
+        from tehmm_tpu.io import write_bed_intervals, read_bed_intervals
+        from tehmm_tpu.models.hmm import MultitrackHmm
+
+        L = 300
+        truth = [("chr1", 0, 100, "BG"), ("chr1", 100, 160, "TE"),
+                 ("chr1", 160, 300, "BG")]
+        rows = []
+        vals = ["A", "B", "C"]
+        rng2 = np.random.RandomState(1)
+        cells = [vals[rng2.randint(3)] for _ in range(L // 10)]
+        # mirror the TE span's cells so pair ends agree
+        for k in range(3):
+            cells[10 + k] = cells[15 - k]
+        for i, v in enumerate(cells):
+            rows.append(("chr1", i * 10, (i + 1) * 10, v))
+        bed = str(tmp_path / "a.bed")
+        write_bed_intervals(rows, bed)
+        xml = tmp_path / "t.xml"
+        xml.write_text(
+            f'<teModelConfig><track name="a" path="{bed}"/>'
+            "</teModelConfig>"
+        )
+        truth_bed = str(tmp_path / "truth.bed")
+        write_bed_intervals(truth, truth_bed)
+        model = str(tmp_path / "m.npz")
+        rc = cli_train.main(
+            [str(xml), truth_bed, model, "--supervised", "--cfg",
+             "--pairStates", "TE"]
+        )
+        assert rc == 0
+        m = MultitrackHmm.load(model)
+        meta = m.extra["cfg"]
+        assert "log_match" in meta
+        te_idx = m.state_names.index("TE")
+        assert meta["log_match"][te_idx] > 0.0, meta
+        regions = str(tmp_path / "r.bed")
+        write_bed_intervals([("chr1", 0, L)], regions)
+        out = str(tmp_path / "p.bed")
+        rc = cli_eval.main([str(xml), model, regions, "--bed", out])
+        assert rc == 0
+        assert len(read_bed_intervals(out, ncol=4)) >= 1
+
+
+class TestChunkedCfgDecode:
+    """L > max_span no longer raises (round-1 review item #5): halo-
+    stitched CYK windows."""
+
+    def test_chunked_equals_monolithic_no_pairs(self, rng, make_hmm):
+        from tehmm_tpu.models.cfg import cfg_viterbi_decode_chunked
+
+        S, T, V, L = 3, 2, 5, 120
+        hmm, log_em = _hmm_params(make_hmm, S, T, V)
+        cfg = make_cfg_params(hmm, pair_states=[])
+        sym = rng.randint(1, V, size=(L, T))
+        obs = jnp.asarray(
+            oracle.obs_log_likelihoods(log_em, sym), jnp.float32
+        )
+        mono, _ = cfg_viterbi_decode(cfg, obs, jnp.asarray(sym), L)
+        chunked, _ = cfg_viterbi_decode_chunked(
+            cfg, obs, jnp.asarray(sym), max_span=48, halo=8
+        )
+        np.testing.assert_array_equal(mono, chunked)
+
+    def test_chunked_with_pair_states_runs(self, rng):
+        from tehmm_tpu.models.cfg import cfg_viterbi_decode_chunked
+
+        S, V, L = 2, 4, 100
+        log_start = np.log([0.9, 0.1]).astype(np.float32)
+        log_trans = np.log([[0.8, 0.2], [0.4, 0.6]]).astype(np.float32)
+        log_em = np.zeros((S, 1, V), np.float32)
+        log_em[:, 0, 1:] = np.log(1 / 3)
+        hmm = HmmParams(
+            log_start=jnp.asarray(log_start),
+            log_trans=jnp.asarray(log_trans),
+            log_em=jnp.asarray(log_em),
+        )
+        cfg = make_cfg_params(hmm, pair_states=[1], match_bonus=2.0)
+        sym = rng.randint(1, V, size=(L, 1)).astype(np.int32)
+        obs = jnp.asarray(
+            oracle.obs_log_likelihoods(log_em, sym), jnp.float32
+        )
+        path, _ = cfg_viterbi_decode_chunked(
+            cfg, obs, jnp.asarray(sym), max_span=40, halo=8
+        )
+        assert path.shape == (L,)
+        assert set(np.unique(path)) <= {0, 1}
+
+    def test_long_region_eval_cli(self, tmp_path, rng):
+        """eval on a region longer than --maxSpan decodes via windows
+        instead of raising."""
+        from tehmm_tpu.cli import train as cli_train
+        from tehmm_tpu.cli import eval as cli_eval
+        from tehmm_tpu.io import write_bed_intervals, read_bed_intervals
+
+        L = 500
+        truth = [("chr1", 0, 200, "BG"), ("chr1", 200, 260, "TE"),
+                 ("chr1", 260, 500, "BG")]
+        rows = []
+        for c, s, e, n in truth:
+            for i in range(s, e, 10):
+                rows.append((c, i, min(i + 10, e),
+                             "X" if n == "TE" else "Y"))
+        bed = str(tmp_path / "a.bed")
+        write_bed_intervals(rows, bed)
+        xml = tmp_path / "t.xml"
+        xml.write_text(
+            f'<teModelConfig><track name="a" path="{bed}"/>'
+            "</teModelConfig>"
+        )
+        truth_bed = str(tmp_path / "truth.bed")
+        write_bed_intervals(truth, truth_bed)
+        model = str(tmp_path / "m.npz")
+        rc = cli_train.main(
+            [str(xml), truth_bed, model, "--supervised", "--cfg",
+             "--pairStates", "TE", "--maxSpan", "128"]
+        )
+        assert rc == 0
+        regions = str(tmp_path / "r.bed")
+        write_bed_intervals([("chr1", 0, L)], regions)
+        out = str(tmp_path / "p.bed")
+        rc = cli_eval.main([str(xml), model, regions, "--bed", out])
+        assert rc == 0
+        pred = read_bed_intervals(out, ncol=4)
+        covered = sum(e - s for _, s, e, _ in pred)
+        assert covered == L
