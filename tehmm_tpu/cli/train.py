@@ -277,8 +277,41 @@ def _train_unsupervised(
         weights = [t.lengths.astype("float32") for t in seg_tables]
     chunk_len = opts.chunk
 
+    n_reps = max(1, opts.reps)
+    if n_reps > 1 and mesh is None and not opts.deviceLoop:
+        # batched restarts: R parameter sets, ONE vmapped device program
+        # per iteration (reference --reps forks processes; --numThreads
+        # is subsumed — the chip runs all restarts concurrently)
+        from tehmm_tpu.models.hmm import fit_restarts
+
+        rep_models = [model] + [
+            _init_model(
+                opts, track_data, state_names, n_states, "random",
+                opts.seed + rep, rand_range,
+            )
+            for rep in range(1, n_reps)
+        ]
+        best_idx, results = fit_restarts(
+            rep_models, tables,
+            max_iterations=opts.iter,
+            convergence_tol=opts.emThresh,
+            masks=masks,
+            chunk_len=chunk_len,
+            metrics=metrics,
+            obs_weight_arrays=weights,
+        )
+        for rep, res in enumerate(results):
+            logger.info(
+                "rep %d: loglik %.4f after %d iters (converged=%s)",
+                rep, res.logliks[-1] if res.logliks else -np.inf,
+                res.iterations, res.converged,
+            )
+        if opts.checkpoint:
+            rep_models[best_idx].save(opts.checkpoint)
+        return rep_models[best_idx]
+
     best = None
-    for rep in range(max(1, opts.reps)):
+    for rep in range(n_reps):
         rep_model = model
         if rep > 0:
             # random restart: fresh random emissions with the user's

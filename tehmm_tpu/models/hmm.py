@@ -542,6 +542,131 @@ class MultitrackHmm:
         return model
 
 
+def fit_restarts(
+    models: "Sequence[MultitrackHmm]",
+    tables: Sequence[TrackTable],
+    max_iterations: int = 100,
+    convergence_tol: float = 1e-3,
+    masks: em_ops.ParamMasks | None = None,
+    epsilon: float = EPSILON,
+    chunk_len: int = 1 << 14,
+    metrics: JsonlMetrics | None = None,
+    obs_weight_arrays: Sequence[np.ndarray] | None = None,
+) -> tuple[int, list[FitResult]]:
+    """EM over R random restarts as ONE vmapped device program
+    (reference: teHmmTrain.py --reps forks OS processes; --numThreads
+    [R?]).  All restarts share the staged observation batch; each
+    iteration is a single dispatch computing R E+M steps, so R restarts
+    cost barely more wall-clock than one until the chip saturates.
+
+    The winning restart's parameters are written back into its model.
+    Returns (best_index, per-restart FitResults)."""
+    R = len(models)
+    mats = [t.symbols for t in tables]
+    chunks = plan_chunks([len(m) for m in mats], chunk_len, halo=0)
+    batch = batch_chunks(mats, chunks)
+    symbols = jnp.asarray(batch.symbols)
+    lengths = jnp.asarray(batch.lengths)
+    sizes = jnp.asarray(models[0].alphabet_sizes)
+    obs_weights = None
+    if obs_weight_arrays is not None:
+        wb = batch_chunks(
+            [np.asarray(w, np.float32)[:, None]
+             for w in obs_weight_arrays],
+            chunks,
+        )
+        obs_weights = jnp.asarray(wb.symbols[..., 0])
+
+    params_stack = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[m.params for m in models]
+    )
+
+    # pass-blocks: the vmapped E-step working set is R x one restart's
+    n_rows, Lr = symbols.shape[0], symbols.shape[1]
+    rows_per_pass = max(1, _MAX_PASS_POSITIONS // max(Lr, 1) // R)
+    passes = None
+    if n_rows > rows_per_pass:
+        P = -(-n_rows // rows_per_pass)
+        pad = P * rows_per_pass - n_rows
+        sym_p = jnp.pad(symbols, ((0, pad), (0, 0), (0, 0)))
+        len_p = jnp.pad(lengths, (0, pad))
+        passes = (
+            sym_p.reshape(P, rows_per_pass, *symbols.shape[1:]),
+            len_p.reshape(P, rows_per_pass),
+            None if obs_weights is None else jnp.pad(
+                obs_weights, ((0, pad), (0, 0))
+            ).reshape(P, rows_per_pass, -1),
+        )
+
+    t0 = time.time()
+    hist: list[np.ndarray] = []          # per-iter f32[R]
+    n_positions = int(batch.lengths.sum())
+    pending = None
+
+    def _drain():
+        if pending is None:
+            return False
+        it, dev_ll, it_t0 = pending
+        ll = np.asarray(dev_ll)
+        hist.append(ll)
+        wall = time.time() - it_t0
+        logger.info(
+            "EM[reps=%d] iter %d: best loglik %.4f (%.2fs, %.3g pos/s "
+            "aggregate)", R, it, float(ll.max()), wall,
+            R * n_positions / max(wall, 1e-9),
+        )
+        if metrics is not None:
+            metrics.write(
+                iter=it, logliks=[float(x) for x in ll], wall=wall
+            )
+        if len(hist) >= 2:
+            return bool(
+                np.all(np.abs(hist[-1] - hist[-2]) < convergence_tol)
+            )
+        return False
+
+    converged = False
+    for it in range(max_iterations):
+        it_t0 = time.time()
+        if passes is not None:
+            stats = None
+            for pi in range(passes[0].shape[0]):
+                s = em_ops.em_stats_reps(
+                    params_stack, passes[0][pi], passes[1][pi],
+                    None if passes[2] is None else passes[2][pi],
+                )
+                stats = s if stats is None else stats + s
+        else:
+            stats = em_ops.em_stats_reps(
+                params_stack, symbols, lengths, obs_weights
+            )
+        params_stack = em_ops.em_m_step_reps(
+            stats, params_stack, sizes, masks, epsilon
+        )
+        if _drain():
+            converged = True
+            break
+        pending = (it, stats.loglik, it_t0)
+    if not converged and _drain():
+        converged = True
+
+    wall = time.time() - t0
+    lls = np.stack(hist) if hist else np.zeros((0, R), np.float32)
+    best = int(np.argmax(lls[-1])) if len(lls) else 0
+    for r, m in enumerate(models):
+        m.params = jax.tree.map(lambda x, r=r: x[r], params_stack)
+    results = [
+        FitResult(
+            logliks=[float(x) for x in lls[:, r]],
+            iterations=len(lls),
+            converged=converged,
+            wall_seconds=wall,
+        )
+        for r in range(R)
+    ]
+    return best, results
+
+
 def path_log_score(
     params: HmmParams, symbols: np.ndarray, path: np.ndarray
 ) -> float:

@@ -383,6 +383,46 @@ def supervised_train(
     return HmmParams(log_start=log_start, log_trans=log_trans, log_em=log_em)
 
 
+# ---------------------------------------------------------------------------
+# Batched random restarts (reference: teHmmTrain.py --reps/--numThreads —
+# the reference forks OS processes; here R restarts are ONE vmapped device
+# program over stacked parameters, sharing the staged observations).
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def em_stats_reps(
+    params_stack: HmmParams,
+    symbols: jax.Array,
+    lengths: jax.Array | None = None,
+    obs_weights: jax.Array | None = None,
+) -> EmStats:
+    """E-step for R stacked parameter sets over ONE shared batch.
+
+    ``params_stack`` leaves carry a leading R axis; the observations do
+    not.  Returns EmStats with leading R axis.  Uses the XLA engine:
+    the vmapped scan batches the R restarts into [R·B, S] matmuls, which
+    is exactly the large-batch regime the scan kernels like."""
+    return jax.vmap(
+        lambda p: em_sufficient_stats(
+            p, symbols, lengths, obs_weights=obs_weights, engine="xla"
+        )
+    )(params_stack)
+
+
+@partial(jax.jit, static_argnames=("epsilon",))
+def em_m_step_reps(
+    stats_stack: EmStats,
+    params_stack: HmmParams,
+    alphabet_sizes: jax.Array,
+    masks: ParamMasks | None = None,
+    epsilon: float = EPSILON,
+) -> HmmParams:
+    """M-step for R stacked stat/parameter sets (masks shared)."""
+    return jax.vmap(
+        lambda s, p: em_m_step(s, p, alphabet_sizes, masks, epsilon)
+    )(stats_stack, params_stack)
+
+
 @partial(
     jax.jit,
     static_argnames=("max_iterations", "epsilon", "matmul"),

@@ -269,3 +269,56 @@ class TestDeviceLoop:
         assert n < 100
         assert np.isfinite(np.asarray(hist)[: n]).all()
         assert np.isnan(np.asarray(hist)[n:]).all()
+
+
+class TestBatchedRestarts:
+    """--reps as one vmapped device program (reference: teHmmTrain.py
+    --reps/--numThreads; round-1 review item #6)."""
+
+    def test_fit_restarts_matches_sequential(self, rng, make_hmm):
+        from tehmm_tpu.io.trackdata import TrackTable
+        from tehmm_tpu.models.hmm import MultitrackHmm, fit_restarts
+        from tehmm_tpu.models.params import HmmParams as HP
+
+        S, T, V, L = 3, 2, 5, 400
+        sym = rng.randint(1, V, size=(L, T)).astype(np.int32)
+        tab = TrackTable(chrom="chr1", start=0, end=L, symbols=sym)
+
+        class _Hmm(MultitrackHmm):
+            @property
+            def alphabet_sizes(self):
+                return [V] * T
+
+        def mk(seed):
+            ls, lt, lem = random_hmm_seeded(seed, S, T, V)
+            params = HP(
+                log_start=jnp.asarray(ls, jnp.float32),
+                log_trans=jnp.asarray(lt, jnp.float32),
+                log_em=jnp.asarray(lem, jnp.float32),
+            )
+            return _Hmm(params, None, None,
+                        [str(i) for i in range(S)])
+
+        seq_lls = []
+        for seed in (0, 1):
+            m = mk(seed)
+            res = m.fit([tab], max_iterations=4, convergence_tol=0.0)
+            seq_lls.append(res.logliks)
+
+        models = [mk(0), mk(1)]
+        best, results = fit_restarts(
+            models, [tab], max_iterations=4, convergence_tol=0.0
+        )
+        for r in range(2):
+            np.testing.assert_allclose(
+                results[r].logliks, seq_lls[r], rtol=1e-5,
+                err_msg=f"rep {r}",
+            )
+        finals = [res.logliks[-1] for res in results]
+        assert best == int(np.argmax(finals))
+
+
+def random_hmm_seeded(seed, S, T, V):
+    from tests.conftest import random_hmm
+
+    return random_hmm(np.random.RandomState(seed), S, T, V)
