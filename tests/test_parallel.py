@@ -224,6 +224,86 @@ class TestStateSharded:
             np.asarray(ll), np.asarray(ll_ref), rtol=1e-5
         )
 
+    def test_estep_matches_replicated(self, rng, make_hmm):
+        """Full state-sharded E-step (obs matmul + scans + contractions
+        on per-device state blocks) == replicated em_sufficient_stats
+        (round-1 review item #7)."""
+        from tehmm_tpu.parallel.mesh import make_data_state_mesh
+        from tehmm_tpu.parallel.state_sharded import (
+            em_stats_state_sharded,
+        )
+
+        S, T, V, L, B = 8, 2, 5, 60, 4
+        log_start, log_trans, log_em = make_hmm(S, T, V)
+        params = HmmParams(
+            log_start=jnp.asarray(log_start, jnp.float32),
+            log_trans=jnp.asarray(log_trans, jnp.float32),
+            log_em=jnp.asarray(log_em, jnp.float32),
+        )
+        symbols = jnp.asarray(
+            rng.randint(1, V, size=(B, L, T)), jnp.int32
+        )
+        lens = jnp.asarray([L, L, 23, 0])
+        ref = em.em_sufficient_stats(
+            params, symbols, lens, engine="xla"
+        )
+        mesh = make_data_state_mesh(4)
+        got = em_stats_state_sharded(params, symbols, lens, mesh)
+        np.testing.assert_allclose(
+            float(got.loglik), float(ref.loglik), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.start), np.asarray(ref.start),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.trans), np.asarray(ref.trans),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.em), np.asarray(ref.em),
+            rtol=1e-4, atol=1e-4,
+        )
+        assert float(got.n_obs) == float(ref.n_obs)
+
+    def test_viterbi_matches_replicated(self, rng, make_hmm):
+        """State-sharded Viterbi paths are bit-identical to dp.viterbi
+        (round-1 review item #7)."""
+        from tehmm_tpu.parallel.mesh import make_data_state_mesh
+        from tehmm_tpu.parallel.state_sharded import (
+            viterbi_state_sharded,
+        )
+
+        S, T, V, L, B = 8, 2, 5, 80, 4
+        log_start, log_trans, log_em = make_hmm(S, T, V)
+        params = HmmParams(
+            log_start=jnp.asarray(log_start, jnp.float32),
+            log_trans=jnp.asarray(log_trans, jnp.float32),
+            log_em=jnp.asarray(log_em, jnp.float32),
+        )
+        symbols = jnp.asarray(
+            rng.randint(1, V, size=(B, L, T)), jnp.int32
+        )
+        lens = jnp.asarray([L, 31, L, 2])
+        obs = track_log_likelihoods(params.log_em, symbols)
+        path_ref, score_ref = dp.viterbi(
+            params.log_start, params.log_trans, obs, lens
+        )
+        mesh = make_data_state_mesh(4)
+        path, score = viterbi_state_sharded(
+            params, symbols, lens, mesh
+        )
+        np.testing.assert_allclose(
+            np.asarray(score), np.asarray(score_ref), rtol=1e-5,
+            atol=1e-4,
+        )
+        for b in range(B):
+            n = int(lens[b])
+            np.testing.assert_array_equal(
+                np.asarray(path)[b, :n], np.asarray(path_ref)[b, :n],
+                err_msg=f"row {b}",
+            )
+
 
 class TestChunkedPosterior:
     def test_chunked_matches_monolithic(self, rng):

@@ -24,7 +24,10 @@ def timeit(fn, *args, iters=10):
 
 
 def main():
-    for name in ("S20", "S64", "S128", "S256"):
+    import sys
+    names = sys.argv[1].split(",") if len(sys.argv) > 1 else (
+        "S20", "S64", "S128", "S256")
+    for name in names:
         S, T, V, B, L = CONFIGS[name]
         params, symbols = make_inputs(S, T, V, B, L)
         obs = track_log_likelihoods(params.log_em, symbols)
