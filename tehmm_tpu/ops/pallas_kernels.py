@@ -1254,3 +1254,256 @@ def viterbi_pallas_v2(
     )
     path = jnp.concatenate([first_state[None], states], axis=0)
     return jnp.moveaxis(path, 0, 1), score
+
+
+# ---------------------------------------------------------------------
+# v3 Viterbi: batch-grouped max-plus streaming values.
+#
+# Same double-buffered DMA skeleton as the v3 forward, but in LOG space
+# (max-plus has no MXU analogue; the Sp-unrolled VPU loop is the whole
+# step) with the batch sliced into groups so the VMEM working set fits
+# at ANY state count — this removes the v2 kernel's S <= 64 gate
+# (round-1 review: "lift the streaming Viterbi past its S=64 VMEM
+# gate").  ``carry_mode`` turns the kernel into the forward half of the
+# EXACT checkpointed decoder (parallel/stitch.viterbi_exact): the
+# per-column init comes from the previous chunk's carry and EVERY
+# position applies a transition (no t==0 start special case).
+# ---------------------------------------------------------------------
+
+
+def _pick_batch_group_vit(S: int, B: int, K: int = _KV2) -> int:
+    Sp = max(-(-S // 8) * 8, 8)
+    budget = (10 << 20) - Sp * Sp * 4
+    per_col = 4 * K * Sp * 4 + 3 * Sp * 4 + 2 * K * 8 * 4
+    bg = max(128, (budget // per_col) // 128 * 128)
+    Bp = -(-B // 128) * 128
+    return min(bg, Bp)
+
+
+def _make_viterbi_kernel_v3(carry_mode: bool):
+    def kernel(
+        len_ref,        # [1, 1, Bg] int32 for THIS group
+        init_ref,       # [S_pad, Bg]: log_start bcast, or chunk carry
+        trans_ref,      # [S_pad, S_pad] log_trans (pad LOG_ZERO)
+        obs_hbm,        # [G, NB, K, S_pad, Bg]
+        v_hbm,          # [G, NB, K, S_pad, Bg] out values
+        dm_hbm,         # [G, NB, K, 8, Bg] out normalizer increments
+        obs_buf, out_buf, dm_buf, v_scr,
+        in_sem, out_sem, dm_sem,
+    ):
+        g = pl.program_id(0)
+        NB = obs_hbm.shape[1]
+        K = obs_hbm.shape[2]
+        Sp = obs_hbm.shape[3]
+        lens = len_ref[0, 0, :][None, :]
+
+        def in_dma(slot, blk):
+            return pltpu.make_async_copy(
+                obs_hbm.at[g, blk], obs_buf.at[slot], in_sem.at[slot]
+            )
+
+        def out_dma(slot, blk):
+            return pltpu.make_async_copy(
+                out_buf.at[slot], v_hbm.at[g, blk], out_sem.at[slot]
+            )
+
+        def dm_dma(slot, blk):
+            return pltpu.make_async_copy(
+                dm_buf.at[slot], dm_hbm.at[g, blk], dm_sem.at[slot]
+            )
+
+        in_dma(0, 0).start()
+        init_row = init_ref[0]                      # [Sp, Bg]
+        if carry_mode:
+            v_scr[:, :] = init_row
+        else:
+            v_scr[:, :] = jnp.zeros_like(v_scr)
+
+        def body(blk, _):
+            slot = jax.lax.rem(blk, 2)
+            nxt = jax.lax.rem(blk + 1, 2)
+
+            @pl.when(blk + 1 < NB)
+            def _prefetch():
+                in_dma(nxt, blk + 1).start()
+
+            in_dma(slot, blk).wait()
+
+            @pl.when(blk >= 2)
+            def _drain():
+                out_dma(slot, blk - 2).wait()
+                dm_dma(slot, blk - 2).wait()
+
+            for k in range(K):             # static unroll
+                t = blk * K + k
+                obs_row = obs_buf[slot, k]
+                v_hat = v_scr[:, :]
+                best = v_hat[0:1, :] + trans_ref[0, :][:, None]
+                for i in range(1, Sp):
+                    best = jnp.maximum(
+                        best,
+                        v_hat[i:i + 1, :] + trans_ref[i, :][:, None],
+                    )
+                if carry_mode:
+                    base = best
+                else:
+                    base = jnp.where(t == 0, init_row, best)
+                new = base + obs_row
+                m = jnp.maximum(
+                    jnp.max(new, axis=0, keepdims=True), LOG_ZERO
+                )
+                valid = t < lens
+                new_hat = jnp.where(valid, new - m, v_hat)
+                v_scr[:, :] = new_hat
+                out_buf[slot, k] = new_hat
+                dm_buf[slot, k] = jnp.broadcast_to(
+                    jnp.where(valid, m, 0.0), dm_buf[slot, k].shape
+                )
+            out_dma(slot, blk).start()
+            dm_dma(slot, blk).start()
+            return 0
+
+        jax.lax.fori_loop(0, NB, body, 0)
+
+        @pl.when(NB >= 2)
+        def _():
+            out_dma(jax.lax.rem(NB - 2, 2), NB - 2).wait()
+            dm_dma(jax.lax.rem(NB - 2, 2), NB - 2).wait()
+        out_dma(jax.lax.rem(NB - 1, 2), NB - 1).wait()
+        dm_dma(jax.lax.rem(NB - 1, 2), NB - 1).wait()
+
+    return kernel
+
+
+def _viterbi_values_v3(
+    init_cols: jax.Array,   # [B, S] log_start bcast or per-row carry
+    log_trans: jax.Array,
+    obs: jax.Array,
+    lengths: jax.Array,
+    carry_mode: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """Shared wrapper: max-normalized value rows + dm increments."""
+    B, L, S = obs.shape
+    Bg = _pick_batch_group_vit(S, B)
+    K = _KV2
+    Sp = max(-(-S // 8) * 8, 8)
+    Bp = -(-B // Bg) * Bg
+    G = Bp // Bg
+    Lp = -(-L // K) * K
+    NB = Lp // K
+    obs_t = jnp.swapaxes(jnp.moveaxis(obs, 1, 0), 1, 2)   # [L, S, B]
+    obs_t = jnp.pad(
+        obs_t, ((0, Lp - L), (0, Sp - S), (0, Bp - B)),
+        constant_values=LOG_ZERO,
+    )
+    obs_arr = jnp.moveaxis(
+        obs_t.reshape(NB, K, Sp, G, Bg), 3, 0
+    )
+    len_g = jnp.pad(lengths.astype(jnp.int32), (0, Bp - B)) \
+        .reshape(G, 1, Bg)
+    trans_p = jnp.pad(
+        log_trans, ((0, Sp - S), (0, Sp - S)),
+        constant_values=LOG_ZERO,
+    )
+    init_g = jnp.moveaxis(
+        jnp.pad(
+            init_cols.T, ((0, Sp - S), (0, Bp - B)),
+            constant_values=LOG_ZERO,
+        ).reshape(Sp, G, Bg),
+        1, 0,
+    )
+
+    v_pad, dm_pad = pl.pallas_call(
+        _make_viterbi_kernel_v3(carry_mode),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 1, Bg), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, Sp, Bg), lambda g: (g, 0, 0)),
+            pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, NB, K, Sp, Bg), jnp.float32),
+            jax.ShapeDtypeStruct((G, NB, K, 8, Bg), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
+            pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
+            pltpu.VMEM((2, K, 8, Bg), jnp.float32),
+            pltpu.VMEM((Sp, Bg), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(len_g, init_g, trans_p, obs_arr)
+
+    v = jnp.moveaxis(v_pad, 0, 3).reshape(Lp, Sp, Bp)
+    v_hats = jnp.transpose(v[:L, :S, :B], (0, 2, 1))      # [L, B, S]
+    dms = jnp.moveaxis(dm_pad[:, :, :, 0, :], 0, 2).reshape(Lp, Bp)
+    dms = dms[:L, :B]                                      # [L, B]
+    return v_hats, dms
+
+
+@jax.jit
+def viterbi_pallas_v3(
+    log_start: jax.Array,
+    log_trans: jax.Array,
+    obs: jax.Array,
+    lengths: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Batch-grouped streaming Viterbi: any state count (VMEM-sized
+    groups), bit-identical paths to ops.dp.viterbi (same max-plus op
+    order, same first-hit argmax tie-breaking in the shared XLA
+    backtrace)."""
+    B, L, S = obs.shape
+    lengths = jnp.full((B,), L, jnp.int32) if lengths is None else lengths
+    init = jnp.broadcast_to(log_start[None, :], (B, S))
+    v_hats, dms = _viterbi_values_v3(
+        init, log_trans, obs, lengths, carry_mode=False
+    )
+    v_final = v_hats[-1]
+    score = jnp.max(v_final, axis=-1) + jnp.sum(dms, axis=0)
+    score = jnp.where(lengths > 0, score, 0.0)
+    last_state = jnp.argmax(v_final, axis=-1).astype(jnp.int32)
+    trans_T = log_trans.T
+
+    def back(state, xs):
+        v_prev, t = xs
+        col = trans_T[state]
+        prev = jnp.argmax(v_prev + col, axis=-1).astype(jnp.int32)
+        valid_t = t < lengths
+        prev = jnp.where(valid_t, prev, state)
+        return prev, state
+
+    ts = jnp.arange(1, L)
+    first_state, states = jax.lax.scan(
+        back, last_state, (v_hats[:-1], ts), reverse=True, unroll=8
+    )
+    path = jnp.concatenate([first_state[None], states], axis=0)
+    return jnp.moveaxis(path, 0, 1), score
+
+
+@jax.jit
+def viterbi_chunk_values_pallas(
+    log_trans: jax.Array,
+    obs: jax.Array,
+    v_hat_init: jax.Array,
+    lengths: jax.Array | None = None,
+) -> jax.Array:
+    """Streaming counterpart of dp.viterbi_chunk_values (the recompute
+    sweep of the EXACT checkpointed decoder): value rows of one chunk
+    from its incoming carry, every position applying a transition."""
+    B, L, S = obs.shape
+    lengths = jnp.full((B,), L, jnp.int32) if lengths is None else lengths
+    v_hats, _ = _viterbi_values_v3(
+        v_hat_init, log_trans, obs, lengths, carry_mode=True
+    )
+    return jnp.moveaxis(v_hats, 0, 1)                     # [B, L, S]

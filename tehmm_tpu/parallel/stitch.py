@@ -80,15 +80,16 @@ def _decode_batch(
 
 
 def _viterbi_engine(num_states: int):
-    """Streaming Pallas Viterbi on TPU (1.4x, bit-identical paths —
-    measured zero mismatches on device at S <= 64), XLA scan elsewhere.
-    The kernel's unrolled max-plus loop exceeds VMEM past ~64 states."""
+    """Streaming Pallas Viterbi on TPU (bit-identical paths — measured
+    zero mismatches on device), XLA scan elsewhere.  The v3 kernel
+    slices the batch into VMEM-sized groups, so any practical state
+    count runs streamed (round-1's S <= 64 v2 gate is gone)."""
     import jax
 
-    if jax.default_backend() == "tpu" and num_states <= 64:
+    if jax.default_backend() == "tpu" and num_states <= 1024:
         from tehmm_tpu.ops import pallas_kernels as pk
 
-        return pk.viterbi_pallas_v2
+        return pk.viterbi_pallas_v3
     return dp.viterbi
 
 
@@ -467,12 +468,20 @@ def viterbi_exact(
         obs, lens = obs_chunk(c)
         carry = dp.viterbi_carry(params.log_trans, obs, carry, lens)
 
-    # ---- backtrace sweep ----
+    # ---- backtrace sweep (streaming kernel on TPU, XLA elsewhere) ----
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu" and params.num_states <= 1024:
+        from tehmm_tpu.ops.pallas_kernels import (
+            viterbi_chunk_values_pallas as _chunk_values,
+        )
+    else:
+        _chunk_values = dp.viterbi_chunk_values
     end_state = jnp.argmax(carry, axis=-1).astype(jnp.int32)
     paths = np.zeros((B, int(true_lens.max())), np.int32)
     for c in reversed(range(n_chunks)):
         obs, lens = obs_chunk(c)
-        v_hats = dp.viterbi_chunk_values(
+        v_hats = _chunk_values(
             params.log_trans, obs, entry_carries[c], lens
         )
         chunk_path, end_state = dp.viterbi_backtrace_chunk(
