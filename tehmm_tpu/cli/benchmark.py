@@ -91,6 +91,13 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", action="append", required=True,
                    help='"name:train flags", repeatable')
     p.add_argument("--slack", type=int, default=0)
+    p.add_argument("--numProcesses", type=int, default=1,
+                   help="run configs concurrently in worker processes "
+                        "(reference: teHmmBenchmark parallel configs "
+                        "[R?]).  On a single-accelerator host, workers "
+                        "CONTEND for the chip — use TEHMM_PLATFORM=cpu "
+                        "for truly parallel CPU sweeps, or 1 (default) "
+                        "to keep each config's device timings clean")
     add_logging_options(p)
     return p
 
@@ -99,15 +106,44 @@ def main(argv=None) -> int:
     opts = make_parser().parse_args(argv)
     set_logging_from_options(opts)
     os.makedirs(opts.outDir, exist_ok=True)
-    results = []
+    jobs = []
     for spec in opts.config:
         name, _, flag_str = spec.partition(":")
-        flags = shlex.split(flag_str)
-        logger.info("benchmark config %s: %s", name, flag_str)
-        results.append(run_config(
-            name, flags, opts.tracksInfo, opts.truthBed,
-            opts.regionsBed, opts.outDir, opts.slack,
-        ))
+        jobs.append((name, shlex.split(flag_str)))
+
+    if opts.numProcesses > 1:
+        import concurrent.futures as cf
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")   # fresh JAX per worker
+        by_name = {}
+        with cf.ProcessPoolExecutor(
+            max_workers=opts.numProcesses, mp_context=ctx
+        ) as ex:
+            futs = {
+                ex.submit(
+                    run_config, name, flags, opts.tracksInfo,
+                    opts.truthBed, opts.regionsBed, opts.outDir,
+                    opts.slack,
+                ): name
+                for name, flags in jobs
+            }
+            for fut in cf.as_completed(futs):
+                name = futs[fut]
+                try:
+                    by_name[name] = fut.result()
+                except Exception as e:  # noqa: BLE001 — per-config
+                    by_name[name] = {"name": name, "error": str(e)}
+                logger.info("benchmark config %s done", name)
+        results = [by_name[name] for name, _ in jobs]
+    else:
+        results = []
+        for name, flags in jobs:
+            logger.info("benchmark config %s: %s", name, flags)
+            results.append(run_config(
+                name, flags, opts.tracksInfo, opts.truthBed,
+                opts.regionsBed, opts.outDir, opts.slack,
+            ))
 
     with open(os.path.join(opts.outDir, "summary.json"), "w") as fh:
         json.dump(results, fh, indent=1)

@@ -97,17 +97,38 @@ def em_sufficient_stats(
     lengths = jnp.full((B,), L) if lengths is None else lengths
     valid = jnp.arange(L)[None, :] < lengths[:, None]          # [B,L]
 
-    obs = track_log_likelihoods(params.log_em, symbols)        # [B,L,S]
-    if obs_weights is not None:
-        obs = obs * obs_weights[:, :, None]
     if engine == "auto":
-        # the v3 prob-space kernels self-select their batch-group size,
-        # so the only gate is the resident [Sp, Sp] transition tile
+        # the v3/v4 kernels self-select their batch-group size, so the
+        # only gate is the resident [Sp, Sp] transition tile
         engine = (
             "pallas"
             if jax.default_backend() == "tpu" and S <= 1024
             else "xla"
         )
+    if engine == "pallas" and obs_weights is None:
+        # FUSED v4 engine (ops/pallas_kernels.py): symbols in,
+        # statistics out.  obs_p, beta, gamma, b_fac and the one-hot
+        # never touch HBM — the backward kernel accumulates the three
+        # EM contractions in VMEM while recomputing obs from the
+        # streamed symbols (profile-driven round-2 redesign: the v3
+        # E-step was HBM/layout-bound, not compute-bound).
+        from tehmm_tpu.ops import pallas_kernels as _pk
+
+        start, pair, em_counts, loglik_b = _pk.em_counts_fused_pallas_v4(
+            params.log_start, params.log_trans, params.log_em,
+            symbols, lengths,
+        )
+        return EmStats(
+            start=start,
+            trans=pair * jnp.exp(params.log_trans),
+            em=em_counts,
+            loglik=loglik_b.sum(),
+            n_obs=valid.sum().astype(jnp.float32),
+        )
+
+    obs = track_log_likelihoods(params.log_em, symbols)        # [B,L,S]
+    if obs_weights is not None:
+        obs = obs * obs_weights[:, :, None]
     if engine == "pallas":
         # Probability-space streaming engine (ops/pallas_kernels.py v3):
         # the kernels emit alpha_p = exp(alpha_hat) and beta_p =

@@ -1507,3 +1507,476 @@ def viterbi_chunk_values_pallas(
         v_hat_init, log_trans, obs, lengths, carry_mode=True
     )
     return jnp.moveaxis(v_hats, 0, 1)                     # [B, L, S]
+
+
+# ---------------------------------------------------------------------
+# v4 FUSED E-step engine: symbols in, sufficient statistics out.
+#
+# The round-2 profile (tools/profile_estep.py on v5e, S=64/B=1024/
+# L=1024) showed the v3 E-step is HBM-bound, not compute-bound: obs_p
+# materialization 4.4ms + forward 5.6 + backward 6.8 + XLA epilogue
+# 10.4ms — most of it [B,L,S]-sized tensors round-tripping HBM and
+# their layout transposes.  The v4 design eliminates every per-position
+# f32 tensor except alpha:
+#
+# * the FORWARD kernel streams int32 SYMBOLS (tiny), builds the one-hot
+#   in VMEM, computes obs_p = exp(em@oh - max) in-kernel (MXU matmul +
+#   bulk exp on full tiles), and writes only alpha_p + the normalizer
+#   stream (the per-position obs max is folded into dm);
+# * the BACKWARD+STATS kernel walks the blocks in reverse, recomputes
+#   obs_p from the same symbols, streams alpha_p back in, carries beta
+#   in VMEM, and accumulates the THREE EM contractions on the fly:
+#     pair[i,j]  += (alpha[p-1] * w) outer b_fac[p]      (MXU)
+#     em[s, tv]  += gamma[p] @ onehot[p]                 (MXU)
+#     start[s]    = sum_b gamma[0]
+#   so beta, gamma, b_fac, obs_p and the one-hot NEVER touch HBM.
+#
+# Total E-step HBM traffic: symbols read twice + alpha written once and
+# read once — ~0.6GB at B*L=1M, S=64 vs ~8GB for v3+epilogue.
+# The per-step math matches ops/em.em_sufficient_stats' factored,
+# per-step-normalized xi formulation exactly (z = (T^T a_prev)·b_fac
+# per column, all factors in [0,1]).
+# ---------------------------------------------------------------------
+
+
+# Matmul precision inside the v4 kernels.  HIGHEST = true-f32 (6 bf16
+# passes); HIGH = 3 passes (~f32 quality for operands like these: the
+# one-hot factors are EXACT in bf16 and probabilities live in [0, 1]).
+# Overridable for experiments: TEHMM_V4_PRECISION=highest|high|default.
+import os as _os
+
+_V4_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}[_os.environ.get("TEHMM_V4_PRECISION", "highest").lower()]
+
+
+def _pick_batch_group_v4(S: int, T: int, V: int, B: int,
+                         K: int = _KV2) -> int:
+    Sp = max(-(-S // 8) * 8, 8)
+    TVp = -(-(T * V) // 128) * 128
+    Tp = max(-(-T // 8) * 8, 8)
+    resident = (
+        3 * Sp * Sp * 4          # trans, trans_T, pair acc
+        + 2 * Sp * TVp * 4       # em table + em acc
+    )
+    budget = (9 << 20) - resident
+    per_col = (
+        2 * K * Sp * 4           # alpha double buffer
+        + 2 * K * Tp * 4         # symbol double buffer
+        + TVp * 4                # one-hot scratch
+        + 6 * Sp * 4             # carries / deferred / temporaries
+    )
+    bg = max(128, (budget // per_col) // 128 * 128)
+    Bp = -(-B // 128) * 128
+    return min(bg, Bp)
+
+
+def _oh_build(sym_k, T: int, V: int, TVp: int, Bg: int):
+    """[Tp, Bg] int32 -> one-hot f32[TVp, Bg] (cols beyond T*V zero)."""
+    rows = []
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (V, Bg), 0)
+    for tr in range(T):
+        row = sym_k[tr, :][None, :]                     # [1, Bg]
+        rows.append((iota_v == row).astype(jnp.float32))
+    oh = jnp.concatenate(rows, axis=0)                  # [T*V, Bg]
+    if TVp > T * V:
+        oh = jnp.concatenate(
+            [oh, jnp.zeros((TVp - T * V, Bg), jnp.float32)], axis=0
+        )
+    return oh
+
+
+def _obs_p_from_sym(em_ref, oh):
+    """log_em-flat [Sp, TVp] x one-hot [TVp, Bg] -> (obs_p, o_m)."""
+    obs_log = jnp.dot(
+        em_ref[:, :], oh,
+        preferred_element_type=jnp.float32,
+        precision=_V4_PRECISION,
+    )                                                   # [Sp, Bg]
+    o_m = jnp.max(obs_log, axis=0, keepdims=True)       # [1, Bg]
+    return jnp.exp(obs_log - o_m), o_m
+
+
+def _make_forward_kernel_v4(T: int, V: int):
+    def kernel(
+        len_ref,        # [1, 1, Bg] int32
+        start_ref,      # [1, Sp, Bg] exp(log_start) bcast (pad rows 0)
+        trans_t_ref,    # [Sp, Sp] exp(log_trans).T zero-padded
+        em_ref,         # [Sp, TVp] log_em flat (pad rows ~-1e9, cols 0)
+        sym_hbm,        # [G, NB, K, Tp, Bg] int32 (ANY)
+        alpha_hbm,      # [G, NB, K, Sp, Bg] out alpha_p
+        dm_hbm,         # [G, NB, K, 8, Bg] out dm (o_m folded in)
+        sym_buf, out_buf, dm_buf, p_scr,
+        in_sem, out_sem, dm_sem,
+    ):
+        g = pl.program_id(0)
+        NB = sym_hbm.shape[1]
+        K = sym_hbm.shape[2]
+        Bg = sym_hbm.shape[4]
+        TVp = em_ref.shape[1]
+        lens = len_ref[0, 0, :][None, :]
+        start_p = start_ref[0]
+
+        def in_dma(slot, blk):
+            return pltpu.make_async_copy(
+                sym_hbm.at[g, blk], sym_buf.at[slot], in_sem.at[slot]
+            )
+
+        def out_dma(slot, blk):
+            return pltpu.make_async_copy(
+                out_buf.at[slot], alpha_hbm.at[g, blk], out_sem.at[slot]
+            )
+
+        def dm_dma(slot, blk):
+            return pltpu.make_async_copy(
+                dm_buf.at[slot], dm_hbm.at[g, blk], dm_sem.at[slot]
+            )
+
+        in_dma(0, 0).start()
+        p_scr[:, :] = jnp.ones_like(p_scr)
+
+        def body(blk, _):
+            slot = jax.lax.rem(blk, 2)
+            nxt = jax.lax.rem(blk + 1, 2)
+
+            @pl.when(blk + 1 < NB)
+            def _prefetch():
+                in_dma(nxt, blk + 1).start()
+
+            in_dma(slot, blk).wait()
+
+            @pl.when(blk >= 2)
+            def _drain():
+                out_dma(slot, blk - 2).wait()
+                dm_dma(slot, blk - 2).wait()
+
+            for k in range(K):
+                t = blk * K + k
+                oh = _oh_build(sym_buf[slot, k], T, V, TVp, Bg)
+                obs_p, o_m = _obs_p_from_sym(em_ref, oh)
+                p = p_scr[:, :]
+                s = jnp.dot(trans_t_ref[:, :], p,
+                            preferred_element_type=jnp.float32,
+                            precision=_V4_PRECISION)
+                base = jnp.where(t == 0, start_p, s)
+                u = base * obs_p
+                m = jnp.max(u, axis=0, keepdims=True)
+                m_safe = jnp.maximum(m, 1e-37)
+                valid = t < lens
+                new_p = jnp.where(valid, u * (1.0 / m_safe), p)
+                # row 0: loglik increment log(m) + o_m; row 1: raw m
+                # (consumed by the stats kernel's z identity)
+                dm = jnp.where(valid, jnp.log(m_safe) + o_m, 0.0)
+                m_raw = jnp.where(valid, m_safe, 1.0)
+                ridx = jax.lax.broadcasted_iota(
+                    jnp.int32, dm_buf[slot, k].shape, 0
+                )
+                dm_tile = jnp.where(
+                    ridx == 0, jnp.broadcast_to(dm, dm_buf[slot, k].shape),
+                    jnp.where(
+                        ridx == 1,
+                        jnp.broadcast_to(m_raw, dm_buf[slot, k].shape),
+                        0.0,
+                    ),
+                )
+                p_scr[:, :] = new_p
+                out_buf[slot, k] = new_p
+                dm_buf[slot, k] = dm_tile
+            out_dma(slot, blk).start()
+            dm_dma(slot, blk).start()
+            return 0
+
+        jax.lax.fori_loop(0, NB, body, 0)
+
+        @pl.when(NB >= 2)
+        def _():
+            out_dma(jax.lax.rem(NB - 2, 2), NB - 2).wait()
+            dm_dma(jax.lax.rem(NB - 2, 2), NB - 2).wait()
+        out_dma(jax.lax.rem(NB - 1, 2), NB - 1).wait()
+        dm_dma(jax.lax.rem(NB - 1, 2), NB - 1).wait()
+
+    return kernel
+
+
+def _make_bwd_stats_kernel_v4(T: int, V: int):
+    def kernel(
+        len_ref,        # [1, 1, Bg] int32
+        trans_ref,      # [Sp, Sp] exp(log_trans) zero-padded
+        trans_t_ref,    # [Sp, Sp] unused (kept for spec symmetry)
+        em_ref,         # [Sp, TVp] log_em flat
+        sym_hbm,        # [G, NB, K, Tp, Bg] int32 (ANY) natural order
+        alpha_hbm,      # [G, NB, K, Sp, Bg] alpha_p (ANY) natural order
+        dm_hbm,         # [G, NB, K, 8, Bg] fwd normalizers (row 1 = m)
+        pair_ref,       # [1, Sp, Sp] out: sum (a*w) outer b_fac
+        emc_ref,        # [1, Sp, TVp] out: gamma-weighted symbol counts
+        start_ref,      # [1, Sp, 128] out: col 0 = start counts
+        sym_buf, alpha_buf, dm_buf, b_scr, defer_scr, defer_z_scr,
+        sym_sem, alpha_sem, dm_sem,
+    ):
+        g = pl.program_id(0)
+        NB = sym_hbm.shape[1]
+        K = sym_hbm.shape[2]
+        Bg = sym_hbm.shape[4]
+        TVp = em_ref.shape[1]
+        lens = len_ref[0, 0, :][None, :]
+
+        def sym_dma(slot, blk):
+            return pltpu.make_async_copy(
+                sym_hbm.at[g, blk], sym_buf.at[slot], sym_sem.at[slot]
+            )
+
+        def alpha_dma(slot, blk):
+            return pltpu.make_async_copy(
+                alpha_hbm.at[g, blk], alpha_buf.at[slot],
+                alpha_sem.at[slot]
+            )
+
+        def dm_dma(slot, blk):
+            return pltpu.make_async_copy(
+                dm_hbm.at[g, blk], dm_buf.at[slot], dm_sem.at[slot]
+            )
+
+        # reverse walk: iteration r processes natural block NB-1-r
+        sym_dma(0, NB - 1).start()
+        alpha_dma(0, NB - 1).start()
+        dm_dma(0, NB - 1).start()
+        b_scr[:, :] = jnp.ones_like(b_scr)
+        pair_ref[0] = jnp.zeros_like(pair_ref[0])
+        emc_ref[0] = jnp.zeros_like(emc_ref[0])
+        start_ref[0] = jnp.zeros_like(start_ref[0])
+
+        def apply_pair(a_prev, xn, z, valid_p):
+            # z = sum_ij a_i T_ij b_fac_j, computed WITHOUT a matmul via
+            # the forward-normalizer identity: s_pre * obs_p = alpha * m
+            # (exact per-step algebra; see caller)
+            w = jnp.where(valid_p, 1.0 / jnp.maximum(z, 1e-30), 0.0)
+            pair_ref[0] += jax.lax.dot_general(
+                a_prev * w, xn, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_V4_PRECISION,
+            )
+
+        def body(r, _):
+            blk = NB - 1 - r
+            slot = jax.lax.rem(r, 2)
+            nxt = jax.lax.rem(r + 1, 2)
+
+            @pl.when(r + 1 < NB)
+            def _prefetch():
+                sym_dma(nxt, blk - 1).start()
+                alpha_dma(nxt, blk - 1).start()
+                dm_dma(nxt, blk - 1).start()
+
+            sym_dma(slot, blk).wait()
+            alpha_dma(slot, blk).wait()
+            dm_dma(slot, blk).wait()
+
+            # deferred pair from the later block's k==0 step: its
+            # alpha[p0-1] is THIS block's last row (xn and z were saved
+            # in the defer scratches)
+            @pl.when(r > 0)
+            def _deferred():
+                p0 = (blk + 1) * K
+                apply_pair(
+                    alpha_buf[slot, K - 1], defer_scr[:, :],
+                    defer_z_scr[0:1, :], p0 < lens,
+                )
+
+            for k in range(K - 1, -1, -1):      # static reverse unroll
+                p = blk * K + k
+                oh = _oh_build(sym_buf[slot, k], T, V, TVp, Bg)
+                obs_p, _o_m = _obs_p_from_sym(em_ref, oh)
+                b = b_scr[:, :]
+                valid_p = p < lens                          # [1, Bg]
+                # ---- b_fac ----
+                x = obs_p * b
+                xm = jnp.maximum(
+                    jnp.max(x, axis=0, keepdims=True), 1e-37
+                )
+                xn = x * (1.0 / xm)
+                # ---- gamma + emission counts (+ start at p==0) ----
+                a_p = alpha_buf[slot, k]
+                ab = a_p * b
+                gden = jnp.maximum(
+                    jnp.sum(ab, axis=0, keepdims=True), 1e-30
+                )
+                gamma = jnp.where(valid_p, ab * (1.0 / gden), 0.0)
+                m_p = dm_buf[slot, k, 1:2, :]               # [1, Bg]
+                z_p = m_p * gden * (1.0 / xm)
+                emc_ref[0] += jax.lax.dot_general(
+                    gamma, oh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_V4_PRECISION,
+                )
+                @pl.when(p == 0)
+                def _start():
+                    col0 = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, start_ref[0].shape, 1
+                        ) == 0
+                    ).astype(jnp.float32)
+                    start_ref[0] += jnp.broadcast_to(
+                        jnp.sum(gamma, axis=1, keepdims=True),
+                        start_ref[0].shape,
+                    ) * col0
+                # ---- pair (transition INTO p; defer at block edge) ----
+                if k > 0:
+                    apply_pair(alpha_buf[slot, k - 1], xn, z_p, valid_p)
+                else:
+                    defer_scr[:, :] = xn
+                    defer_z_scr[0:1, :] = z_p
+                # ---- beta update ----
+                s_b = jnp.dot(trans_ref[:, :], xn,
+                              preferred_element_type=jnp.float32,
+                              precision=_V4_PRECISION)
+                nm = jnp.maximum(
+                    jnp.max(s_b, axis=0, keepdims=True), 1e-37
+                )
+                b_scr[:, :] = jnp.where(valid_p, s_b * (1.0 / nm), b)
+            return 0
+
+        jax.lax.fori_loop(0, NB, body, 0)
+
+    return kernel
+
+
+@jax.jit
+def em_counts_fused_pallas_v4(
+    log_start: jax.Array,
+    log_trans: jax.Array,
+    log_em: jax.Array,
+    symbols: jax.Array,     # int32[B, L, T]
+    lengths: jax.Array,
+):
+    """Fused E-step: (start, pair, em, loglik) from raw symbols.
+
+    ``pair`` excludes the transition-probability factor (multiply by
+    exp(log_trans) for expected transition counts, exactly like the
+    factored epilogue in ops/em.em_sufficient_stats)."""
+    B, L, T = symbols.shape
+    S, _T2, V = log_em.shape
+    K = _KV2
+    Sp = max(-(-S // 8) * 8, 8)
+    Tp = max(-(-T // 8) * 8, 8)
+    TVp = -(-(T * V) // 128) * 128
+    Bg = _pick_batch_group_v4(S, T, V, B)
+    Bp = -(-B // Bg) * Bg
+    G = Bp // Bg
+    Lp = -(-L // K) * K
+    NB = Lp // K
+
+    # symbols -> [G, NB, K, Tp, Bg] (int32; pad positions/tracks = 0)
+    sym_t = jnp.swapaxes(
+        jnp.moveaxis(symbols.astype(jnp.int32), 1, 0), 1, 2
+    )                                                    # [L, T, B]
+    sym_t = jnp.pad(
+        sym_t, ((0, Lp - L), (0, Tp - T), (0, Bp - B))
+    )
+    sym_arr = jnp.moveaxis(
+        sym_t.reshape(NB, K, Tp, G, Bg), 3, 0
+    )
+    len_g = jnp.pad(lengths.astype(jnp.int32), (0, Bp - B)) \
+        .reshape(G, 1, Bg)
+    trans_exp = jnp.exp(log_trans)
+    trans_p = jnp.pad(trans_exp, ((0, Sp - S), (0, Sp - S)))
+    trans_t = jnp.pad(trans_exp.T, ((0, Sp - S), (0, Sp - S)))
+    em_flat = jnp.pad(
+        log_em.reshape(S, T * V),
+        ((0, Sp - S), (0, TVp - T * V)),
+    )
+    if Sp > S:
+        # pad state rows must yield obs_p == 0 (mirror v3's zero pads)
+        em_flat = em_flat.at[S:, :].set(-1e9)
+    start_g = jnp.broadcast_to(
+        jnp.pad(jnp.exp(log_start), (0, Sp - S))[None, :, None],
+        (G, Sp, Bg),
+    )
+
+    alpha_pad, dm_pad = pl.pallas_call(
+        _make_forward_kernel_v4(T, V),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 1, Bg), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, Sp, Bg), lambda g: (g, 0, 0)),
+            pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
+            pl.BlockSpec((Sp, TVp), lambda g: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, NB, K, Sp, Bg), jnp.float32),
+            jax.ShapeDtypeStruct((G, NB, K, 8, Bg), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, K, Tp, Bg), jnp.int32),
+            pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
+            pltpu.VMEM((2, K, 8, Bg), jnp.float32),
+            pltpu.VMEM((Sp, Bg), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(len_g, start_g, trans_t, em_flat, sym_arr)
+
+    pair_g, emc_g, start_cnt_g = pl.pallas_call(
+        _make_bwd_stats_kernel_v4(T, V),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 1, Bg), lambda g: (g, 0, 0)),
+            pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
+            pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
+            pl.BlockSpec((Sp, TVp), lambda g: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Sp, Sp), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, Sp, TVp), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, Sp, 128), lambda g: (g, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, Sp, Sp), jnp.float32),
+            jax.ShapeDtypeStruct((G, Sp, TVp), jnp.float32),
+            jax.ShapeDtypeStruct((G, Sp, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, K, Tp, Bg), jnp.int32),
+            pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
+            pltpu.VMEM((2, K, 8, Bg), jnp.float32),
+            pltpu.VMEM((Sp, Bg), jnp.float32),
+            pltpu.VMEM((Sp, Bg), jnp.float32),
+            pltpu.VMEM((8, Bg), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(len_g, trans_p, trans_t, em_flat, sym_arr, alpha_pad, dm_pad)
+
+    # ---- host-side (XLA) finish: tiny reductions only ----
+    start = jnp.sum(start_cnt_g[:, :S, 0], axis=0)          # [S]
+    pair = jnp.sum(pair_g[:, :S, :S], axis=0)
+    em = jnp.sum(emc_g[:, :S, : T * V], axis=0).reshape(S, T, V)
+    # loglik from the final alpha row + the folded normalizer stream
+    alpha_last = alpha_pad[:, NB - 1, K - 1]                # [G, Sp, Bg]
+    alpha_last = jnp.moveaxis(alpha_last, 0, 2).reshape(Sp, Bp)
+    dms = jnp.moveaxis(dm_pad[:, :, :, 0, :], 0, 2).reshape(Lp, Bp)
+    loglik_b = (
+        jnp.log(jnp.sum(alpha_last[:S, :B], axis=0))
+        + jnp.sum(dms[:L, :B], axis=0)
+    )
+    loglik_b = jnp.where(lengths > 0, loglik_b, 0.0)
+    return start, pair, em, loglik_b

@@ -137,3 +137,37 @@ class TestBenchmarkHarness:
         assert {r["name"] for r in summary} == {"sup", "em2"}
         sup = next(r for r in summary if r["name"] == "sup")
         assert sup["base_accuracy"] > 0.8
+
+    def test_benchmark_parallel_processes(self, tmp_path):
+        """--numProcesses runs configs in worker processes and keeps
+        summary order (round-1 review: harness was sequential-only)."""
+        from tehmm_tpu.cli import benchmark as cli_bench
+        from tehmm_tpu.io import write_bed_intervals
+
+        L = 400
+        rows = [("chr1", i, i + 20, "X" if 100 <= i < 200 else "Y")
+                for i in range(0, L, 20)]
+        bed = str(tmp_path / "a.bed")
+        write_bed_intervals(rows, bed)
+        xml = tmp_path / "t.xml"
+        xml.write_text(
+            f'<teModelConfig><track name="a" path="{bed}"/>'
+            "</teModelConfig>"
+        )
+        tb = str(tmp_path / "truth.bed")
+        write_bed_intervals(
+            [("chr1", 0, 100, "BG"), ("chr1", 100, 200, "TE"),
+             ("chr1", 200, L, "BG")], tb)
+        rb = str(tmp_path / "r.bed")
+        write_bed_intervals([("chr1", 0, L)], rb)
+        out = str(tmp_path / "outp")
+        rc = cli_bench.main([
+            str(xml), tb, rb, out,
+            "--config", "sup:--supervised",
+            "--config", "em2:--numStates 2 --iter 3",
+            "--numProcesses", "2",
+        ])
+        assert rc == 0
+        summary = json.load(open(os.path.join(out, "summary.json")))
+        assert [r["name"] for r in summary] == ["sup", "em2"]
+        assert all("error" not in r for r in summary), summary

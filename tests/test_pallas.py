@@ -238,3 +238,88 @@ class TestViterbiV3:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
         )
+
+
+class TestFusedV4:
+    """Fused E-step engine: symbols -> sufficient statistics with no
+    per-position HBM tensors except alpha (round-2 profile-driven
+    redesign)."""
+
+    def _params(self, make_hmm, S, T, V):
+        import jax.numpy as jnp
+        from tehmm_tpu.models.params import HmmParams
+
+        ls, lt, lem = make_hmm(S, T, V)
+        return HmmParams(
+            log_start=jnp.asarray(ls, jnp.float32),
+            log_trans=jnp.asarray(lt, jnp.float32),
+            log_em=jnp.asarray(lem, jnp.float32),
+        )
+
+    def test_v4_matches_xla_ragged(self, rng, make_hmm):
+        from tehmm_tpu.ops import em
+
+        S, T, V, B, L = 5, 3, 6, 4, 37
+        params = self._params(make_hmm, S, T, V)
+        symbols = jnp.asarray(rng.randint(0, V, size=(B, L, T)))
+        lens = jnp.asarray([L, 20, 1, 0])
+        ref = em.em_sufficient_stats(params, symbols, lens, engine="xla")
+        got = em.em_sufficient_stats(
+            params, symbols, lens, engine="pallas"
+        )
+        np.testing.assert_allclose(
+            float(got.loglik), float(ref.loglik), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.start), np.asarray(ref.start),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.trans), np.asarray(ref.trans),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.em), np.asarray(ref.em),
+            rtol=1e-4, atol=1e-4,
+        )
+        assert float(got.n_obs) == float(ref.n_obs)
+
+    def test_v4_missing_symbols_inert(self, rng, make_hmm):
+        """Symbol 0 (missing) contributes log-prob 0 and still shows up
+        in the raw counts exactly like the XLA engine's one-hot path."""
+        from tehmm_tpu.ops import em
+
+        S, T, V, B, L = 3, 2, 5, 2, 16
+        params = self._params(make_hmm, S, T, V)
+        symbols = np.asarray(rng.randint(0, V, size=(B, L, T)))
+        symbols[0, :, 0] = 0                 # whole track missing
+        ref = em.em_sufficient_stats(
+            params, jnp.asarray(symbols), engine="xla"
+        )
+        got = em.em_sufficient_stats(
+            params, jnp.asarray(symbols), engine="pallas"
+        )
+        np.testing.assert_allclose(
+            float(got.loglik), float(ref.loglik), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.em), np.asarray(ref.em),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_v4_m_step_roundtrip(self, rng, make_hmm):
+        """Full EM iteration on the fused stats improves loglik."""
+        from tehmm_tpu.ops import em
+
+        S, T, V, B, L = 4, 2, 5, 3, 50
+        params = self._params(make_hmm, S, T, V)
+        symbols = jnp.asarray(rng.randint(1, V, size=(B, L, T)))
+        sizes = jnp.asarray([V] * T)
+        lls = []
+        for _ in range(3):
+            stats = em.em_sufficient_stats(
+                params, symbols, engine="pallas"
+            )
+            params = em.em_m_step(stats, params, sizes)
+            lls.append(float(stats.loglik))
+        assert lls[2] >= lls[0] - 1e-3
