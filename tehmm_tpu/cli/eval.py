@@ -124,7 +124,8 @@ def main(argv=None) -> int:
             from tehmm_tpu.parallel.stitch import viterbi_exact
 
             paths = viterbi_exact(
-                model.params, track_data.tables, chunk_len=opts.chunk
+                model.params, track_data.tables, chunk_len=opts.chunk,
+                gauss_params=model.gauss,
             )
         elif opts.maxPost:
             paths = model.posterior_decode_tables(
@@ -152,7 +153,10 @@ def main(argv=None) -> int:
         from tehmm_tpu.models.hmm import path_log_score
 
         total_ll = sum(
-            path_log_score(model.params, tab.symbols, p)
+            path_log_score(
+                model.params, tab.symbols, p,
+                gauss=model.gauss, values=tab.values,
+            )
             for tab, p in zip(track_data.tables, paths)
         )
     else:

@@ -163,6 +163,14 @@ def main(argv=None) -> int:
         raise SystemExit("--segment is an EM-mode option; combine the "
                          "segments with labels via --supervised training "
                          "on base-resolution data instead")
+    if opts.segment and any(
+        t.distribution == "gaussian" for t in track_list
+    ):
+        raise SystemExit(
+            "--segment and distribution=gaussian cannot combine: one "
+            "observation per segment has no single continuous value "
+            "(bin the track or train at base resolution)"
+        )
 
     init_model = None
     init_maps = None
@@ -278,7 +286,8 @@ def _train_unsupervised(
     chunk_len = opts.chunk
 
     n_reps = max(1, opts.reps)
-    if n_reps > 1 and mesh is None and not opts.deviceLoop:
+    if (n_reps > 1 and mesh is None and not opts.deviceLoop
+            and model.gauss is None):
         # batched restarts: R parameter sets, ONE vmapped device program
         # per iteration (reference --reps forks processes; --numThreads
         # is subsumed — the chip runs all restarts concurrently)
@@ -408,6 +417,14 @@ def _init_model(
         n_states, track_data, init=init, seed=seed,
         rand_range=rand_range, state_names=state_names,
     )
+    if track_data.gauss_track_indices:
+        from tehmm_tpu.models.gauss import init_gauss
+
+        model.gauss = init_gauss(
+            n_states,
+            [t.values for t in track_data.tables],
+            seed=seed,
+        )
     _apply_init_priors(opts, model, track_data, state_names)
     return model
 

@@ -19,8 +19,9 @@ Coverage semantics per distribution (reference: track.py [R], SURVEY.md
                else missing (symbol 0)
   binary       covered := "1"; uncovered := default or "0"
   sparse       like multinomial but uncovered is ALWAYS missing
-  gaussian     accepted, treated as binned multinomial (documented
-               deviation — the reference's gaussian emission is [R?])
+  gaussian     continuous values on TrackTable.values (NaN missing);
+               real per-state normal emissions (models/gauss.py) —
+               the symbols column stays all-missing/inert
 
 Overlapping records: later records in (chrom, start)-sorted order win.
 The reference pipeline expects overlap-free tracks (it ships
@@ -48,12 +49,19 @@ def _dtype_for(n: int):
 @dataclasses.dataclass
 class TrackTable:
     """Integer symbol matrix for one query interval
-    (reference: track.py IntegerTrackTable)."""
+    (reference: track.py IntegerTrackTable).
+
+    ``values`` carries the continuous gaussian-track columns ([L, G]
+    f32, NaN = missing) when the track list declares any
+    distribution="gaussian" tracks; their symbols column stays
+    all-missing so every categorical code path is untouched
+    (models/gauss.py)."""
 
     chrom: str
     start: int
     end: int
     symbols: np.ndarray  # [L, T] unsigned int
+    values: np.ndarray | None = None  # [L, G] f32, NaN = missing
 
     def __len__(self) -> int:
         return self.end - self.start
@@ -167,6 +175,15 @@ class TrackData:
     def num_tracks(self) -> int:
         return len(self.track_list)
 
+    @property
+    def gauss_track_indices(self) -> list[int]:
+        """Track-list indices of distribution="gaussian" tracks (the
+        column order of every TrackTable.values matrix)."""
+        return [
+            i for i, t in enumerate(self.track_list)
+            if t.distribution == "gaussian"
+        ]
+
     def maps_to_dict(self) -> dict:
         return {
             name: cm.to_dict() for name, cm in self.category_maps.items()
@@ -218,18 +235,34 @@ def load_track_data(
             sources[track.name] = _BedSource(track.path, track.val_col)
 
     n_tracks = len(track_list)
+    gauss_tracks = [
+        t for t in track_list if t.distribution == "gaussian"
+    ]
     tables: list[TrackTable] = []
     for iv in intervals:
         chrom, start, end = iv[0], int(iv[1]), int(iv[2])
         L = end - start
         mat = np.zeros((L, n_tracks), dtype=np.uint16)
+        vals = (
+            np.full((L, len(gauss_tracks)), np.nan, np.float32)
+            if gauss_tracks else None
+        )
+        g_idx = 0
         for t_idx, track in enumerate(track_list):
             cm = maps[track.name]
             src = sources[track.name]
+            if track.distribution == "gaussian":
+                # symbols column stays all-missing (categorically
+                # inert); the continuous values ride TrackTable.values
+                vals[:, g_idx] = _paint_track_gauss(
+                    track, src, chrom, start, end
+                )
+                g_idx += 1
+                continue
             col = _paint_track(track, cm, src, chrom, start, end,
                                bool(update_maps))
             mat[:, t_idx] = col
-        tables.append(TrackTable(chrom, start, end, mat))
+        tables.append(TrackTable(chrom, start, end, mat, values=vals))
 
     # shrink dtype if possible
     max_sym = max(
@@ -314,4 +347,61 @@ def _paint_track(
             dtype=np.uint16,
         )
         col[covered] = syms
+    return col
+
+
+def _gauss_transform(track: Track, v: np.ndarray) -> np.ndarray:
+    """Continuous counterpart of bin_value: shift + scale/logScale
+    WITHOUT the floor (the value stays real-valued for the normal
+    emission)."""
+    v = v + (track.shift or 0.0)
+    if track.log_scale is not None:
+        v = np.log(np.maximum(v, 1e-9)) / np.log(track.log_scale)
+    elif track.scale is not None:
+        v = v * track.scale
+    return v
+
+
+def _paint_track_gauss(
+    track: Track, src, chrom: str, start: int, end: int
+) -> np.ndarray:
+    """Continuous values of a gaussian track over one interval.
+
+    NaN = missing (uncovered and no default).  BED values come from the
+    configured value column; BigWig values are native floats."""
+    L = end - start
+    if track.default is not None:
+        col = np.full(
+            L, _gauss_transform(track, float(track.default)), np.float32
+        )
+    else:
+        col = np.full(L, np.nan, np.float32)
+
+    if isinstance(src, _FastaSource):
+        raise ValueError(
+            f"track {track.name}: distribution=gaussian is not defined "
+            f"for FASTA sequence input"
+        )
+    if isinstance(src, _BedSource):
+        cols = src.range_columnar(chrom, start, end)
+        if cols is None:
+            return col
+        starts_a, ends_a, vals = cols
+        for s, e, raw in zip(starts_a, ends_a, vals):
+            if raw is None:
+                continue
+            try:
+                v = float(raw)
+            except ValueError:
+                raise ValueError(
+                    f"track {track.name}: gaussian track value {raw!r} "
+                    f"is not numeric"
+                )
+            col[max(s, start) - start : min(e, end) - start] = \
+                _gauss_transform(track, v)
+        return col
+
+    vals = src.values(chrom, start, end).astype(np.float32)
+    covered = ~np.isnan(vals)
+    col[covered] = _gauss_transform(track, vals[covered])
     return col

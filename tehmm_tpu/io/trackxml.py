@@ -22,8 +22,8 @@ write, so foreign attributes survive a round-trip):
                 .bw/.bigwig -> BigWig, .fa/.fasta -> FASTA)
   distribution  multinomial (default) | binary | sparse | gaussian
                 (sparse == multinomial whose *default/uncovered* symbol is
-                treated as missing; gaussian is accepted and currently
-                modeled as a binned multinomial — documented deviation)
+                treated as missing; gaussian == continuous values with
+                real per-state normal emissions, models/gauss.py)
   valCol        BED column holding the value (0-based; 3=name, 4=score);
                 default 3
   scale, logScale, shift   numeric binning (see io.category)

@@ -76,6 +76,9 @@ class MultitrackHmm:
         self.track_list = track_list
         self.category_maps = category_maps
         self.extra: dict = {}  # free-form persisted metadata (e.g. cfg)
+        # gaussian-track normal emissions (models/gauss.GaussParams);
+        # None when no track declares distribution="gaussian"
+        self.gauss = None
         S = params.num_states
         self.state_names = state_names or [str(i) for i in range(S)]
         if len(self.state_names) != S:
@@ -195,10 +198,19 @@ class MultitrackHmm:
             jnp.asarray(sizes),
             epsilon=epsilon,
         )
-        return cls(
+        model = cls(
             params, track_data.track_list, track_data.category_maps,
             state_names,
         )
+        if track_data.gauss_track_indices:
+            from tehmm_tpu.models.gauss import supervised_gauss
+
+            model.gauss = supervised_gauss(
+                S,
+                [t.values for t in track_data.tables],
+                states_per_table,
+            )
+        return model
 
     # ------------------------------------------------------------------
     # unsupervised / semi-supervised EM
@@ -230,7 +242,7 @@ class MultitrackHmm:
         ``lax.while_loop`` (fastest; no per-iteration logging or
         checkpointing; single-device only).
         """
-        from tehmm_tpu.parallel.em_sharded import sharded_em_step
+        from tehmm_tpu.parallel.em_sharded import sharded_em_stats
 
         from tehmm_tpu.parallel.mesh import stage_batch
 
@@ -242,6 +254,21 @@ class MultitrackHmm:
         symbols = stage_batch(batch.symbols, mesh)
         lengths = stage_batch(batch.lengths, mesh)
         sizes = jnp.asarray(self.alphabet_sizes)
+        gauss_values = None
+        if self.gauss is not None:
+            vb = batch_chunks(
+                [np.asarray(t.values, np.float32) for t in tables],
+                chunks,
+            )
+            gv = vb.symbols
+            if gv.shape[0] != batch.symbols.shape[0]:  # mesh row pad
+                gv = np.concatenate([
+                    gv, np.zeros(
+                        (batch.symbols.shape[0] - gv.shape[0],)
+                        + gv.shape[1:], np.float32,
+                    ),
+                ])
+            gauss_values = stage_batch(gv, mesh)
         obs_weights = None
         if obs_weight_arrays is not None:
             wb = batch_chunks(
@@ -284,8 +311,19 @@ class MultitrackHmm:
                 None if obs_weights is None else jnp.pad(
                     obs_weights, ((0, pad), (0, 0))
                 ).reshape(P, rows_per_pass, -1),
+                None if gauss_values is None else jnp.pad(
+                    gauss_values, ((0, pad), (0, 0), (0, 0))
+                ).reshape(
+                    P, rows_per_pass, *gauss_values.shape[1:]
+                ),
             )
 
+        if device_loop and self.gauss is not None:
+            logger.warning(
+                "device_loop does not support gaussian tracks; using "
+                "the host-driven loop"
+            )
+            device_loop = False
         if device_loop:
             if mesh is not None:
                 raise ValueError(
@@ -360,22 +398,35 @@ class MultitrackHmm:
                         obs_weights=(
                             None if passes[2] is None else passes[2][pi]
                         ),
+                        gauss_params=self.gauss,
+                        gauss_values=(
+                            None if passes[3] is None else passes[3][pi]
+                        ),
                     )
                     stats = s if stats is None else stats + s
-                new_params = em_ops.em_m_step(
-                    stats, self.params, sizes, masks, epsilon
-                )
-                ll = stats.loglik
             elif mesh is None:
-                new_params, ll = em_ops.em_step(
-                    self.params, symbols, sizes, lengths, masks, epsilon,
+                stats = em_ops.em_sufficient_stats(
+                    self.params, symbols, lengths,
                     obs_weights=obs_weights,
+                    gauss_params=self.gauss, gauss_values=gauss_values,
                 )
             else:
-                new_params, ll = sharded_em_step(
-                    self.params, symbols, lengths, sizes, mesh, masks,
-                    epsilon, obs_weights=obs_weights,
+                stats = sharded_em_stats(
+                    self.params, symbols, lengths, mesh,
+                    obs_weights=obs_weights,
+                    gauss_params=self.gauss, gauss_values=gauss_values,
                 )
+            new_params = em_ops.em_m_step(
+                stats, self.params, sizes, masks, epsilon
+            )
+            if self.gauss is not None:
+                from tehmm_tpu.models.gauss import gauss_m_step
+
+                self.gauss = gauss_m_step(
+                    stats.gauss_n, stats.gauss_x, stats.gauss_x2,
+                    self.gauss,
+                )
+            ll = stats.loglik
             self.params = new_params
             if _drain(it_t0):  # previous iteration's result
                 break
@@ -404,7 +455,7 @@ class MultitrackHmm:
         """Viterbi state paths for each table (boundary-exact chunked)."""
         paths, report = viterbi_chunked(
             self.params, tables, chunk_len=chunk_len, halo=halo,
-            rows_per_pass=rows_per_pass,
+            rows_per_pass=rows_per_pass, gauss_params=self.gauss,
         )
         return paths, report
 
@@ -443,7 +494,7 @@ class MultitrackHmm:
 
         paths, _report = posterior_chunked(
             self.params, tables, chunk_len=chunk_len, halo=halo,
-            rows_per_pass=rows_per_pass,
+            rows_per_pass=rows_per_pass, gauss_params=self.gauss,
         )
         return paths
 
@@ -469,7 +520,8 @@ class MultitrackHmm:
             out[b][start : start + len(gamma)] = gamma
 
         posterior_sweep(
-            self.params, tables, chunk_len=chunk_len, consume=consume
+            self.params, tables, chunk_len=chunk_len, consume=consume,
+            gauss_params=self.gauss,
         )
         return out
 
@@ -488,6 +540,10 @@ class MultitrackHmm:
         T = mats[0].shape[1]
         n_chunks = -(-L // chunk_len)
 
+        vmats = None
+        if self.gauss is not None:
+            vmats = [np.asarray(t.values, np.float32) for t in tables]
+
         def obs_chunks():
             for c in range(n_chunks):
                 lo = c * chunk_len
@@ -497,9 +553,25 @@ class MultitrackHmm:
                 for b, m in enumerate(mats):
                     piece = m[lo : lo + chunk_len]
                     block[b, : len(piece)] = piece
-                yield emission_ops.track_log_likelihoods(
+                obs = emission_ops.track_log_likelihoods(
                     self.params.log_em, jnp.asarray(block)
                 )
+                if vmats is not None:
+                    from tehmm_tpu.models.gauss import (
+                        gauss_log_likelihoods,
+                    )
+
+                    G = vmats[0].shape[1]
+                    vb = np.zeros(
+                        (len(mats), chunk_len, G), np.float32
+                    )
+                    for b, v in enumerate(vmats):
+                        piece = v[lo : lo + chunk_len]
+                        vb[b, : len(piece)] = piece
+                    obs = obs + gauss_log_likelihoods(
+                        self.gauss, jnp.asarray(vb)
+                    )
+                yield obs
 
         lens = [
             np.clip(true_lens - c * chunk_len, 0, chunk_len)
@@ -527,11 +599,17 @@ class MultitrackHmm:
             self.extra.update(extra)
         if self.extra:
             meta["extra"] = self.extra
-        save_model(path, self.params, meta)
+        arrays = None
+        if self.gauss is not None:
+            arrays = {
+                "gauss_mu": self.gauss.mu,
+                "gauss_log_var": self.gauss.log_var,
+            }
+        save_model(path, self.params, meta, extra_arrays=arrays)
 
     @classmethod
     def load(cls, path: str) -> "MultitrackHmm":
-        params, meta = load_model(path)
+        params, meta, arrays = load_model(path)
         track_list = TrackList.from_dicts(meta["tracks"])
         maps = {
             name: CategoryMap.from_dict(d)
@@ -539,6 +617,13 @@ class MultitrackHmm:
         }
         model = cls(params, track_list, maps, meta["state_names"])
         model.extra = meta.get("extra", {})
+        if "gauss_mu" in arrays:
+            from tehmm_tpu.models.gauss import GaussParams
+
+            model.gauss = GaussParams(
+                mu=jnp.asarray(arrays["gauss_mu"]),
+                log_var=jnp.asarray(arrays["gauss_log_var"]),
+            )
         return model
 
 
@@ -668,11 +753,15 @@ def fit_restarts(
 
 
 def path_log_score(
-    params: HmmParams, symbols: np.ndarray, path: np.ndarray
+    params: HmmParams, symbols: np.ndarray, path: np.ndarray,
+    gauss=None, values: np.ndarray | None = None,
 ) -> float:
     """Joint log-probability log P(obs, path) of a decoded state path —
     the quantity the reference's ``decode()`` returns (sklearn-style
-    Viterbi logprob [R]).  Pure host gathers, O(L·T): no device pass."""
+    Viterbi logprob [R]).  Pure host gathers, O(L·T): no device pass.
+
+    ``gauss``/``values``: gaussian-track emissions (models/gauss.py) —
+    adds each position's normal log-density under its path state."""
     log_em = np.asarray(params.log_em, np.float64)
     log_trans = np.asarray(params.log_trans, np.float64)
     log_start = np.asarray(params.log_start, np.float64)
@@ -684,6 +773,17 @@ def path_log_score(
         s += float(log_trans[path[:-1], path[1:]].sum())
     for t in range(symbols.shape[1]):
         s += float(log_em[path, t, symbols[:, t].astype(np.int64)].sum())
+    if gauss is not None and values is not None:
+        from tehmm_tpu.models.gauss import LOG_2PI
+
+        mu = np.asarray(gauss.mu, np.float64)[path]        # [L, G]
+        lv = np.asarray(gauss.log_var, np.float64)[path]
+        x = np.asarray(values, np.float64)
+        fin = np.isfinite(x)
+        ll = -0.5 * (
+            (x - mu) ** 2 / np.exp(lv) + lv + LOG_2PI
+        )
+        s += float(ll[fin].sum())
     return s
 
 

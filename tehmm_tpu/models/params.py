@@ -157,7 +157,12 @@ def clamp_log(x: np.ndarray | jax.Array) -> jax.Array:
 # from the maps saved at train time (SURVEY.md §3.2 note).
 # ---------------------------------------------------------------------------
 
-def save_model(path: str, params: HmmParams, meta: dict) -> None:
+def save_model(
+    path: str, params: HmmParams, meta: dict,
+    extra_arrays: dict | None = None,
+) -> None:
+    """``extra_arrays``: additional named arrays persisted alongside the
+    core tables (e.g. gaussian-track means/variances)."""
     np.savez(
         path if path.endswith(".npz") else path + ".npz",
         log_start=np.asarray(params.log_start),
@@ -166,12 +171,15 @@ def save_model(path: str, params: HmmParams, meta: dict) -> None:
         meta=np.frombuffer(
             json.dumps(meta, sort_keys=True).encode(), dtype=np.uint8
         ),
+        **{k: np.asarray(v) for k, v in (extra_arrays or {}).items()},
     )
 
 
-def load_model(path: str) -> tuple[HmmParams, dict]:
+def load_model(path: str) -> tuple[HmmParams, dict, dict]:
+    """Returns (params, meta, extra_arrays)."""
     if not path.endswith(".npz"):
         path = path + ".npz"
+    core = {"log_start", "log_trans", "log_em", "meta"}
     with np.load(path) as z:
         params = HmmParams(
             log_start=jnp.asarray(z["log_start"]),
@@ -179,4 +187,5 @@ def load_model(path: str) -> tuple[HmmParams, dict]:
             log_em=jnp.asarray(z["log_em"]),
         )
         meta = json.loads(bytes(z["meta"].tobytes()).decode())
-    return params, meta
+        extra = {k: z[k] for k in z.files if k not in core}
+    return params, meta, extra

@@ -60,6 +60,11 @@ class EmStats:
     em: jax.Array
     loglik: jax.Array
     n_obs: jax.Array
+    # gaussian-track moment sums (models/gauss.py); None when the model
+    # has no gaussian tracks
+    gauss_n: jax.Array | None = None
+    gauss_x: jax.Array | None = None
+    gauss_x2: jax.Array | None = None
 
     def __add__(self, other: "EmStats") -> "EmStats":
         return jax.tree.map(jnp.add, self, other)
@@ -73,6 +78,8 @@ def em_sufficient_stats(
     matmul: bool = True,
     obs_weights: jax.Array | None = None,
     engine: str = "auto",
+    gauss_params=None,
+    gauss_values: jax.Array | None = None,
 ) -> EmStats:
     """One E-step over a batch of chunks.
 
@@ -84,10 +91,13 @@ def em_sufficient_stats(
         [R?]): a segment standing for w identical positions emits
         P(obs|state)^w, and its expected emission counts scale by w.
       engine: "auto" (default; pallas on TPU, xla elsewhere), "xla",
-        or "pallas".  The streaming Pallas scans make the E-step 1.4x
-        faster on v5e (14.0 vs 19.8ms at B=2048/L=1024/S=20); inside the
-        fused E-step their statistics match the XLA path to ~2e-7
-        (transition counts exactly, measured on device).
+        or "pallas".  On TPU the fused v4 kernels run whenever the obs
+        term comes purely from symbols; weighted/gaussian obs use the
+        v3 streaming kernels on the precomputed obs tensor.
+      gauss_params / gauss_values: gaussian-track emissions
+        (models/gauss.py): values f32[B, L, G] with NaN missing.  Adds
+        the per-state normal log-densities to obs and returns the
+        posterior moment sums in EmStats.gauss_*.
 
     Returns:
       EmStats summed over the batch.
@@ -105,7 +115,8 @@ def em_sufficient_stats(
             if jax.default_backend() == "tpu" and S <= 1024
             else "xla"
         )
-    if engine == "pallas" and obs_weights is None:
+    has_gauss = gauss_params is not None and gauss_values is not None
+    if engine == "pallas" and obs_weights is None and not has_gauss:
         # FUSED v4 engine (ops/pallas_kernels.py): symbols in,
         # statistics out.  obs_p, beta, gamma, b_fac and the one-hot
         # never touch HBM — the backward kernel accumulates the three
@@ -127,6 +138,10 @@ def em_sufficient_stats(
         )
 
     obs = track_log_likelihoods(params.log_em, symbols)        # [B,L,S]
+    if has_gauss:
+        from tehmm_tpu.models.gauss import gauss_log_likelihoods
+
+        obs = obs + gauss_log_likelihoods(gauss_params, gauss_values)
     if obs_weights is not None:
         obs = obs * obs_weights[:, :, None]
     if engine == "pallas":
@@ -208,12 +223,20 @@ def em_sufficient_stats(
         params.log_em.shape, symbols, gamma_w, valid=None  # pre-masked
     )
 
+    gauss_fields = {}
+    if has_gauss:
+        from tehmm_tpu.models.gauss import gauss_stats
+
+        gn, gx, gx2 = gauss_stats(gamma, gauss_values)
+        gauss_fields = dict(gauss_n=gn, gauss_x=gx, gauss_x2=gx2)
+
     return EmStats(
         start=start,
         trans=trans,
         em=em,
         loglik=loglik.sum(),
         n_obs=valid.sum().astype(jnp.float32),
+        **gauss_fields,
     )
 
 

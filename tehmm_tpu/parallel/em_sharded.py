@@ -23,23 +23,6 @@ from tehmm_tpu.parallel.mesh import DATA_AXIS
 from tehmm_tpu.utils.common import EPSILON
 
 
-def _local_stats(params, symbols, lengths, matmul):
-    # "auto": each device runs the streaming Pallas engine on its local
-    # shard on TPU, the XLA scans on CPU meshes (tests)
-    stats = em_ops.em_sufficient_stats(
-        params, symbols, lengths, matmul=matmul, engine="auto"
-    )
-    return jax.lax.psum(stats, DATA_AXIS)
-
-
-def _local_stats_weighted(params, symbols, lengths, weights, matmul):
-    stats = em_ops.em_sufficient_stats(
-        params, symbols, lengths, matmul=matmul, obs_weights=weights,
-        engine="auto",
-    )
-    return jax.lax.psum(stats, DATA_AXIS)
-
-
 @partial(jax.jit, static_argnames=("mesh", "matmul"))
 def sharded_em_stats(
     params: HmmParams,
@@ -48,6 +31,8 @@ def sharded_em_stats(
     mesh: jax.sharding.Mesh,
     matmul: bool = True,
     obs_weights: jax.Array | None = None,
+    gauss_params=None,
+    gauss_values: jax.Array | None = None,
 ) -> em_ops.EmStats:
     """E-step with chunks sharded over the data axis.
 
@@ -56,25 +41,46 @@ def sharded_em_stats(
         (use parallel.chunking.pad_batch_rows); padded rows have length 0.
       lengths: int[B].
       obs_weights: optional f32[B, L] emission weights (segment mode).
+      gauss_params / gauss_values: gaussian-track emissions
+        (models/gauss.py); values shard over the data axis like symbols
+        and the moment sums psum-merge with the rest of the EmStats
+        pytree.
 
     Returns:
       Globally summed EmStats, replicated on every device.
     """
-    if obs_weights is None:
-        fn = jax.shard_map(
-            partial(_local_stats, matmul=matmul),
-            mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=P(),
+    has_w = obs_weights is not None
+    has_g = gauss_values is not None
+
+    def local(params, symbols, lengths, *rest):
+        i = 0
+        w = None
+        gp = gv = None
+        if has_w:
+            w = rest[i]
+            i += 1
+        if has_g:
+            gp, gv = rest[i], rest[i + 1]
+        # "auto": each device runs the streaming Pallas engine on its
+        # local shard on TPU, the XLA scans on CPU meshes (tests)
+        stats = em_ops.em_sufficient_stats(
+            params, symbols, lengths, matmul=matmul, obs_weights=w,
+            engine="auto", gauss_params=gp, gauss_values=gv,
         )
-        return fn(params, symbols, lengths)
+        return jax.lax.psum(stats, DATA_AXIS)
+
+    args = [params, symbols, lengths]
+    in_specs = [P(), P(DATA_AXIS), P(DATA_AXIS)]
+    if has_w:
+        args.append(obs_weights)
+        in_specs.append(P(DATA_AXIS))
+    if has_g:
+        args.extend([gauss_params, gauss_values])
+        in_specs.extend([P(), P(DATA_AXIS)])
     fn = jax.shard_map(
-        partial(_local_stats_weighted, matmul=matmul),
-        mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-        out_specs=P(),
+        local, mesh=mesh, in_specs=tuple(in_specs), out_specs=P()
     )
-    return fn(params, symbols, lengths, obs_weights)
+    return fn(*args)
 
 
 def sharded_em_step(

@@ -49,6 +49,8 @@ def _decode_batch(
     lengths: np.ndarray,
     rows_per_pass: int,
     weights: np.ndarray | None = None,
+    gauss_params=None,
+    values: np.ndarray | None = None,
 ) -> np.ndarray:
     """Viterbi over a chunk batch, in row groups of fixed compiled shape."""
     n, L, _T = symbols.shape
@@ -59,6 +61,7 @@ def _decode_batch(
         sym = symbols[lo:hi]
         lens = lengths[lo:hi]
         w = None if weights is None else weights[lo:hi]
+        v = None if values is None else values[lo:hi]
         if hi - lo < rows_per_pass:  # pad last group to the compiled shape
             pad = rows_per_pass - (hi - lo)
             sym = np.concatenate(
@@ -69,7 +72,17 @@ def _decode_batch(
                 w = np.concatenate(
                     [w, np.zeros((pad, w.shape[1]), w.dtype)]
                 )
+            if v is not None:
+                v = np.concatenate(
+                    [v, np.zeros((pad,) + v.shape[1:], v.dtype)]
+                )
         obs = track_log_likelihoods(params.log_em, jnp.asarray(sym))
+        if v is not None:
+            from tehmm_tpu.models.gauss import gauss_log_likelihoods
+
+            obs = obs + gauss_log_likelihoods(
+                gauss_params, jnp.asarray(v)
+            )
         if w is not None:
             obs = obs * jnp.asarray(w)[:, :, None]
         paths, _ = _viterbi_engine(obs.shape[-1])(
@@ -103,6 +116,7 @@ def viterbi_chunked(
     rows_per_pass: int = 512,
     strict: bool = False,
     weight_arrays: Sequence[np.ndarray] | None = None,
+    gauss_params=None,
 ) -> tuple[list[np.ndarray], StitchReport]:
     """Decode each table's full span boundary-exactly via halo chunks.
 
@@ -115,11 +129,19 @@ def viterbi_chunked(
       strict: raise instead of warn if max_halo still disagrees.
       weight_arrays: optional per-table f32[L] emission weights
         (segment mode --segLen).
+      gauss_params: gaussian-track emissions (models/gauss.py); values
+        come from each table's ``.values`` matrix and chunk with the
+        symbols.
 
     Returns:
       (paths, report): one int32[L] state path per input table.
     """
     mats = [getattr(t, "symbols", t) for t in tables]
+    value_arrays = None
+    if gauss_params is not None:
+        value_arrays = [
+            np.asarray(t.values, np.float32) for t in tables
+        ]
     lengths = [len(m) for m in mats]
     retries = 0
 
@@ -135,8 +157,12 @@ def viterbi_chunked(
                 chunks,
             )
             wbatch = wb.symbols[..., 0]
+        vbatch = None
+        if value_arrays is not None:
+            vbatch = batch_chunks(value_arrays, chunks).symbols
         decoded = _decode_batch(
-            params, batch.symbols, batch.lengths, rows_per_pass, wbatch
+            params, batch.symbols, batch.lengths, rows_per_pass, wbatch,
+            gauss_params, vbatch,
         )
 
         # assemble core paths
@@ -176,7 +202,9 @@ def viterbi_chunked(
                     "max_halo=%d; falling back to the exact checkpointed "
                     "decoder", max_halo,
                 )
-                paths = viterbi_exact(params, tables, chunk_len)
+                paths = viterbi_exact(
+                    params, tables, chunk_len, gauss_params=gauss_params
+                )
                 ok = True
             elif not ok:
                 msg = (
@@ -213,6 +241,7 @@ def posterior_chunked(
     agree_frac: float = 0.5,
     rows_per_pass: int = 64,
     strict: bool = False,
+    gauss_params=None,
 ) -> tuple[list[np.ndarray], StitchReport]:
     """Max-posterior decoding with the same boundary guarantees as
     viterbi_chunked: halo chunks, per-boundary agreement check, adaptive
@@ -220,6 +249,11 @@ def posterior_chunked(
     agreement cannot be reached (reference: teHmmEval.py --maxPost;
     SURVEY.md §2b).  Returns one int32[L] argmax-gamma path per table."""
     mats = [getattr(t, "symbols", t) for t in tables]
+    value_arrays = None
+    if gauss_params is not None:
+        value_arrays = [
+            np.asarray(t.values, np.float32) for t in tables
+        ]
     lengths = [len(m) for m in mats]
     retries = 0
 
@@ -227,8 +261,12 @@ def posterior_chunked(
     while True:
         chunks = plan_chunks(lengths, chunk_len, cur_halo)
         batch = batch_chunks(mats, chunks)
+        vbatch = None
+        if value_arrays is not None:
+            vbatch = batch_chunks(value_arrays, chunks).symbols
         decoded = _posterior_batch(
-            params, batch.symbols, batch.lengths, rows_per_pass
+            params, batch.symbols, batch.lengths, rows_per_pass,
+            gauss_params, vbatch,
         )
 
         paths = [np.zeros(L, dtype=np.int32) for L in lengths]
@@ -263,7 +301,9 @@ def posterior_chunked(
                     "at max_halo=%d; falling back to the exact carried-"
                     "alpha/beta decoder", max_halo,
                 )
-                paths = posterior_exact(params, tables, chunk_len)
+                paths = posterior_exact(
+                    params, tables, chunk_len, gauss_params=gauss_params
+                )
                 ok = True
             report = StitchReport(
                 n_chunks=len(chunks),
@@ -287,6 +327,8 @@ def _posterior_batch(
     symbols: np.ndarray,
     lengths: np.ndarray,
     rows_per_pass: int,
+    gauss_params=None,
+    values: np.ndarray | None = None,
 ) -> np.ndarray:
     """argmax-gamma over a chunk batch in fixed-shape row groups."""
     n, L, _T = symbols.shape
@@ -296,13 +338,24 @@ def _posterior_batch(
         hi = min(lo + rows_per_pass, n)
         sym = symbols[lo:hi]
         lens = lengths[lo:hi]
+        v = None if values is None else values[lo:hi]
         if hi - lo < rows_per_pass:
             pad = rows_per_pass - (hi - lo)
             sym = np.concatenate(
                 [sym, np.zeros((pad,) + sym.shape[1:], sym.dtype)]
             )
             lens = np.concatenate([lens, np.zeros((pad,), lens.dtype)])
+            if v is not None:
+                v = np.concatenate(
+                    [v, np.zeros((pad,) + v.shape[1:], v.dtype)]
+                )
         obs = track_log_likelihoods(params.log_em, jnp.asarray(sym))
+        if v is not None:
+            from tehmm_tpu.models.gauss import gauss_log_likelihoods
+
+            obs = obs + gauss_log_likelihoods(
+                gauss_params, jnp.asarray(v)
+            )
         jl = jnp.asarray(lens)
         ah, _, _ = dp.forward_scaled(
             params.log_start, params.log_trans, obs, jl
@@ -318,6 +371,7 @@ def posterior_sweep(
     tables: Sequence,
     chunk_len: int = 1 << 14,
     consume=None,
+    gauss_params=None,
 ) -> list[np.ndarray]:
     """EXACT chunked posterior machinery (carried alpha forward sweep +
     carried beta backward sweep, per-chunk recompute; SURVEY.md §7 hard
@@ -329,12 +383,25 @@ def posterior_sweep(
     in REVERSE time order with gamma f32[valid, S]; the default consumer
     collects argmax paths.  Returns the argmax paths list."""
     mats = [np.ascontiguousarray(getattr(t, "symbols", t)) for t in tables]
+    vmats = None
+    if gauss_params is not None:
+        vmats = [np.asarray(t.values, np.float32) for t in tables]
     B = len(mats)
     true_lens = np.asarray([len(m) for m in mats], np.int64)
     T = mats[0].shape[1]
     Lb = int(true_lens.max()) - 1          # body = positions 1..L-1
     Lc = min(chunk_len, max(Lb, 1))
     n_chunks = max(0, -(-Lb // Lc))
+
+    def _gauss_block(lo):
+        if vmats is None:
+            return None
+        G = vmats[0].shape[1]
+        vb = np.zeros((B, Lc, G), np.float32)
+        for b, v in enumerate(vmats):
+            piece = v[lo : lo + Lc]
+            vb[b, : len(piece)] = piece
+        return vb
 
     def obs_chunk(c):
         lo = 1 + c * Lc
@@ -343,6 +410,13 @@ def posterior_sweep(
             piece = m[lo : lo + Lc]
             block[b, : len(piece)] = piece
         obs = track_log_likelihoods(params.log_em, jnp.asarray(block))
+        vb = _gauss_block(lo)
+        if vb is not None:
+            from tehmm_tpu.models.gauss import gauss_log_likelihoods
+
+            obs = obs + gauss_log_likelihoods(
+                gauss_params, jnp.asarray(vb)
+            )
         lens = jnp.asarray(np.clip(true_lens - lo, 0, Lc))
         return obs, lens
 
@@ -351,6 +425,13 @@ def posterior_sweep(
     obs0 = track_log_likelihoods(
         params.log_em, jnp.asarray(block0[:, None, :])
     )[:, 0, :]
+    if vmats is not None:
+        from tehmm_tpu.models.gauss import gauss_log_likelihoods
+
+        v0 = np.stack([v[0] for v in vmats])
+        obs0 = obs0 + gauss_log_likelihoods(
+            gauss_params, jnp.asarray(v0[:, None, :])
+        )[:, 0, :]
     a0 = params.log_start[None, :] + obs0
     m0 = jnp.maximum(jnp.max(a0, axis=-1, keepdims=True), -1e30)
     carry = a0 - m0
@@ -411,15 +492,19 @@ def posterior_exact(
     params: HmmParams,
     tables: Sequence,
     chunk_len: int = 1 << 14,
+    gauss_params=None,
 ) -> list[np.ndarray]:
     """Exact max-posterior paths (argmax of the bit-exact chunked gamma)."""
-    return posterior_sweep(params, tables, chunk_len)
+    return posterior_sweep(
+        params, tables, chunk_len, gauss_params=gauss_params
+    )
 
 
 def viterbi_exact(
     params: HmmParams,
     tables: Sequence,
     chunk_len: int = 1 << 14,
+    gauss_params=None,
 ) -> list[np.ndarray]:
     """EXACT chunked Viterbi via checkpointed carries (SURVEY.md §7 hard
     part #3): a cheap forward sweep stores only the O(S) carry at every
@@ -432,6 +517,9 @@ def viterbi_exact(
     agreement, and directly for adversarial models.
     """
     mats = [np.ascontiguousarray(getattr(t, "symbols", t)) for t in tables]
+    vmats = None
+    if gauss_params is not None:
+        vmats = [np.asarray(t.values, np.float32) for t in tables]
     B = len(mats)
     true_lens = np.asarray([len(m) for m in mats], np.int64)
     T = mats[0].shape[1]
@@ -449,6 +537,17 @@ def viterbi_exact(
         obs = track_log_likelihoods(
             params.log_em, jnp.asarray(block)
         )
+        if vmats is not None:
+            from tehmm_tpu.models.gauss import gauss_log_likelihoods
+
+            G = vmats[0].shape[1]
+            vb = np.zeros((B, Lc, G), np.float32)
+            for b, v in enumerate(vmats):
+                piece = v[lo : lo + Lc]
+                vb[b, : len(piece)] = piece
+            obs = obs + gauss_log_likelihoods(
+                gauss_params, jnp.asarray(vb)
+            )
         lens = jnp.asarray(np.clip(true_lens - lo, 0, Lc))
         return obs, lens
 
@@ -457,6 +556,13 @@ def viterbi_exact(
     obs0 = track_log_likelihoods(
         params.log_em, jnp.asarray(block0[:, None, :])
     )[:, 0, :]
+    if vmats is not None:
+        from tehmm_tpu.models.gauss import gauss_log_likelihoods
+
+        v0 = np.stack([v[0] for v in vmats])
+        obs0 = obs0 + gauss_log_likelihoods(
+            gauss_params, jnp.asarray(v0[:, None, :])
+        )[:, 0, :]
     v0 = params.log_start[None, :] + obs0
     m0 = jnp.maximum(jnp.max(v0, axis=-1, keepdims=True), -1e30)
     carry = v0 - m0

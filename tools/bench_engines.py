@@ -22,6 +22,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from tehmm_tpu.utils.platform import setup_jax
+
+setup_jax()  # persistent compile cache: repeat runs skip compiles
+
 from tehmm_tpu.models.params import HmmParams
 from tehmm_tpu.ops import em as em_ops
 
@@ -68,11 +72,36 @@ def time_estep(params, symbols, engine, iters):
     return dt, _sync
 
 
+def time_decode(params, symbols, engine, iters):
+    from tehmm_tpu.models.emission import track_log_likelihoods
+    from tehmm_tpu.ops import dp
+    from tehmm_tpu.ops import pallas_kernels as pk
+
+    fn = dp.viterbi if engine == "xla" else pk.viterbi_pallas_v3
+
+    @jax.jit
+    def run(params, symbols):
+        obs = track_log_likelihoods(params.log_em, symbols)
+        return fn(params.log_start, params.log_trans, obs)
+
+    paths, score = run(params, symbols)
+    _sync = float(score.sum())
+    t0 = time.time()
+    for _ in range(iters):
+        paths, score = run(params, symbols)
+    _sync = float(score.sum())
+    dt = (time.time() - t0) / iters
+    return dt, int(jnp.sum(paths))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="S20,S64,S128,S256")
     ap.add_argument("--engines", default="xla,pallas")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--decode", action="store_true",
+                    help="benchmark Viterbi decode (obs + values + "
+                         "backtrace) instead of the EM E-step")
     args = ap.parse_args()
 
     dev = jax.devices()[0]
@@ -83,7 +112,10 @@ def main():
         params, symbols = make_inputs(S, T, V, B, L)
         lls = {}
         for engine in args.engines.split(","):
-            dt, ll = time_estep(params, symbols, engine, args.iters)
+            if args.decode:
+                dt, ll = time_decode(params, symbols, engine, args.iters)
+            else:
+                dt, ll = time_estep(params, symbols, engine, args.iters)
             lls[engine] = ll
             pos_s = B * L / dt
             cells = pos_s * S * S

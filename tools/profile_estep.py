@@ -5,6 +5,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from tehmm_tpu.utils.platform import setup_jax
+
+setup_jax()  # persistent compile cache: repeat runs skip compiles
+
 from tehmm_tpu.models.emission import (
     track_log_likelihoods, expected_emission_counts,
 )
