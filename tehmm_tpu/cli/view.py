@@ -72,7 +72,26 @@ def main(argv=None) -> int:
     if show_all or opts.em:
         print("\nemission tables:")
         log_em = np.asarray(model.params.log_em)
+        gauss_cols = {
+            t.name: g for g, t in enumerate(
+                t2 for t2 in model.track_list
+                if t2.distribution == "gaussian"
+            )
+        }
         for t in model.track_list:
+            if t.distribution == "gaussian":
+                # per-state normal emissions (models/gauss.py)
+                print(f"  track {t.name} (gaussian):")
+                g = gauss_cols[t.name]
+                mu = np.asarray(model.gauss.mu)
+                sd = np.exp(0.5 * np.asarray(model.gauss.log_var))
+                for s_idx, s_name in enumerate(names):
+                    print(
+                        f"    {s_name}\t"
+                        f"mean={mu[s_idx, g]:.{opts.precision}f} "
+                        f"sd={sd[s_idx, g]:.{opts.precision}f}"
+                    )
+                continue
             cm = model.category_maps[t.name]
             print(f"  track {t.name}:")
             syms = [

@@ -220,6 +220,32 @@ class TestGaussCli:
         acc = self._accuracy(out, f["truth"], f["L"])
         assert acc > 0.95, acc
 
+    def test_view_prints_gaussian_params(self, gauss_fixture, capsys):
+        """view on a gaussian model shows per-state mean/sd, not a
+        symbol table (reference: teHmmView output [R])."""
+        from tehmm_tpu.cli import train as cli_train
+        from tehmm_tpu.cli import view as cli_view
+
+        f = gauss_fixture
+        model_path = str(f["dir"] / "mv.npz")
+        rc = cli_train.main(
+            [f["xml"], f["truth_bed"], model_path, "--supervised"]
+        )
+        assert rc == 0
+        capsys.readouterr()
+        rc = cli_view.main([model_path])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "track g (gaussian)" in out
+        means = sorted(
+            float(ln.split("mean=")[1].split()[0])
+            for ln in out.splitlines() if "mean=" in ln
+        )
+        assert len(means) == 2
+        assert abs(means[0] - 0.0) < 0.5 and abs(means[1] - 4.0) < 0.5
+        assert all("sd=" in ln for ln in out.splitlines()
+                   if "mean=" in ln)
+
     def test_maxpost_and_exact_decode(self, gauss_fixture):
         from tehmm_tpu.cli import train as cli_train
         from tehmm_tpu.cli import eval as cli_eval
