@@ -201,6 +201,7 @@ def _eval_segments(opts, model, seg_tables) -> int:
     paths, report = viterbi_chunked(
         model.params, seg_tables, chunk_len=opts.chunk,
         halo=opts.halo, weight_arrays=weights,
+        gauss_params=model.gauss,
     )
     logger.info(
         "segment decode: %d chunks, boundaries ok=%s",
@@ -223,6 +224,12 @@ def _eval_segments(opts, model, seg_tables) -> int:
         obs = track_log_likelihoods(
             model.params.log_em, jnp.asarray(tab.symbols[None])
         )
+        if model.gauss is not None and tab.values is not None:
+            from tehmm_tpu.models.gauss import gauss_log_likelihoods
+
+            obs = obs + gauss_log_likelihoods(
+                model.gauss, jnp.asarray(tab.values[None])
+            )
         if weights is not None:
             obs = obs * jnp.asarray(weights[i])[None, :, None]
         _, _, ll = _dp.forward_scaled(
@@ -262,6 +269,15 @@ def _cfg_decode(model, cfg_meta, tables, max_span=None):
     for tab in tables:
         sym = jnp.asarray(tab.symbols)
         obs = track_log_likelihoods(model.params.log_em, sym)
+        if model.gauss is not None and tab.values is not None:
+            from tehmm_tpu.models.gauss import gauss_log_likelihoods
+
+            # gaussian tracks contribute to the unary terms only: their
+            # symbol columns are constant-missing, so pair matching is
+            # untouched (models/gauss.py)
+            obs = obs + gauss_log_likelihoods(
+                model.gauss, jnp.asarray(tab.values)
+            )
         path, _score = cfg_viterbi_decode_chunked(
             cfg, obs, sym, max_span
         )

@@ -163,14 +163,6 @@ def main(argv=None) -> int:
         raise SystemExit("--segment is an EM-mode option; combine the "
                          "segments with labels via --supervised training "
                          "on base-resolution data instead")
-    if opts.segment and any(
-        t.distribution == "gaussian" for t in track_list
-    ):
-        raise SystemExit(
-            "--segment and distribution=gaussian cannot combine: one "
-            "observation per segment has no single continuous value "
-            "(bin the track or train at base resolution)"
-        )
 
     init_model = None
     init_maps = None
@@ -286,8 +278,7 @@ def _train_unsupervised(
     chunk_len = opts.chunk
 
     n_reps = max(1, opts.reps)
-    if (n_reps > 1 and mesh is None and not opts.deviceLoop
-            and model.gauss is None):
+    if n_reps > 1 and mesh is None and not opts.deviceLoop:
         # batched restarts: R parameter sets, ONE vmapped device program
         # per iteration (reference --reps forks processes; --numThreads
         # is subsumed — the chip runs all restarts concurrently)
@@ -390,9 +381,15 @@ def _learn_pair_params(opts, model, track_data, pair_names, labeled):
     obs_list, sym_list = [], []
     for tab in track_data.tables:
         sym = jnp.asarray(tab.symbols[: opts.maxSpan])
-        obs_list.append(
-            track_log_likelihoods(model.params.log_em, sym[None])[0]
-        )
+        obs = track_log_likelihoods(model.params.log_em, sym[None])[0]
+        if model.gauss is not None and tab.values is not None:
+            from tehmm_tpu.models.gauss import gauss_log_likelihoods
+
+            obs = obs + gauss_log_likelihoods(
+                model.gauss,
+                jnp.asarray(tab.values[: opts.maxSpan][None]),
+            )[0]
+        obs_list.append(obs)
         sym_list.append(sym)
     bonus = cfg_mod.fit_match_bonus(
         params, obs_list, sym_list, opts.maxSpan

@@ -37,6 +37,10 @@ class SegmentTable:
     symbols: np.ndarray         # [n_segments, T]
     seg_bounds: np.ndarray      # [n_segments + 1] genomic boundaries
     lengths: np.ndarray         # [n_segments] segment lengths
+    # gaussian-track columns: per-segment mean of the finite base values
+    # (NaN when a segment has none) — one continuous observation per
+    # segment, scaled like the categorical emissions under --segLen
+    values: np.ndarray | None = None   # [n_segments, G] f32
 
     def __len__(self) -> int:
         return len(self.symbols)
@@ -86,6 +90,22 @@ def load_segment_data(
         )
         offs = bounds[:-1] - region_tab.start
         symbols = region_tab.symbols[offs]           # [n_segments, T]
+        values = None
+        if region_tab.values is not None:
+            # gaussian tracks vary within a segment (only the symbol
+            # columns are constant by construction): summarize each
+            # segment by the mean of its finite base values
+            v = region_tab.values                    # [L, G]
+            fin = np.isfinite(v)
+            sums = np.add.reduceat(
+                np.where(fin, v, 0.0), offs, axis=0
+            )
+            cnts = np.add.reduceat(
+                fin.astype(np.float32), offs, axis=0
+            )
+            values = np.where(
+                cnts > 0, sums / np.maximum(cnts, 1e-9), np.nan
+            ).astype(np.float32)
         seg_tables.append(SegmentTable(
             chrom=chain[0][0],
             start=int(bounds[0]),
@@ -93,6 +113,7 @@ def load_segment_data(
             symbols=symbols,
             seg_bounds=bounds,
             lengths=(bounds[1:] - bounds[:-1]).astype(np.int64),
+            values=values,
         ))
     return td, seg_tables
 

@@ -318,24 +318,22 @@ class MultitrackHmm:
                 ),
             )
 
-        if device_loop and self.gauss is not None:
-            logger.warning(
-                "device_loop does not support gaussian tracks; using "
-                "the host-driven loop"
-            )
-            device_loop = False
         if device_loop:
             if mesh is not None:
                 raise ValueError(
                     "device_loop does not support a mesh yet; use the "
                     "host-driven loop for sharded EM"
                 )
-            new_params, hist, n_it = em_ops.em_run(
+            out = em_ops.em_run(
                 self.params, symbols, sizes, lengths,
                 max_iterations=max_iterations,
                 convergence_tol=convergence_tol,
                 masks=masks, epsilon=epsilon, obs_weights=obs_weights,
+                gauss_params=self.gauss, gauss_values=gauss_values,
             )
+            new_params, hist, n_it = out[:3]
+            if self.gauss is not None:
+                self.gauss = out[3]
             self.params = new_params
             n = int(n_it)
             logliks = [float(x) for x in np.asarray(hist)[:n]]
@@ -653,6 +651,18 @@ def fit_restarts(
     symbols = jnp.asarray(batch.symbols)
     lengths = jnp.asarray(batch.lengths)
     sizes = jnp.asarray(models[0].alphabet_sizes)
+    gauss_stack = None
+    gauss_values = None
+    if models[0].gauss is not None:
+        # gaussian tracks (models/gauss.py): per-restart normal params
+        # stack like HmmParams; the value matrix is shared observations
+        gauss_stack = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[m.gauss for m in models]
+        )
+        vb = batch_chunks(
+            [np.asarray(t.values, np.float32) for t in tables], chunks
+        )
+        gauss_values = jnp.asarray(vb.symbols)
     obs_weights = None
     if obs_weight_arrays is not None:
         wb = batch_chunks(
@@ -681,6 +691,9 @@ def fit_restarts(
             None if obs_weights is None else jnp.pad(
                 obs_weights, ((0, pad), (0, 0))
             ).reshape(P, rows_per_pass, -1),
+            None if gauss_values is None else jnp.pad(
+                gauss_values, ((0, pad), (0, 0), (0, 0))
+            ).reshape(P, rows_per_pass, *gauss_values.shape[1:]),
         )
 
     t0 = time.time()
@@ -719,15 +732,28 @@ def fit_restarts(
                 s = em_ops.em_stats_reps(
                     params_stack, passes[0][pi], passes[1][pi],
                     None if passes[2] is None else passes[2][pi],
+                    gauss_params_stack=gauss_stack,
+                    gauss_values=(
+                        None if passes[3] is None else passes[3][pi]
+                    ),
                 )
                 stats = s if stats is None else stats + s
         else:
             stats = em_ops.em_stats_reps(
-                params_stack, symbols, lengths, obs_weights
+                params_stack, symbols, lengths, obs_weights,
+                gauss_params_stack=gauss_stack,
+                gauss_values=gauss_values,
             )
         params_stack = em_ops.em_m_step_reps(
             stats, params_stack, sizes, masks, epsilon
         )
+        if gauss_stack is not None:
+            from tehmm_tpu.models.gauss import gauss_m_step
+
+            gauss_stack = jax.vmap(gauss_m_step)(
+                stats.gauss_n, stats.gauss_x, stats.gauss_x2,
+                gauss_stack,
+            )
         if _drain():
             converged = True
             break
@@ -740,6 +766,8 @@ def fit_restarts(
     best = int(np.argmax(lls[-1])) if len(lls) else 0
     for r, m in enumerate(models):
         m.params = jax.tree.map(lambda x, r=r: x[r], params_stack)
+        if gauss_stack is not None:
+            m.gauss = jax.tree.map(lambda x, r=r: x[r], gauss_stack)
     results = [
         FitResult(
             logliks=[float(x) for x in lls[:, r]],

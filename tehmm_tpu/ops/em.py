@@ -439,18 +439,30 @@ def em_stats_reps(
     symbols: jax.Array,
     lengths: jax.Array | None = None,
     obs_weights: jax.Array | None = None,
+    gauss_params_stack=None,
+    gauss_values: jax.Array | None = None,
 ) -> EmStats:
     """E-step for R stacked parameter sets over ONE shared batch.
 
-    ``params_stack`` leaves carry a leading R axis; the observations do
-    not.  Returns EmStats with leading R axis.  Uses the XLA engine:
-    the vmapped scan batches the R restarts into [R·B, S] matmuls, which
-    is exactly the large-batch regime the scan kernels like."""
+    ``params_stack`` leaves (and ``gauss_params_stack``, when the model
+    has gaussian tracks) carry a leading R axis; the observations and
+    ``gauss_values`` do not.  Returns EmStats with leading R axis.  Uses
+    the XLA engine: the vmapped scan batches the R restarts into
+    [R·B, S] matmuls, which is exactly the large-batch regime the scan
+    kernels like."""
+    if gauss_params_stack is None:
+        return jax.vmap(
+            lambda p: em_sufficient_stats(
+                p, symbols, lengths, obs_weights=obs_weights,
+                engine="xla",
+            )
+        )(params_stack)
     return jax.vmap(
-        lambda p: em_sufficient_stats(
-            p, symbols, lengths, obs_weights=obs_weights, engine="xla"
+        lambda p, g: em_sufficient_stats(
+            p, symbols, lengths, obs_weights=obs_weights,
+            gauss_params=g, gauss_values=gauss_values, engine="xla",
         )
-    )(params_stack)
+    )(params_stack, gauss_params_stack)
 
 
 @partial(jax.jit, static_argnames=("epsilon",))
@@ -482,7 +494,9 @@ def em_run(
     epsilon: float = EPSILON,
     matmul: bool = True,
     obs_weights: jax.Array | None = None,
-) -> tuple[HmmParams, jax.Array, jax.Array]:
+    gauss_params=None,
+    gauss_values: jax.Array | None = None,
+):
     """The ENTIRE EM training loop as one on-device ``lax.while_loop``.
 
     No host round-trip happens between iterations.  Measured reality on
@@ -495,28 +509,45 @@ def em_run(
     outputs are bit-identical to the host loop (tested).
 
     Returns (params, logliks f32[max_iterations] with NaN beyond the last
-    executed iteration, n_iterations).
+    executed iteration, n_iterations) — plus the final GaussParams when
+    ``gauss_params`` is given (gaussian tracks, models/gauss.py).
     """
     sentinel = jnp.float32(-1e30)
+    has_gauss = gauss_params is not None and gauss_values is not None
 
     def cond(carry):
-        _p, prev_ll, ll, it, _hist = carry
+        prev_ll, ll, it = carry[1], carry[2], carry[3]
         return (it < max_iterations) & (
             jnp.abs(ll - prev_ll) >= convergence_tol
         )
 
     def body(carry):
-        p, _prev_ll, ll, it, hist = carry
+        p, _prev_ll, ll, it, hist = carry[:5]
+        g = carry[5] if has_gauss else None
         stats = em_sufficient_stats(
-            p, symbols, lengths, matmul=matmul, obs_weights=obs_weights
+            p, symbols, lengths, matmul=matmul, obs_weights=obs_weights,
+            gauss_params=g, gauss_values=gauss_values if has_gauss
+            else None,
         )
         new_p = em_m_step(stats, p, alphabet_sizes, masks, epsilon)
         hist = hist.at[it].set(stats.loglik)
-        return (new_p, ll, stats.loglik, it + 1, hist)
+        out = (new_p, ll, stats.loglik, it + 1, hist)
+        if has_gauss:
+            from tehmm_tpu.models.gauss import gauss_m_step
+
+            out = out + (gauss_m_step(
+                stats.gauss_n, stats.gauss_x, stats.gauss_x2, g
+            ),)
+        return out
 
     hist0 = jnp.full((max_iterations,), jnp.nan, jnp.float32)
     init = (params, sentinel, sentinel / 2, jnp.int32(0), hist0)
-    final_p, _prev, _ll, n_it, hist = jax.lax.while_loop(cond, body, init)
+    if has_gauss:
+        init = init + (gauss_params,)
+    final = jax.lax.while_loop(cond, body, init)
+    final_p, _prev, _ll, n_it, hist = final[:5]
+    if has_gauss:
+        return final_p, hist, n_it, final[5]
     return final_p, hist, n_it
 
 

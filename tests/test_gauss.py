@@ -277,6 +277,156 @@ class TestGaussCli:
         assert read_bed_intervals(ex, ncol=4) == \
             read_bed_intervals(vit, ncol=4)
 
+    def test_reps_batched_restarts(self, gauss_fixture):
+        """--reps with gaussian tracks uses the vmapped restart path
+        and still recovers the planted means (reference: teHmmTrain
+        --reps [R])."""
+        from tehmm_tpu.cli import train as cli_train
+        from tehmm_tpu.models.hmm import MultitrackHmm
+
+        f = gauss_fixture
+        model_path = str(f["dir"] / "mr.npz")
+        rc = cli_train.main(
+            [f["xml"], f["regions"], model_path, "--numStates", "2",
+             "--iter", "25", "--seed", "3", "--reps", "3"]
+        )
+        assert rc == 0
+        m = MultitrackHmm.load(model_path)
+        assert m.gauss is not None
+        mus = np.sort(np.asarray(m.gauss.mu[:, 0]))
+        np.testing.assert_allclose(mus, [0.0, 4.0], atol=0.4)
+
+    def test_cfg_decode_uses_gaussian_emissions(self, gauss_fixture):
+        """A --cfg model over a gaussian track decodes with the normal
+        densities in its unary terms (pair matching untouched)."""
+        from tehmm_tpu.cli import train as cli_train
+        from tehmm_tpu.cli import eval as cli_eval
+
+        f = gauss_fixture
+        model_path = str(f["dir"] / "mcfg.npz")
+        rc = cli_train.main(
+            [f["xml"], f["truth_bed"], model_path, "--supervised",
+             "--cfg", "--pairStates", "TE", "--maxSpan", "256"]
+        )
+        assert rc == 0
+        out = str(f["dir"] / "pcfg.bed")
+        rc = cli_eval.main(
+            [f["xml"], model_path, f["regions"], "--bed", out,
+             "--maxSpan", "256"]
+        )
+        assert rc == 0
+        acc = self._accuracy(out, f["truth"], f["L"])
+        # without the gaussian unary terms the only track is constant-
+        # missing, so accuracy would sit at the base-rate (~0.68)
+        assert acc > 0.95, acc
+
+    def test_segment_train_eval(self, gauss_fixture):
+        """--segment with a gaussian track: one mean-value observation
+        per segment, --segLen length scaling (reference: teHmmTrain/
+        teHmmEval --segment + track.py distribution=gaussian [R?])."""
+        from tehmm_tpu.cli import train as cli_train
+        from tehmm_tpu.cli import eval as cli_eval
+        from tehmm_tpu.io.segments import load_segment_data
+        from tehmm_tpu.io.trackxml import TrackList
+
+        f = gauss_fixture
+        # the fixture's 10bp value windows are book-ended: use them as
+        # the segment query (the segment-tracks output shape)
+        segs = [
+            r[:3] for r in read_bed_intervals(
+                str(f["dir"] / "g.bed"), ncol=3
+            )
+        ]
+        seg_bed = str(f["dir"] / "segs.bed")
+        write_bed_intervals(segs, seg_bed)
+
+        # per-segment values are the (constant) window values
+        tl = TrackList(f["xml"])
+        _td, seg_tables = load_segment_data(tl, segs)
+        assert seg_tables[0].values is not None
+        assert seg_tables[0].values.shape == (len(segs), 1)
+        assert np.isfinite(seg_tables[0].values).all()
+
+        model_path = str(f["dir"] / "mseg.npz")
+        rc = cli_train.main(
+            [f["xml"], seg_bed, model_path, "--numStates", "2",
+             "--iter", "30", "--seed", "1", "--segment", "--segLen"]
+        )
+        assert rc == 0
+        out = str(f["dir"] / "pseg.bed")
+        rc = cli_eval.main(
+            [f["xml"], model_path, seg_bed, "--bed", out,
+             "--segment", "--segLen"]
+        )
+        assert rc == 0
+        acc = self._accuracy(out, f["truth"], f["L"])
+        assert acc > 0.95, acc
+
+    def test_device_loop_matches_host_loop(self, gauss_fixture):
+        """--deviceLoop with gaussian tracks == the host-driven loop
+        (one on-device while_loop carrying GaussParams)."""
+        from tehmm_tpu.cli import train as cli_train
+        from tehmm_tpu.models.hmm import MultitrackHmm
+
+        f = gauss_fixture
+        paths = {}
+        for tag, extra in [("host", []), ("dev", ["--deviceLoop"])]:
+            mp = str(f["dir"] / f"dl_{tag}.npz")
+            rc = cli_train.main(
+                [f["xml"], f["regions"], mp, "--numStates", "2",
+                 "--iter", "8", "--seed", "1"] + extra
+            )
+            assert rc == 0
+            paths[tag] = mp
+        mh = MultitrackHmm.load(paths["host"])
+        md = MultitrackHmm.load(paths["dev"])
+        np.testing.assert_allclose(
+            np.asarray(md.gauss.mu), np.asarray(mh.gauss.mu),
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(md.params.log_trans),
+            np.asarray(mh.params.log_trans), rtol=1e-4, atol=1e-4,
+        )
+
+    def test_stats_reps_match_loop(self, gauss_fixture, rng):
+        """em_stats_reps with a gaussian stack == per-restart
+        em_sufficient_stats."""
+        import jax
+        import jax.numpy as jnp
+
+        from tehmm_tpu.models.gauss import init_gauss
+        from tehmm_tpu.models.params import init_random
+        from tehmm_tpu.ops import em as em_ops
+
+        S, V, B, L, R = 2, 4, 3, 50, 3
+        sym = jnp.asarray(rng.randint(1, V, (B, L, 1)), jnp.int32)
+        gv = jnp.asarray(rng.randn(B, L, 1), jnp.float32)
+        lens = jnp.asarray([L, L - 7, L - 20], jnp.int32)
+        ps = [init_random(S, [V], seed=r) for r in range(R)]
+        gs = [
+            init_gauss(S, [np.asarray(gv).reshape(-1, 1)], seed=r)
+            for r in range(R)
+        ]
+        stack_p = jax.tree.map(lambda *xs: jnp.stack(xs), *ps)
+        stack_g = jax.tree.map(lambda *xs: jnp.stack(xs), *gs)
+        got = em_ops.em_stats_reps(
+            stack_p, sym, lens,
+            gauss_params_stack=stack_g, gauss_values=gv,
+        )
+        for r in range(R):
+            want = em_ops.em_sufficient_stats(
+                ps[r], sym, lens, gauss_params=gs[r],
+                gauss_values=gv, engine="xla",
+            )
+            np.testing.assert_allclose(
+                float(got.loglik[r]), float(want.loglik), rtol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(got.gauss_x[r]), np.asarray(want.gauss_x),
+                rtol=1e-4, atol=1e-4,
+            )
+
     def test_sharded_em_matches_single(self, gauss_fixture, rng):
         """Gaussian moment stats psum-merge across the data mesh."""
         import jax
