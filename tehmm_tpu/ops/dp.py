@@ -306,6 +306,12 @@ def viterbi(
         back, last_state, (v_prev_rows, ts), reverse=True
     , unroll=_UNROLL)
     path = jnp.concatenate([first_state[None], states], axis=0)  # [L,B]
+    # zero-length rows: empty product — score 0, path 0 (matching
+    # forward_scaled's lengths>0 guard and the Pallas kernels, which
+    # never touch position 0 when valid is false)
+    nonempty = lengths > 0
+    score = jnp.where(nonempty, score, 0.0)
+    path = jnp.where(nonempty[None, :], path, 0)
     return jnp.moveaxis(path, 0, 1), score
 
 

