@@ -2023,7 +2023,9 @@ def em_counts_fused_pallas_v4(
     em = jnp.sum(emc_g[:, :S, : T * V], axis=0).reshape(S, T, V)
     # loglik from the final alpha row + the folded normalizer stream
     alpha_last = alpha_pad[:, NB - 1, K - 1]                # [G, Sp, Bg]
-    alpha_last = jnp.moveaxis(alpha_last, 0, 2).reshape(Sp, Bp)
+    # [G, Sp, Bg] -> [Sp, G, Bg] -> [Sp, Bp] keeps b = g*Bg + bg (the
+    # column order dms/lengths use); moveaxis(.., 0, 2) would interleave
+    alpha_last = jnp.moveaxis(alpha_last, 0, 1).reshape(Sp, Bp)
     dms = jnp.moveaxis(dm_pad[:, :, :, 0, :], 0, 2).reshape(Lp, Bp)
     loglik_b = (
         jnp.log(jnp.sum(alpha_last[:S, :B], axis=0))
@@ -2031,3 +2033,343 @@ def em_counts_fused_pallas_v4(
     )
     loglik_b = jnp.where(lengths > 0, loglik_b, 0.0)
     return start, pair, em, loglik_b
+
+
+# ---------------------------------------------------------------------
+# v4 FUSED Viterbi: symbols in, state path out.
+#
+# Decode previously paid the full v3 pipeline: an XLA one-hot obs
+# matmul writing [B,L,S] to HBM, layout transposes into and out of the
+# kernel, and an L-step XLA backtrace scan.  The fused design mirrors
+# the v4 E-step: the FORWARD kernel streams int32 symbols, recomputes
+# obs_log in VMEM (exact 3-pass one-hot dot) and runs the max-plus
+# recurrence, writing only the max-normalized value rows (in KERNEL
+# layout — no transposes); the BACKTRACE kernel walks the value blocks
+# in reverse carrying the current state as a one-hot column, gathers
+# trans[:, state] with an exact one-hot dot on the MXU, and emits the
+# int32 path directly.  Tie-breaking is first-hit lowest index in both
+# kernels — bit-identical paths to ops.dp.viterbi (tested).
+# Reference semantics: basehmm.py `_do_viterbi_pass` [R].
+# ---------------------------------------------------------------------
+
+
+def _pick_batch_group_vit4(S: int, T: int, V: int, B: int,
+                           K: int = _KV2) -> int:
+    Sp = max(-(-S // 8) * 8, 8)
+    TVp = -(-(T * V) // 128) * 128
+    Tp = max(-(-T // 8) * 8, 8)
+    resident = Sp * Sp * 4 + Sp * TVp * 4
+    budget = (9 << 20) - resident
+    per_col = (
+        2 * K * Sp * 4 * 2       # value rows: out buffer (fwd) / in (bwd)
+        + 2 * K * Tp * 4         # symbol double buffer
+        + 2 * K * 8 * 4 * 2      # dm out (fwd) / path out (bwd)
+        + TVp * 4                # one-hot scratch
+        + 8 * Sp * 4             # carries / temporaries
+    )
+    bg = max(128, (budget // per_col) // 128 * 128)
+    Bp = -(-B // 128) * 128
+    return min(bg, Bp)
+
+
+def _make_viterbi_fwd_kernel_v4(T: int, V: int):
+    def kernel(
+        len_ref,        # [1, 1, Bg] int32
+        start_ref,      # [1, Sp, Bg] log_start bcast (pad rows LOG_ZERO)
+        trans_ref,      # [Sp, Sp] log_trans (pads LOG_ZERO)
+        em_ref,         # [Sp, TVp] log_em flat (pad rows ~-1e9, cols 0)
+        sym_hbm,        # [G, NB, K, Tp, Bg] int32 (ANY)
+        v_hbm,          # [G, NB, K, Sp, Bg] out max-normalized values
+        dm_hbm,         # [G, NB, K, 8, Bg] out normalizer increments
+        sym_buf, out_buf, dm_buf, v_scr,
+        in_sem, out_sem, dm_sem,
+    ):
+        g = pl.program_id(0)
+        NB = sym_hbm.shape[1]
+        K = sym_hbm.shape[2]
+        Bg = sym_hbm.shape[4]
+        Sp = trans_ref.shape[0]
+        TVp = em_ref.shape[1]
+        lens = len_ref[0, 0, :][None, :]
+        start_row = start_ref[0]
+
+        def in_dma(slot, blk):
+            return pltpu.make_async_copy(
+                sym_hbm.at[g, blk], sym_buf.at[slot], in_sem.at[slot]
+            )
+
+        def out_dma(slot, blk):
+            return pltpu.make_async_copy(
+                out_buf.at[slot], v_hbm.at[g, blk], out_sem.at[slot]
+            )
+
+        def dm_dma(slot, blk):
+            return pltpu.make_async_copy(
+                dm_buf.at[slot], dm_hbm.at[g, blk], dm_sem.at[slot]
+            )
+
+        in_dma(0, 0).start()
+        # zero-length rows carry the initial scratch to every output row
+        v_scr[:, :] = jnp.zeros_like(v_scr)
+
+        def body(blk, _):
+            slot = jax.lax.rem(blk, 2)
+            nxt = jax.lax.rem(blk + 1, 2)
+
+            @pl.when(blk + 1 < NB)
+            def _prefetch():
+                in_dma(nxt, blk + 1).start()
+
+            in_dma(slot, blk).wait()
+
+            @pl.when(blk >= 2)
+            def _drain():
+                out_dma(slot, blk - 2).wait()
+                dm_dma(slot, blk - 2).wait()
+
+            for k in range(K):             # static unroll
+                t = blk * K + k
+                oh = _oh_build(sym_buf[slot, k], T, V, TVp, Bg)
+                obs_log = _v4_dot_oh(em_ref[:, :], oh)      # [Sp, Bg]
+                v_hat = v_scr[:, :]
+                best = v_hat[0:1, :] + trans_ref[0, :][:, None]
+                for i in range(1, Sp):
+                    best = jnp.maximum(
+                        best, v_hat[i:i + 1, :] + trans_ref[i, :][:, None]
+                    )
+                base = jnp.where(t == 0, start_row, best)
+                new = base + obs_log
+                m = jnp.maximum(
+                    jnp.max(new, axis=0, keepdims=True), LOG_ZERO
+                )
+                valid = t < lens
+                new_hat = jnp.where(valid, new - m, v_hat)
+                v_scr[:, :] = new_hat
+                out_buf[slot, k] = new_hat
+                dm_buf[slot, k] = jnp.broadcast_to(
+                    jnp.where(valid, m, 0.0), dm_buf[slot, k].shape
+                )
+            out_dma(slot, blk).start()
+            dm_dma(slot, blk).start()
+            return 0
+
+        jax.lax.fori_loop(0, NB, body, 0)
+
+        @pl.when(NB >= 2)
+        def _():
+            out_dma(jax.lax.rem(NB - 2, 2), NB - 2).wait()
+            dm_dma(jax.lax.rem(NB - 2, 2), NB - 2).wait()
+        out_dma(jax.lax.rem(NB - 1, 2), NB - 1).wait()
+        dm_dma(jax.lax.rem(NB - 1, 2), NB - 1).wait()
+
+    return kernel
+
+
+def _viterbi_backtrace_kernel_v4(
+    len_ref,        # [1, 1, Bg] int32
+    trans_ref,      # [Sp, Sp] log_trans (pads LOG_ZERO)
+    v_hbm,          # [G, NB, K, Sp, Bg] max-normalized values (ANY)
+    path_hbm,       # [G, NB, K, 8, Bg] out int32 (row 0 = state)
+    v_buf, path_buf, soh_scr, state_scr,
+    v_sem, path_sem,
+):
+    g = pl.program_id(0)
+    NB = v_hbm.shape[1]
+    K = v_hbm.shape[2]
+    Sp = v_hbm.shape[3]
+    Bg = v_hbm.shape[4]
+    Lp = NB * K
+    lens = len_ref[0, 0, :][None, :]
+
+    def v_dma(slot, blk):
+        return pltpu.make_async_copy(
+            v_hbm.at[g, blk], v_buf.at[slot], v_sem.at[slot]
+        )
+
+    def path_dma(slot, blk):
+        return pltpu.make_async_copy(
+            path_buf.at[slot], path_hbm.at[g, blk], path_sem.at[slot]
+        )
+
+    # reverse walk: iteration r processes natural block NB-1-r
+    v_dma(0, NB - 1).start()
+    soh_scr[:, :] = jnp.zeros_like(soh_scr)
+    state_scr[:, :] = jnp.zeros_like(state_scr)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (Sp, Bg), 0)
+
+    def body(r, _):
+        blk = NB - 1 - r
+        slot = jax.lax.rem(r, 2)
+        nxt = jax.lax.rem(r + 1, 2)
+
+        @pl.when(r + 1 < NB)
+        def _prefetch():
+            v_dma(nxt, blk - 1).start()
+
+        v_dma(slot, blk).wait()
+
+        @pl.when(r >= 2)
+        def _drain():
+            path_dma(slot, blk + 2).wait()
+
+        for k in range(K - 1, -1, -1):      # static reverse unroll
+            t = blk * K + k
+            v_row = v_buf[slot, k]                          # [Sp, Bg]
+            # trans[:, state] via exact one-hot gather on the MXU
+            col = _v4_dot_oh(trans_ref[:, :], soh_scr[:, :])
+            is_last = t == Lp - 1                           # scalar
+            scores = v_row + jnp.where(is_last, 0.0, col)
+            m = jnp.max(scores, axis=0, keepdims=True)
+            cand = jnp.min(
+                jnp.where(scores == m, iota_s, Sp),
+                axis=0, keepdims=True,
+            )                                               # [1, Bg]
+            take = jnp.logical_or(is_last, (t + 1) < lens)
+            state = jnp.where(take, cand, state_scr[0:1, :])
+            state_scr[0:1, :] = state
+            soh_scr[:, :] = (iota_s == state).astype(jnp.float32)
+            ridx = jax.lax.broadcasted_iota(
+                jnp.int32, path_buf[slot, k].shape, 0
+            )
+            path_buf[slot, k] = jnp.where(
+                ridx == 0,
+                jnp.broadcast_to(state, path_buf[slot, k].shape),
+                0,
+            )
+        path_dma(slot, blk).start()
+        return 0
+
+    jax.lax.fori_loop(0, NB, body, 0)
+
+    @pl.when(NB >= 2)
+    def _():
+        path_dma(jax.lax.rem(NB - 2, 2), 1).wait()
+    path_dma(jax.lax.rem(NB - 1, 2), 0).wait()
+
+
+@jax.jit
+def viterbi_fused_pallas_v4(
+    log_start: jax.Array,
+    log_trans: jax.Array,
+    log_em: jax.Array,
+    symbols: jax.Array,     # int32[B, L, T]
+    lengths: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused Viterbi decode: (path int32[B, L], score f32[B]) straight
+    from raw symbols.  Same max-plus op order and first-hit argmax
+    tie-breaking as ops.dp.viterbi — measured zero path mismatches on
+    device at S=20/64 (score rel-delta ~4e-7 from the 3-pass in-kernel
+    obs; TEHMM_V4_PRECISION=highest makes the obs bit-equal too).
+    Zero-length rows get path 0 / score 0 like the masked XLA
+    decoder."""
+    B, L, T = symbols.shape
+    S, _T2, V = log_em.shape
+    lengths = (
+        jnp.full((B,), L, jnp.int32) if lengths is None
+        else lengths.astype(jnp.int32)
+    )
+    K = _KV2
+    Sp = max(-(-S // 8) * 8, 8)
+    Tp = max(-(-T // 8) * 8, 8)
+    TVp = -(-(T * V) // 128) * 128
+    Bg = _pick_batch_group_vit4(S, T, V, B)
+    Bp = -(-B // Bg) * Bg
+    G = Bp // Bg
+    Lp = -(-L // K) * K
+    NB = Lp // K
+
+    sym_t = jnp.swapaxes(
+        jnp.moveaxis(symbols.astype(jnp.int32), 1, 0), 1, 2
+    )                                                    # [L, T, B]
+    sym_t = jnp.pad(
+        sym_t, ((0, Lp - L), (0, Tp - T), (0, Bp - B))
+    )
+    sym_arr = jnp.moveaxis(
+        sym_t.reshape(NB, K, Tp, G, Bg), 3, 0
+    )
+    len_g = jnp.pad(lengths, (0, Bp - B)).reshape(G, 1, Bg)
+    trans_p = jnp.pad(
+        log_trans, ((0, Sp - S), (0, Sp - S)),
+        constant_values=LOG_ZERO,
+    )
+    em_flat = jnp.pad(
+        log_em.reshape(S, T * V),
+        ((0, Sp - S), (0, TVp - T * V)),
+    )
+    if Sp > S:
+        em_flat = em_flat.at[S:, :].set(-1e9)
+    start_g = jnp.broadcast_to(
+        jnp.pad(log_start, (0, Sp - S),
+                constant_values=LOG_ZERO)[None, :, None],
+        (G, Sp, Bg),
+    )
+
+    v_pad, dm_pad = pl.pallas_call(
+        _make_viterbi_fwd_kernel_v4(T, V),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 1, Bg), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, Sp, Bg), lambda g: (g, 0, 0)),
+            pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
+            pl.BlockSpec((Sp, TVp), lambda g: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, NB, K, Sp, Bg), jnp.float32),
+            jax.ShapeDtypeStruct((G, NB, K, 8, Bg), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, K, Tp, Bg), jnp.int32),
+            pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
+            pltpu.VMEM((2, K, 8, Bg), jnp.float32),
+            pltpu.VMEM((Sp, Bg), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(len_g, start_g, trans_p, em_flat, sym_arr)
+
+    path_pad = pl.pallas_call(
+        _viterbi_backtrace_kernel_v4,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 1, Bg), lambda g: (g, 0, 0)),
+            pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((G, NB, K, 8, Bg), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
+            pltpu.VMEM((2, K, 8, Bg), jnp.int32),
+            pltpu.VMEM((Sp, Bg), jnp.float32),
+            pltpu.VMEM((8, Bg), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(len_g, trans_p, v_pad)
+
+    # kernel layout -> [B, L] (tiny int32 tensor; the only transpose)
+    path = jnp.moveaxis(
+        path_pad[:, :, :, 0, :], 0, 2
+    ).reshape(Lp, Bp)[:L, :B]
+    path = jnp.moveaxis(path, 0, 1)                      # [B, L]
+    v_last = jnp.moveaxis(v_pad[:, NB - 1, K - 1], 0, 1) \
+        .reshape(Sp, Bp)[:S, :B]
+    dms = jnp.moveaxis(dm_pad[:, :, :, 0, :], 0, 2).reshape(Lp, Bp)
+    score = jnp.max(v_last, axis=0) + jnp.sum(dms[:L, :B], axis=0)
+    score = jnp.where(lengths > 0, score, 0.0)
+    path = jnp.where((lengths > 0)[:, None], path, 0)
+    return path, score

@@ -76,6 +76,19 @@ def _decode_batch(
                 v = np.concatenate(
                     [v, np.zeros((pad,) + v.shape[1:], v.dtype)]
                 )
+        if v is None and w is None and _use_fused_viterbi(
+            params.log_em.shape[0]
+        ):
+            # fused v4 decode: symbols in, path out — obs never
+            # materializes in HBM and the backtrace runs in-kernel
+            from tehmm_tpu.ops import pallas_kernels as pk
+
+            paths, _ = pk.viterbi_fused_pallas_v4(
+                params.log_start, params.log_trans, params.log_em,
+                jnp.asarray(sym), jnp.asarray(lens),
+            )
+            out[lo:hi] = np.asarray(paths)[: hi - lo]
+            continue
         obs = track_log_likelihoods(params.log_em, jnp.asarray(sym))
         if v is not None:
             from tehmm_tpu.models.gauss import gauss_log_likelihoods
@@ -90,6 +103,14 @@ def _decode_batch(
         )
         out[lo:hi] = np.asarray(paths)[: hi - lo]
     return out
+
+
+def _use_fused_viterbi(num_states: int) -> bool:
+    """Gate for the symbols-in/path-out fused decode kernel
+    (ops/pallas_kernels.viterbi_fused_pallas_v4)."""
+    import jax
+
+    return jax.default_backend() == "tpu" and num_states <= 1024
 
 
 def _viterbi_engine(num_states: int):

@@ -307,6 +307,39 @@ class TestFusedV4:
             rtol=1e-4, atol=1e-4,
         )
 
+    def test_v4_multigroup_column_order(
+        self, rng, make_hmm, monkeypatch
+    ):
+        """G > 1 batch groups: per-sequence loglik must come back in
+        the ORIGINAL batch order (regression: the [G, Sp, Bg] final-
+        alpha reshape interleaved groups when G > 1)."""
+        import tehmm_tpu.ops.pallas_kernels as pk
+
+        monkeypatch.setattr(
+            pk, "_pick_batch_group_v4", lambda *a, **k: 128
+        )
+        S, T, V, B, L = 3, 2, 5, 257, 9        # B > Bg=128 -> G=3
+        params = self._params(make_hmm, S, T, V)
+        symbols = jnp.asarray(rng.randint(1, V, size=(B, L, T)))
+        lengths = jnp.asarray(
+            rng.randint(0, L + 1, size=(B,)), jnp.int32
+        )
+        start, pair, em_c, loglik_b = pk.em_counts_fused_pallas_v4(
+            params.log_start, params.log_trans, params.log_em,
+            symbols, lengths,
+        )
+        from tehmm_tpu.ops import dp
+        from tehmm_tpu.models.emission import track_log_likelihoods
+
+        obs = track_log_likelihoods(params.log_em, symbols)
+        _, _, want = dp.forward_scaled(
+            params.log_start, params.log_trans, obs, lengths
+        )
+        np.testing.assert_allclose(
+            np.asarray(loglik_b), np.asarray(want),
+            rtol=1e-4, atol=1e-4,
+        )
+
     def test_v4_m_step_roundtrip(self, rng, make_hmm):
         """Full EM iteration on the fused stats improves loglik."""
         from tehmm_tpu.ops import em
@@ -323,3 +356,76 @@ class TestFusedV4:
             params = em.em_m_step(stats, params, sizes)
             lls.append(float(stats.loglik))
         assert lls[2] >= lls[0] - 1e-3
+
+
+class TestFusedViterbiV4:
+    """Fused decode: symbols -> path, obs recomputed in-kernel both
+    directions, in-kernel backtrace (no XLA scan)."""
+
+    def _params(self, make_hmm, S, T, V):
+        from tehmm_tpu.models.params import HmmParams
+
+        ls, lt, lem = make_hmm(S, T, V)
+        return HmmParams(
+            log_start=jnp.asarray(ls, jnp.float32),
+            log_trans=jnp.asarray(lt, jnp.float32),
+            log_em=jnp.asarray(lem, jnp.float32),
+        )
+
+    def _check(self, params, symbols, lengths):
+        from tehmm_tpu.models.emission import track_log_likelihoods
+        from tehmm_tpu.ops import dp
+        from tehmm_tpu.ops import pallas_kernels as pk
+
+        obs = track_log_likelihoods(params.log_em, symbols)
+        want_p, want_s = dp.viterbi(
+            params.log_start, params.log_trans, obs, lengths
+        )
+        got_p, got_s = pk.viterbi_fused_pallas_v4(
+            params.log_start, params.log_trans, params.log_em,
+            symbols, lengths,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_p), np.asarray(want_p)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_s), np.asarray(want_s), rtol=1e-5, atol=1e-5
+        )
+
+    def test_paths_bit_identical_ragged(self, rng, make_hmm):
+        S, T, V, B, L = 5, 3, 6, 4, 37
+        params = self._params(make_hmm, S, T, V)
+        symbols = jnp.asarray(rng.randint(0, V, size=(B, L, T)))
+        lengths = jnp.asarray([L, L - 9, 1, 0], jnp.int32)
+        self._check(params, symbols, lengths)
+
+    def test_near_tie_model(self, rng, make_hmm):
+        """Uniform-ish model: many exact ties — first-hit argmax must
+        match the XLA decoder everywhere."""
+        S, T, V, B, L = 4, 1, 3, 3, 23
+        ls = np.log(np.full(S, 1.0 / S, np.float32))
+        lt = np.log(np.full((S, S), 1.0 / S, np.float32))
+        lem = np.log(np.full((S, T, V), 1.0 / V, np.float32))
+        from tehmm_tpu.models.params import HmmParams
+
+        params = HmmParams(
+            log_start=jnp.asarray(ls), log_trans=jnp.asarray(lt),
+            log_em=jnp.asarray(lem),
+        )
+        symbols = jnp.asarray(rng.randint(0, V, size=(B, L, T)))
+        lengths = jnp.asarray([L, L - 5, L], jnp.int32)
+        self._check(params, symbols, lengths)
+
+    def test_multigroup(self, rng, make_hmm, monkeypatch):
+        import tehmm_tpu.ops.pallas_kernels as pk
+
+        monkeypatch.setattr(
+            pk, "_pick_batch_group_vit4", lambda *a, **k: 128
+        )
+        S, T, V, B, L = 3, 2, 4, 259, 11       # B > Bg=128 -> G=3
+        params = self._params(make_hmm, S, T, V)
+        symbols = jnp.asarray(rng.randint(0, V, size=(B, L, T)))
+        lengths = jnp.asarray(
+            rng.randint(0, L + 1, size=(B,)), jnp.int32
+        )
+        self._check(params, symbols, lengths)

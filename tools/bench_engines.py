@@ -77,12 +77,20 @@ def time_decode(params, symbols, engine, iters):
     from tehmm_tpu.ops import dp
     from tehmm_tpu.ops import pallas_kernels as pk
 
-    fn = dp.viterbi if engine == "xla" else pk.viterbi_pallas_v3
+    if engine == "fused":
+        @jax.jit
+        def run(params, symbols):
+            return pk.viterbi_fused_pallas_v4(
+                params.log_start, params.log_trans, params.log_em,
+                symbols,
+            )
+    else:
+        fn = dp.viterbi if engine == "xla" else pk.viterbi_pallas_v3
 
-    @jax.jit
-    def run(params, symbols):
-        obs = track_log_likelihoods(params.log_em, symbols)
-        return fn(params.log_start, params.log_trans, obs)
+        @jax.jit
+        def run(params, symbols):
+            obs = track_log_likelihoods(params.log_em, symbols)
+            return fn(params.log_start, params.log_trans, obs)
 
     paths, score = run(params, symbols)
     _sync = float(score.sum())
