@@ -257,11 +257,13 @@ def _cfg_decode(model, cfg_meta, tables, max_span=None):
         model.state_index(n) for n in cfg_meta.get("pair_states", [])
     ]
     log_match = cfg_meta.get("log_match")
+    sa_prior = cfg_meta.get("sa_prior")
     cfg = make_cfg_params(
         model.params, pair_idx,
         float(cfg_meta.get("match_bonus", 0.0)),
         log_match=None if log_match is None
         else np.asarray(log_match, np.float32),
+        sa_prior=None if sa_prior is None else float(sa_prior),
     )
     if max_span is None:
         max_span = int(cfg_meta.get("max_span", 4096))

@@ -89,6 +89,12 @@ def make_parser() -> argparse.ArgumentParser:
                         "Default: LEARNED — supervised counting of pair-"
                         "end agreement (--supervised) or an inside-"
                         "likelihood fit (EM mode)")
+    p.add_argument("--saPrior", type=float, default=None,
+                   help="with --cfg: self-alignment prior in (0, 1) — "
+                        "probability that a pair state expands with the "
+                        "pair rule rather than a plain left emission "
+                        "(reference: teHmmTrain.py --saPrior). Default: "
+                        "no prior")
     p.add_argument("--segment", action="store_true",
                    help="training BED contains segment-tracks output: "
                         "one observation per segment interval "
@@ -217,6 +223,12 @@ def main(argv=None) -> int:
             "pair_states": pair_names,
             "max_span": opts.maxSpan,
         }
+        if opts.saPrior is not None:
+            if not 0.0 < opts.saPrior < 1.0:
+                raise SystemExit(
+                    f"--saPrior must be in (0, 1), got {opts.saPrior}"
+                )
+            cfg_meta["sa_prior"] = opts.saPrior
         if opts.matchBonus is not None:
             cfg_meta["match_bonus"] = opts.matchBonus
         elif pair_names:

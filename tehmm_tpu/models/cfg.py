@@ -55,11 +55,17 @@ class CfgParams:
     pair_mask:  bool[S] — True where the state is a pair state.
     log_match:  f32[S] per-track bonus added per track whose symbols at
                 the two ends agree (0 for non-pair states).
+    log_sa:     f32[2] rule-choice prior for pair states (reference:
+                teHmmTrain --saPrior [R?], the self-alignment prior):
+                [log(1-p), log(p)] added to the left-emit / pair rule
+                respectively each time a pair state expands.  [0, 0]
+                (no prior) when --saPrior is unset.
     """
 
     hmm: HmmParams
     pair_mask: jax.Array
     log_match: jax.Array
+    log_sa: jax.Array
 
 
 def make_cfg_params(
@@ -67,9 +73,13 @@ def make_cfg_params(
     pair_states: list[int],
     match_bonus: float = 0.0,
     log_match: np.ndarray | None = None,
+    sa_prior: float | None = None,
 ) -> CfgParams:
     """``log_match`` (per-state learned weights, see
-    ``estimate_match_bonus``) overrides the scalar ``match_bonus``."""
+    ``estimate_match_bonus``) overrides the scalar ``match_bonus``.
+    ``sa_prior`` in (0, 1) biases pair states toward the pair rule
+    (p close to 1) or the left-emit rule (p close to 0); ``None``
+    applies no prior."""
     S = hmm.num_states
     mask = np.zeros(S, bool)
     for s in pair_states:
@@ -81,10 +91,18 @@ def make_cfg_params(
         bonus = np.where(
             mask, np.float32(match_bonus), 0.0
         ).astype(np.float32)
+    if sa_prior is None:
+        log_sa = np.zeros(2, np.float32)
+    else:
+        p = float(sa_prior)
+        if not 0.0 < p < 1.0:
+            raise ValueError(f"--saPrior must be in (0, 1), got {p}")
+        log_sa = np.log(np.asarray([1.0 - p, p], np.float32))
     return CfgParams(
         hmm=hmm,
         pair_mask=jnp.asarray(mask),
         log_match=jnp.asarray(bonus),
+        log_sa=jnp.asarray(log_sa),
     )
 
 
@@ -131,14 +149,15 @@ def cfg_viterbi_chart(
         # child value at start i+1, span d-1: prev[i+1]
         child = jnp.concatenate([prev[1:], neg[:1]], axis=0)   # [L,S]
         cand = child[:, None, :] + log_trans[None, :, :]       # [L,S,S] (i, s, s')
-        r0_best = jnp.max(cand, axis=-1) + obs                 # [L,S]
+        sa_left = jnp.where(params.pair_mask, params.log_sa[0], 0.0)
+        r0_best = jnp.max(cand, axis=-1) + obs + sa_left[None, :]  # [L,S]
         r0_ptr = jnp.argmax(cand, axis=-1)
         # --- rule 1 (pair states): p -> x_i s'(i+1, i+d-1) x_{i+d} ---
         child2 = jnp.concatenate([prev2[1:], neg[:1]], axis=0) # start i+1, span d-2
         cand2 = child2[:, None, :] + log_trans[None, :, :]
         j_idx = jnp.minimum(idx + d, L - 1)
         pair_em = _pair_emission(params, obs, symbols, idx, j_idx)
-        r1_best = jnp.max(cand2, axis=-1) + pair_em            # [L,S]
+        r1_best = jnp.max(cand2, axis=-1) + pair_em + params.log_sa[1]
         r1_ptr = jnp.argmax(cand2, axis=-1)
         r1_best = jnp.where(params.pair_mask[None, :], r1_best, LOG_ZERO)
         # d == 1 pair would need an empty inner span; disallow (pairs
@@ -193,11 +212,14 @@ def cfg_inside_loglik(
     def step(carry, d):
         prev, prev2 = carry
         child = jnp.concatenate([prev[1:], neg[:1]], axis=0)
-        r0 = lse(child[:, None, :] + log_trans[None, :, :], -1) + obs
+        sa_left = jnp.where(params.pair_mask, params.log_sa[0], 0.0)
+        r0 = (lse(child[:, None, :] + log_trans[None, :, :], -1)
+              + obs + sa_left[None, :])
         child2 = jnp.concatenate([prev2[1:], neg[:1]], axis=0)
         j_idx = jnp.minimum(idx + d, L - 1)
         pair_em = _pair_emission(params, obs, symbols, idx, j_idx)
-        r1 = lse(child2[:, None, :] + log_trans[None, :, :], -1) + pair_em
+        r1 = (lse(child2[:, None, :] + log_trans[None, :, :], -1)
+              + pair_em + params.log_sa[1])
         r1 = jnp.where(params.pair_mask[None, :], r1, LOG_ZERO)
         r1 = jnp.where(d >= 2, r1, LOG_ZERO)
         both = jnp.stack([r0, r1], axis=0)
@@ -319,6 +341,7 @@ def fit_match_bonus(
             log_match=jnp.where(
                 params.pair_mask, jnp.float32(w), 0.0
             ),
+            log_sa=params.log_sa,
         )
         tot = 0.0
         for obs, sym in zip(obs_list, symbols_list):

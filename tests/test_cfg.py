@@ -103,6 +103,42 @@ class TestPairStates:
         # with flat emissions, higher start/self probs favor background
         assert path[0] == 0
 
+    def test_sa_prior_biases_rule_choice(self, rng):
+        """--saPrior near 0 suppresses the pair rule even when a match
+        bonus would otherwise select it; near 1 keeps it (reference:
+        teHmmTrain --saPrior [R?])."""
+        S, V = 2, 4
+        log_start = np.log([0.9, 0.1]).astype(np.float32)
+        log_trans = np.log([[0.7, 0.3], [0.3, 0.7]]).astype(np.float32)
+        log_em = np.zeros((S, 1, V), np.float32)
+        log_em[:, 0, 1:] = np.log(1 / 3)
+        hmm = HmmParams(
+            log_start=jnp.asarray(log_start),
+            log_trans=jnp.asarray(log_trans),
+            log_em=jnp.asarray(log_em),
+        )
+        sym = np.array([[2], [1], [3], [1], [2]], np.int32)
+        obs = jnp.asarray(
+            oracle.obs_log_likelihoods(log_em, sym), jnp.float32
+        )
+        strong = make_cfg_params(
+            hmm, pair_states=[1], match_bonus=3.0, sa_prior=0.9
+        )
+        path, _ = cfg_viterbi_decode(strong, obs, jnp.asarray(sym))
+        assert path[0] == 1 and path[-1] == 1
+        weak = make_cfg_params(
+            hmm, pair_states=[1], match_bonus=3.0, sa_prior=1e-6
+        )
+        path, _ = cfg_viterbi_decode(weak, obs, jnp.asarray(sym))
+        # pair rule priced out: no nested bracket rooted at the ends
+        assert not (path[0] == 1 and path[-1] == 1)
+        # no-pair-state equivalence is unaffected by a prior
+        none = make_cfg_params(hmm, pair_states=[], sa_prior=0.5)
+        p0, _ = cfg_viterbi_decode(none, obs, jnp.asarray(sym))
+        base = make_cfg_params(hmm, pair_states=[])
+        p1, _ = cfg_viterbi_decode(base, obs, jnp.asarray(sym))
+        np.testing.assert_array_equal(p0, p1)
+
     def test_inside_geq_viterbi(self, rng, make_hmm):
         S, T, V, L = 3, 1, 4, 16
         hmm, log_em = _hmm_params(make_hmm, S, T, V)
