@@ -2373,3 +2373,252 @@ def viterbi_fused_pallas_v4(
     score = jnp.where(lengths > 0, score, 0.0)
     path = jnp.where((lengths > 0)[:, None], path, 0)
     return path, score
+
+# ---------------------------------------------------------------------
+# v4 FUSED max-posterior decode: symbols in, argmax-gamma path out.
+#
+# --maxPost decoding previously paid the full XLA pipeline per chunk
+# batch: a one-hot obs matmul writing [B,L,S] to HBM, forward AND
+# backward scans each materializing their [B,L,S] table, then a
+# posterior+argmax pass over all three.  The fused design reuses the
+# v4 E-step's probability-space forward kernel (symbols stream in,
+# max-normalized alpha comes out in kernel layout) and replaces the
+# stats kernel with a DECODE kernel: the backward recurrence runs in
+# VMEM recomputing obs from symbols, and each position emits only
+# argmax_s alpha*beta as an int32 — gamma itself never exists.
+# Normalizers cancel inside the per-position argmax, so the decode
+# needs no dm stream at all.  Tie-breaking is first-hit lowest state
+# index, matching jnp.argmax in ops/dp.posterior_scaled.
+# Reference semantics: teHmmEval.py --maxPost [R].
+# ---------------------------------------------------------------------
+
+
+def _make_post_decode_kernel_v4(T: int, V: int):
+    def kernel(
+        len_ref,        # [1, 1, Bg] int32
+        trans_ref,      # [Sp, Sp] exp(log_trans) zero-padded
+        em_ref,         # [Sp, TVp] log_em flat (pad rows ~-1e9)
+        sym_hbm,        # [G, NB, K, Tp, Bg] int32 (ANY) natural order
+        alpha_hbm,      # [G, NB, K, Sp, Bg] alpha_p (ANY) natural order
+        path_hbm,       # [G, NB, K, 8, Bg] out int32 (row 0 = state)
+        sym_buf, alpha_buf, path_buf, b_scr,
+        sym_sem, alpha_sem, path_sem,
+    ):
+        g = pl.program_id(0)
+        NB = sym_hbm.shape[1]
+        K = sym_hbm.shape[2]
+        Sp = alpha_hbm.shape[3]
+        Bg = sym_hbm.shape[4]
+        TVp = em_ref.shape[1]
+        lens = len_ref[0, 0, :][None, :]
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (Sp, Bg), 0)
+
+        def sym_dma(slot, blk):
+            return pltpu.make_async_copy(
+                sym_hbm.at[g, blk], sym_buf.at[slot], sym_sem.at[slot]
+            )
+
+        def alpha_dma(slot, blk):
+            return pltpu.make_async_copy(
+                alpha_hbm.at[g, blk], alpha_buf.at[slot],
+                alpha_sem.at[slot]
+            )
+
+        def path_dma(slot, blk):
+            return pltpu.make_async_copy(
+                path_buf.at[slot], path_hbm.at[g, blk], path_sem.at[slot]
+            )
+
+        # reverse walk: iteration r processes natural block NB-1-r
+        sym_dma(0, NB - 1).start()
+        alpha_dma(0, NB - 1).start()
+        b_scr[:, :] = jnp.ones_like(b_scr)
+
+        def body(r, _):
+            blk = NB - 1 - r
+            slot = jax.lax.rem(r, 2)
+            nxt = jax.lax.rem(r + 1, 2)
+
+            @pl.when(r + 1 < NB)
+            def _prefetch():
+                sym_dma(nxt, blk - 1).start()
+                alpha_dma(nxt, blk - 1).start()
+
+            sym_dma(slot, blk).wait()
+            alpha_dma(slot, blk).wait()
+
+            @pl.when(r >= 2)
+            def _drain():
+                path_dma(slot, blk + 2).wait()
+
+            for k in range(K - 1, -1, -1):      # static reverse unroll
+                p = blk * K + k
+                oh = _oh_build(sym_buf[slot, k], T, V, TVp, Bg)
+                obs_p, _o_m = _obs_p_from_sym(em_ref, oh)
+                b = b_scr[:, :]
+                valid_p = p < lens                          # [1, Bg]
+                # ---- argmax gamma (normalizers cancel in the argmax;
+                # alpha pad rows are exactly 0, so Sp > S never wins
+                # unless everything is 0 — then first-hit returns 0,
+                # matching the masked XLA path's padded output) ----
+                ab = alpha_buf[slot, k] * b
+                m = jnp.max(ab, axis=0, keepdims=True)
+                cand = jnp.min(
+                    jnp.where(ab == m, iota_s, Sp),
+                    axis=0, keepdims=True,
+                )                                           # [1, Bg]
+                state = jnp.where(valid_p, cand, 0)
+                ridx = jax.lax.broadcasted_iota(
+                    jnp.int32, path_buf[slot, k].shape, 0
+                )
+                path_buf[slot, k] = jnp.where(
+                    ridx == 0,
+                    jnp.broadcast_to(state, path_buf[slot, k].shape),
+                    0,
+                )
+                # ---- beta update (same recurrence as the stats
+                # kernel: b_{p-1} = trans @ (obs_p * b_p), rescaled) ----
+                x = obs_p * b
+                xm = jnp.maximum(
+                    jnp.max(x, axis=0, keepdims=True), 1e-37
+                )
+                s_b = _v4_dot(trans_ref[:, :], x * (1.0 / xm))
+                nm = jnp.maximum(
+                    jnp.max(s_b, axis=0, keepdims=True), 1e-37
+                )
+                b_scr[:, :] = jnp.where(valid_p, s_b * (1.0 / nm), b)
+            path_dma(slot, blk).start()
+            return 0
+
+        jax.lax.fori_loop(0, NB, body, 0)
+
+        @pl.when(NB >= 2)
+        def _():
+            path_dma(jax.lax.rem(NB - 2, 2), 1).wait()
+        path_dma(jax.lax.rem(NB - 1, 2), 0).wait()
+
+    return kernel
+
+
+@jax.jit
+def posterior_decode_fused_pallas_v4(
+    log_start: jax.Array,
+    log_trans: jax.Array,
+    log_em: jax.Array,
+    symbols: jax.Array,     # int32[B, L, T]
+    lengths: jax.Array | None = None,
+) -> jax.Array:
+    """Fused max-posterior decode: int32[B, L] argmax-gamma path
+    straight from raw symbols (reference: teHmmEval.py --maxPost).
+
+    Same per-position argmax and first-hit tie-breaking as
+    argmax(dp.posterior_scaled(forward, backward)); alpha/beta come
+    from the 3-pass bf16-split dots (TEHMM_V4_PRECISION=highest for
+    true-f32), so only exact gamma near-ties can differ — and the
+    chunked caller's boundary agreement check still guards those.
+    Zero-length rows decode to path 0 like the masked XLA pipeline."""
+    B, L, T = symbols.shape
+    S, _T2, V = log_em.shape
+    lengths = (
+        jnp.full((B,), L, jnp.int32) if lengths is None
+        else lengths.astype(jnp.int32)
+    )
+    K = _KV2
+    Sp = max(-(-S // 8) * 8, 8)
+    Tp = max(-(-T // 8) * 8, 8)
+    TVp = -(-(T * V) // 128) * 128
+    Bg = _pick_batch_group_v4(S, T, V, B)
+    Bp = -(-B // Bg) * Bg
+    G = Bp // Bg
+    Lp = -(-L // K) * K
+    NB = Lp // K
+
+    sym_t = jnp.swapaxes(
+        jnp.moveaxis(symbols.astype(jnp.int32), 1, 0), 1, 2
+    )                                                    # [L, T, B]
+    sym_t = jnp.pad(
+        sym_t, ((0, Lp - L), (0, Tp - T), (0, Bp - B))
+    )
+    sym_arr = jnp.moveaxis(
+        sym_t.reshape(NB, K, Tp, G, Bg), 3, 0
+    )
+    len_g = jnp.pad(lengths, (0, Bp - B)).reshape(G, 1, Bg)
+    trans_exp = jnp.exp(log_trans)
+    trans_p = jnp.pad(trans_exp, ((0, Sp - S), (0, Sp - S)))
+    trans_t = jnp.pad(trans_exp.T, ((0, Sp - S), (0, Sp - S)))
+    em_flat = jnp.pad(
+        log_em.reshape(S, T * V),
+        ((0, Sp - S), (0, TVp - T * V)),
+    )
+    if Sp > S:
+        em_flat = em_flat.at[S:, :].set(-1e9)
+    start_g = jnp.broadcast_to(
+        jnp.pad(jnp.exp(log_start), (0, Sp - S))[None, :, None],
+        (G, Sp, Bg),
+    )
+
+    alpha_pad, _dm_pad = pl.pallas_call(
+        _make_forward_kernel_v4(T, V),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 1, Bg), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, Sp, Bg), lambda g: (g, 0, 0)),
+            pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
+            pl.BlockSpec((Sp, TVp), lambda g: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, NB, K, Sp, Bg), jnp.float32),
+            jax.ShapeDtypeStruct((G, NB, K, 8, Bg), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, K, Tp, Bg), jnp.int32),
+            pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
+            pltpu.VMEM((2, K, 8, Bg), jnp.float32),
+            pltpu.VMEM((Sp, Bg), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(len_g, start_g, trans_t, em_flat, sym_arr)
+
+    path_pad = pl.pallas_call(
+        _make_post_decode_kernel_v4(T, V),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 1, Bg), lambda g: (g, 0, 0)),
+            pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
+            pl.BlockSpec((Sp, TVp), lambda g: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((G, NB, K, 8, Bg), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((2, K, Tp, Bg), jnp.int32),
+            pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
+            pltpu.VMEM((2, K, 8, Bg), jnp.int32),
+            pltpu.VMEM((Sp, Bg), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(len_g, trans_p, em_flat, sym_arr, alpha_pad)
+
+    path = jnp.moveaxis(
+        path_pad[:, :, :, 0, :], 0, 2
+    ).reshape(Lp, Bp)[:L, :B]
+    path = jnp.moveaxis(path, 0, 1)                      # [B, L]
+    return jnp.where((lengths > 0)[:, None], path, 0)

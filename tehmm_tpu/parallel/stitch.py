@@ -370,6 +370,17 @@ def _posterior_batch(
                 v = np.concatenate(
                     [v, np.zeros((pad,) + v.shape[1:], v.dtype)]
                 )
+        if v is None and _use_fused_viterbi(params.log_em.shape[0]):
+            # fused v4 maxPost: symbols in, argmax-gamma path out —
+            # obs/alpha/beta tables never materialize as [B,L,S] in HBM
+            from tehmm_tpu.ops import pallas_kernels as pk
+
+            states = pk.posterior_decode_fused_pallas_v4(
+                params.log_start, params.log_trans, params.log_em,
+                jnp.asarray(sym), jnp.asarray(lens),
+            )
+            out[lo:hi] = np.asarray(states)[: hi - lo]
+            continue
         obs = track_log_likelihoods(params.log_em, jnp.asarray(sym))
         if v is not None:
             from tehmm_tpu.models.gauss import gauss_log_likelihoods

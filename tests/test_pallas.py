@@ -429,3 +429,71 @@ class TestFusedViterbiV4:
             rng.randint(0, L + 1, size=(B,)), jnp.int32
         )
         self._check(params, symbols, lengths)
+
+
+class TestFusedMaxPostV4:
+    """Fused max-posterior decode: symbols -> argmax-gamma path; the
+    forward reuses the v4 E-step kernel and the backward emits the
+    int32 path directly (gamma never materializes)."""
+
+    def _params(self, make_hmm, S, T, V):
+        from tehmm_tpu.models.params import HmmParams
+
+        ls, lt, lem = make_hmm(S, T, V)
+        return HmmParams(
+            log_start=jnp.asarray(ls, jnp.float32),
+            log_trans=jnp.asarray(lt, jnp.float32),
+            log_em=jnp.asarray(lem, jnp.float32),
+        )
+
+    def _check(self, params, symbols, lengths):
+        from tehmm_tpu.models.emission import track_log_likelihoods
+        from tehmm_tpu.ops import dp
+        from tehmm_tpu.ops import pallas_kernels as pk
+
+        obs = track_log_likelihoods(params.log_em, symbols)
+        ah, _, _ = dp.forward_scaled(
+            params.log_start, params.log_trans, obs, lengths
+        )
+        bh, _ = dp.backward_scaled(params.log_trans, obs, lengths)
+        want = np.asarray(
+            jnp.argmax(dp.posterior_scaled(ah, bh), axis=-1)
+        )
+        got = np.asarray(pk.posterior_decode_fused_pallas_v4(
+            params.log_start, params.log_trans, params.log_em,
+            symbols, lengths,
+        ))
+        lens = np.asarray(lengths)
+        for b in range(len(lens)):
+            np.testing.assert_array_equal(
+                got[b, : lens[b]], want[b, : lens[b]]
+            )
+            assert (got[b, lens[b]:] == 0).all()
+
+    def test_matches_xla_argmax_gamma_ragged(self, rng, make_hmm):
+        S, T, V, B, L = 5, 3, 6, 4, 37
+        params = self._params(make_hmm, S, T, V)
+        symbols = jnp.asarray(rng.randint(0, V, size=(B, L, T)))
+        lengths = jnp.asarray([L, L - 9, 1, 0], jnp.int32)
+        self._check(params, symbols, lengths)
+
+    def test_larger_state_count(self, rng, make_hmm):
+        S, T, V, B, L = 20, 5, 8, 3, 64
+        params = self._params(make_hmm, S, T, V)
+        symbols = jnp.asarray(rng.randint(0, V, size=(B, L, T)))
+        lengths = jnp.asarray([L, 40, L], jnp.int32)
+        self._check(params, symbols, lengths)
+
+    def test_multigroup(self, rng, make_hmm, monkeypatch):
+        import tehmm_tpu.ops.pallas_kernels as pk
+
+        monkeypatch.setattr(
+            pk, "_pick_batch_group_v4", lambda *a, **k: 128
+        )
+        S, T, V, B, L = 3, 2, 4, 259, 11       # B > Bg=128 -> G=3
+        params = self._params(make_hmm, S, T, V)
+        symbols = jnp.asarray(rng.randint(0, V, size=(B, L, T)))
+        lengths = jnp.asarray(
+            rng.randint(0, L + 1, size=(B,)), jnp.int32
+        )
+        self._check(params, symbols, lengths)

@@ -122,3 +122,30 @@ def test_zero_length_rows_no_nan_on_chip(rng):
     )
     for leaf in jax.tree.leaves(st):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+@pytest.mark.parametrize("S", [8, 64, 128])
+def test_fused_maxpost_matches_xla_on_chip(rng, S):
+    """Fused v4 max-posterior decode through the real compiler: same
+    argmax-gamma path as the XLA forward/backward pipeline (near-tie
+    flips from the 3-pass dots would show here; measured zero
+    mismatches on v5e)."""
+    from tehmm_tpu.models.emission import track_log_likelihoods
+
+    params, symbols, lengths = _inputs(rng, S, 3, 6, 6, 384)
+    obs = track_log_likelihoods(params.log_em, symbols)
+    ah, _, _ = dp.forward_scaled(
+        params.log_start, params.log_trans, obs, lengths
+    )
+    bh, _ = dp.backward_scaled(params.log_trans, obs, lengths)
+    want = np.asarray(jnp.argmax(dp.posterior_scaled(ah, bh), -1))
+    got = np.asarray(pk.posterior_decode_fused_pallas_v4(
+        params.log_start, params.log_trans, params.log_em,
+        symbols, lengths,
+    ))
+    lens = np.asarray(lengths)
+    mism = sum(
+        int((got[b, :lens[b]] != want[b, :lens[b]]).sum())
+        for b in range(len(lens))
+    )
+    assert mism == 0, f"S={S}: {mism} path mismatches"
