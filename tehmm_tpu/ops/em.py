@@ -116,18 +116,19 @@ def em_sufficient_stats(
             else "xla"
         )
     has_gauss = gauss_params is not None and gauss_values is not None
-    if engine == "pallas" and obs_weights is None and not has_gauss:
+    if engine == "pallas" and not has_gauss:
         # FUSED v4 engine (ops/pallas_kernels.py): symbols in,
         # statistics out.  obs_p, beta, gamma, b_fac and the one-hot
         # never touch HBM — the backward kernel accumulates the three
         # EM contractions in VMEM while recomputing obs from the
         # streamed symbols (profile-driven round-2 redesign: the v3
-        # E-step was HBM/layout-bound, not compute-bound).
+        # E-step was HBM/layout-bound, not compute-bound).  Segment
+        # mode streams obs_weights alongside the symbols.
         from tehmm_tpu.ops import pallas_kernels as _pk
 
         start, pair, em_counts, loglik_b = _pk.em_counts_fused_pallas_v4(
             params.log_start, params.log_trans, params.log_em,
-            symbols, lengths,
+            symbols, lengths, obs_weights,
         )
         return EmStats(
             start=start,

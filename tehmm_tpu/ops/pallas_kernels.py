@@ -1651,25 +1651,35 @@ def _oh_build(sym_k, T: int, V: int, TVp: int, Bg: int):
     return oh
 
 
-def _obs_p_from_sym(em_ref, oh):
-    """log_em-flat [Sp, TVp] x one-hot [TVp, Bg] -> (obs_p, o_m)."""
+def _obs_p_from_sym(em_ref, oh, w=None):
+    """log_em-flat [Sp, TVp] x one-hot [TVp, Bg] -> (obs_p, o_m).
+
+    ``w`` [1, Bg]: optional per-position emission-weight row (segment
+    mode, reference emission.py effectiveSegmentLength [R?]) — scales
+    the log obs, i.e. P(obs|state)^w."""
     obs_log = _v4_dot_oh(em_ref[:, :], oh)              # [Sp, Bg]
+    if w is not None:
+        obs_log = obs_log * w
     o_m = jnp.max(obs_log, axis=0, keepdims=True)       # [1, Bg]
     return jnp.exp(obs_log - o_m), o_m
 
 
-def _make_forward_kernel_v4(T: int, V: int):
+def _make_forward_kernel_v4(T: int, V: int, weighted: bool = False):
     def kernel(
         len_ref,        # [1, 1, Bg] int32
         start_ref,      # [1, Sp, Bg] exp(log_start) bcast (pad rows 0)
         trans_t_ref,    # [Sp, Sp] exp(log_trans).T zero-padded
         em_ref,         # [Sp, TVp] log_em flat (pad rows ~-1e9, cols 0)
-        sym_hbm,        # [G, NB, K, Tp, Bg] int32 (ANY)
-        alpha_hbm,      # [G, NB, K, Sp, Bg] out alpha_p
-        dm_hbm,         # [G, NB, K, 8, Bg] out dm (o_m folded in)
-        sym_buf, out_buf, dm_buf, p_scr,
-        in_sem, out_sem, dm_sem,
+        *rest,
     ):
+        if weighted:
+            (sym_hbm, w_hbm, alpha_hbm, dm_hbm,
+             sym_buf, w_buf, out_buf, dm_buf, p_scr,
+             in_sem, w_sem, out_sem, dm_sem) = rest
+        else:
+            (sym_hbm, alpha_hbm, dm_hbm,
+             sym_buf, out_buf, dm_buf, p_scr,
+             in_sem, out_sem, dm_sem) = rest
         g = pl.program_id(0)
         NB = sym_hbm.shape[1]
         K = sym_hbm.shape[2]
@@ -1683,6 +1693,11 @@ def _make_forward_kernel_v4(T: int, V: int):
                 sym_hbm.at[g, blk], sym_buf.at[slot], in_sem.at[slot]
             )
 
+        def w_dma(slot, blk):
+            return pltpu.make_async_copy(
+                w_hbm.at[g, blk], w_buf.at[slot], w_sem.at[slot]
+            )
+
         def out_dma(slot, blk):
             return pltpu.make_async_copy(
                 out_buf.at[slot], alpha_hbm.at[g, blk], out_sem.at[slot]
@@ -1694,6 +1709,8 @@ def _make_forward_kernel_v4(T: int, V: int):
             )
 
         in_dma(0, 0).start()
+        if weighted:
+            w_dma(0, 0).start()
         p_scr[:, :] = jnp.ones_like(p_scr)
 
         def body(blk, _):
@@ -1703,8 +1720,12 @@ def _make_forward_kernel_v4(T: int, V: int):
             @pl.when(blk + 1 < NB)
             def _prefetch():
                 in_dma(nxt, blk + 1).start()
+                if weighted:
+                    w_dma(nxt, blk + 1).start()
 
             in_dma(slot, blk).wait()
+            if weighted:
+                w_dma(slot, blk).wait()
 
             @pl.when(blk >= 2)
             def _drain():
@@ -1714,7 +1735,8 @@ def _make_forward_kernel_v4(T: int, V: int):
             for k in range(K):
                 t = blk * K + k
                 oh = _oh_build(sym_buf[slot, k], T, V, TVp, Bg)
-                obs_p, o_m = _obs_p_from_sym(em_ref, oh)
+                wk = w_buf[slot, k, 0:1, :] if weighted else None
+                obs_p, o_m = _obs_p_from_sym(em_ref, oh, wk)
                 p = p_scr[:, :]
                 s = _v4_dot(trans_t_ref[:, :], p)
                 base = jnp.where(t == 0, start_p, s)
@@ -1757,21 +1779,28 @@ def _make_forward_kernel_v4(T: int, V: int):
     return kernel
 
 
-def _make_bwd_stats_kernel_v4(T: int, V: int):
+def _make_bwd_stats_kernel_v4(T: int, V: int, weighted: bool = False):
     def kernel(
         len_ref,        # [1, 1, Bg] int32
         trans_ref,      # [Sp, Sp] exp(log_trans) zero-padded
         trans_t_ref,    # [Sp, Sp] unused (kept for spec symmetry)
         em_ref,         # [Sp, TVp] log_em flat
-        sym_hbm,        # [G, NB, K, Tp, Bg] int32 (ANY) natural order
-        alpha_hbm,      # [G, NB, K, Sp, Bg] alpha_p (ANY) natural order
-        dm_hbm,         # [G, NB, K, 8, Bg] fwd normalizers (row 1 = m)
-        pair_ref,       # [1, Sp, Sp] out: sum (a*w) outer b_fac
-        emc_ref,        # [1, Sp, TVp] out: gamma-weighted symbol counts
-        start_ref,      # [1, Sp, 128] out: col 0 = start counts
-        sym_buf, alpha_buf, dm_buf, b_scr, defer_scr, defer_z_scr,
-        sym_sem, alpha_sem, dm_sem,
+        *rest,
+        # weighted adds w_hbm [G,NB,K,8,Bg] (row 0 = weight) after
+        # sym_hbm, plus its w_buf/w_sem scratch pair
     ):
+        if weighted:
+            (sym_hbm, w_hbm, alpha_hbm, dm_hbm,
+             pair_ref, emc_ref, start_ref,
+             sym_buf, w_buf, alpha_buf, dm_buf,
+             b_scr, defer_scr, defer_z_scr,
+             sym_sem, w_sem, alpha_sem, dm_sem) = rest
+        else:
+            (sym_hbm, alpha_hbm, dm_hbm,
+             pair_ref, emc_ref, start_ref,
+             sym_buf, alpha_buf, dm_buf,
+             b_scr, defer_scr, defer_z_scr,
+             sym_sem, alpha_sem, dm_sem) = rest
         g = pl.program_id(0)
         NB = sym_hbm.shape[1]
         K = sym_hbm.shape[2]
@@ -1782,6 +1811,11 @@ def _make_bwd_stats_kernel_v4(T: int, V: int):
         def sym_dma(slot, blk):
             return pltpu.make_async_copy(
                 sym_hbm.at[g, blk], sym_buf.at[slot], sym_sem.at[slot]
+            )
+
+        def w_dma(slot, blk):
+            return pltpu.make_async_copy(
+                w_hbm.at[g, blk], w_buf.at[slot], w_sem.at[slot]
             )
 
         def alpha_dma(slot, blk):
@@ -1797,6 +1831,8 @@ def _make_bwd_stats_kernel_v4(T: int, V: int):
 
         # reverse walk: iteration r processes natural block NB-1-r
         sym_dma(0, NB - 1).start()
+        if weighted:
+            w_dma(0, NB - 1).start()
         alpha_dma(0, NB - 1).start()
         dm_dma(0, NB - 1).start()
         b_scr[:, :] = jnp.ones_like(b_scr)
@@ -1821,10 +1857,14 @@ def _make_bwd_stats_kernel_v4(T: int, V: int):
             @pl.when(r + 1 < NB)
             def _prefetch():
                 sym_dma(nxt, blk - 1).start()
+                if weighted:
+                    w_dma(nxt, blk - 1).start()
                 alpha_dma(nxt, blk - 1).start()
                 dm_dma(nxt, blk - 1).start()
 
             sym_dma(slot, blk).wait()
+            if weighted:
+                w_dma(slot, blk).wait()
             alpha_dma(slot, blk).wait()
             dm_dma(slot, blk).wait()
 
@@ -1842,7 +1882,8 @@ def _make_bwd_stats_kernel_v4(T: int, V: int):
             for k in range(K - 1, -1, -1):      # static reverse unroll
                 p = blk * K + k
                 oh = _oh_build(sym_buf[slot, k], T, V, TVp, Bg)
-                obs_p, _o_m = _obs_p_from_sym(em_ref, oh)
+                wk = w_buf[slot, k, 0:1, :] if weighted else None
+                obs_p, _o_m = _obs_p_from_sym(em_ref, oh, wk)
                 b = b_scr[:, :]
                 valid_p = p < lens                          # [1, Bg]
                 # ---- b_fac ----
@@ -1860,8 +1901,11 @@ def _make_bwd_stats_kernel_v4(T: int, V: int):
                 gamma = jnp.where(valid_p, ab * (1.0 / gden), 0.0)
                 m_p = dm_buf[slot, k, 1:2, :]               # [1, Bg]
                 z_p = m_p * gden * (1.0 / xm)
+                # segment mode: a segment standing for w positions
+                # contributes w expected emission counts
                 emc_ref[0] += _v4_dot_oh(
-                    gamma, oh, (((1,), (1,)), ((), ()))
+                    gamma * wk if weighted else gamma,
+                    oh, (((1,), (1,)), ((), ())),
                 )
                 @pl.when(p == 0)
                 def _start():
@@ -1900,12 +1944,18 @@ def em_counts_fused_pallas_v4(
     log_em: jax.Array,
     symbols: jax.Array,     # int32[B, L, T]
     lengths: jax.Array,
+    obs_weights: jax.Array | None = None,   # f32[B, L] segment weights
 ):
     """Fused E-step: (start, pair, em, loglik) from raw symbols.
 
     ``pair`` excludes the transition-probability factor (multiply by
     exp(log_trans) for expected transition counts, exactly like the
-    factored epilogue in ops/em.em_sufficient_stats)."""
+    factored epilogue in ops/em.em_sufficient_stats).
+
+    ``obs_weights`` (segment mode, reference emission.py
+    effectiveSegmentLength [R?]): per-position emission-weight stream —
+    obs log-probs scale by w inside both kernels and expected emission
+    counts scale by w, matching the XLA path's ``obs * w`` semantics."""
     B, L, T = symbols.shape
     S, _T2, V = log_em.shape
     K = _KV2
@@ -1945,8 +1995,29 @@ def em_counts_fused_pallas_v4(
         (G, Sp, Bg),
     )
 
+    weighted = obs_weights is not None
+    w_args = []
+    w_in_spec = []
+    w_scratch = []
+    if weighted:
+        # weights -> [G, NB, K, 8, Bg] f32, row 0 = weight (pad rows 0)
+        w_t = jnp.pad(
+            jnp.moveaxis(obs_weights.astype(jnp.float32), 1, 0),
+            ((0, Lp - L), (0, Bp - B)),
+        )                                                # [Lp, Bp]
+        w_arr = jnp.moveaxis(
+            w_t.reshape(NB, K, 1, G, Bg), 3, 0
+        )
+        w_arr = jnp.concatenate(
+            [w_arr, jnp.zeros((G, NB, K, 7, Bg), jnp.float32)], axis=3
+        )
+        w_args = [w_arr]
+        w_in_spec = [pl.BlockSpec(memory_space=pl.ANY)]
+        w_scratch = [pltpu.VMEM((2, K, 8, Bg), jnp.float32)]
+    w_sem = [pltpu.SemaphoreType.DMA((2,))] if weighted else []
+
     alpha_pad, dm_pad = pl.pallas_call(
-        _make_forward_kernel_v4(T, V),
+        _make_forward_kernel_v4(T, V, weighted),
         grid=(G,),
         in_specs=[
             pl.BlockSpec((1, 1, Bg), lambda g: (g, 0, 0)),
@@ -1954,7 +2025,7 @@ def em_counts_fused_pallas_v4(
             pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
             pl.BlockSpec((Sp, TVp), lambda g: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ] + w_in_spec,
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -1965,10 +2036,12 @@ def em_counts_fused_pallas_v4(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, K, Tp, Bg), jnp.int32),
+        ] + w_scratch + [
             pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
             pltpu.VMEM((2, K, 8, Bg), jnp.float32),
             pltpu.VMEM((Sp, Bg), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+        ] + w_sem + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -1976,10 +2049,10 @@ def em_counts_fused_pallas_v4(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(len_g, start_g, trans_t, em_flat, sym_arr)
+    )(len_g, start_g, trans_t, em_flat, sym_arr, *w_args)
 
     pair_g, emc_g, start_cnt_g = pl.pallas_call(
-        _make_bwd_stats_kernel_v4(T, V),
+        _make_bwd_stats_kernel_v4(T, V, weighted),
         grid=(G,),
         in_specs=[
             pl.BlockSpec((1, 1, Bg), lambda g: (g, 0, 0)),
@@ -1987,6 +2060,7 @@ def em_counts_fused_pallas_v4(
             pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
             pl.BlockSpec((Sp, TVp), lambda g: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
+        ] + w_in_spec + [
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -2002,12 +2076,14 @@ def em_counts_fused_pallas_v4(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, K, Tp, Bg), jnp.int32),
+        ] + w_scratch + [
             pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
             pltpu.VMEM((2, K, 8, Bg), jnp.float32),
             pltpu.VMEM((Sp, Bg), jnp.float32),
             pltpu.VMEM((Sp, Bg), jnp.float32),
             pltpu.VMEM((8, Bg), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+        ] + w_sem + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -2015,7 +2091,8 @@ def em_counts_fused_pallas_v4(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(len_g, trans_p, trans_t, em_flat, sym_arr, alpha_pad, dm_pad)
+    )(len_g, trans_p, trans_t, em_flat, sym_arr, *w_args,
+      alpha_pad, dm_pad)
 
     # ---- host-side (XLA) finish: tiny reductions only ----
     start = jnp.sum(start_cnt_g[:, :S, 0], axis=0)          # [S]
@@ -2072,18 +2149,22 @@ def _pick_batch_group_vit4(S: int, T: int, V: int, B: int,
     return min(bg, Bp)
 
 
-def _make_viterbi_fwd_kernel_v4(T: int, V: int):
+def _make_viterbi_fwd_kernel_v4(T: int, V: int, weighted: bool = False):
     def kernel(
         len_ref,        # [1, 1, Bg] int32
         start_ref,      # [1, Sp, Bg] log_start bcast (pad rows LOG_ZERO)
         trans_ref,      # [Sp, Sp] log_trans (pads LOG_ZERO)
         em_ref,         # [Sp, TVp] log_em flat (pad rows ~-1e9, cols 0)
-        sym_hbm,        # [G, NB, K, Tp, Bg] int32 (ANY)
-        v_hbm,          # [G, NB, K, Sp, Bg] out max-normalized values
-        dm_hbm,         # [G, NB, K, 8, Bg] out normalizer increments
-        sym_buf, out_buf, dm_buf, v_scr,
-        in_sem, out_sem, dm_sem,
+        *rest,
     ):
+        if weighted:
+            (sym_hbm, w_hbm, v_hbm, dm_hbm,
+             sym_buf, w_buf, out_buf, dm_buf, v_scr,
+             in_sem, w_sem, out_sem, dm_sem) = rest
+        else:
+            (sym_hbm, v_hbm, dm_hbm,
+             sym_buf, out_buf, dm_buf, v_scr,
+             in_sem, out_sem, dm_sem) = rest
         g = pl.program_id(0)
         NB = sym_hbm.shape[1]
         K = sym_hbm.shape[2]
@@ -2098,6 +2179,11 @@ def _make_viterbi_fwd_kernel_v4(T: int, V: int):
                 sym_hbm.at[g, blk], sym_buf.at[slot], in_sem.at[slot]
             )
 
+        def w_dma(slot, blk):
+            return pltpu.make_async_copy(
+                w_hbm.at[g, blk], w_buf.at[slot], w_sem.at[slot]
+            )
+
         def out_dma(slot, blk):
             return pltpu.make_async_copy(
                 out_buf.at[slot], v_hbm.at[g, blk], out_sem.at[slot]
@@ -2109,6 +2195,8 @@ def _make_viterbi_fwd_kernel_v4(T: int, V: int):
             )
 
         in_dma(0, 0).start()
+        if weighted:
+            w_dma(0, 0).start()
         # zero-length rows carry the initial scratch to every output row
         v_scr[:, :] = jnp.zeros_like(v_scr)
 
@@ -2119,8 +2207,12 @@ def _make_viterbi_fwd_kernel_v4(T: int, V: int):
             @pl.when(blk + 1 < NB)
             def _prefetch():
                 in_dma(nxt, blk + 1).start()
+                if weighted:
+                    w_dma(nxt, blk + 1).start()
 
             in_dma(slot, blk).wait()
+            if weighted:
+                w_dma(slot, blk).wait()
 
             @pl.when(blk >= 2)
             def _drain():
@@ -2131,6 +2223,8 @@ def _make_viterbi_fwd_kernel_v4(T: int, V: int):
                 t = blk * K + k
                 oh = _oh_build(sym_buf[slot, k], T, V, TVp, Bg)
                 obs_log = _v4_dot_oh(em_ref[:, :], oh)      # [Sp, Bg]
+                if weighted:
+                    obs_log = obs_log * w_buf[slot, k, 0:1, :]
                 v_hat = v_scr[:, :]
                 best = v_hat[0:1, :] + trans_ref[0, :][:, None]
                 for i in range(1, Sp):
@@ -2254,6 +2348,7 @@ def viterbi_fused_pallas_v4(
     log_em: jax.Array,
     symbols: jax.Array,     # int32[B, L, T]
     lengths: jax.Array | None = None,
+    obs_weights: jax.Array | None = None,   # f32[B, L] segment weights
 ) -> tuple[jax.Array, jax.Array]:
     """Fused Viterbi decode: (path int32[B, L], score f32[B]) straight
     from raw symbols.  Same max-plus op order and first-hit argmax
@@ -2261,7 +2356,8 @@ def viterbi_fused_pallas_v4(
     device at S=20/64 (score rel-delta ~4e-7 from the 3-pass in-kernel
     obs; TEHMM_V4_PRECISION=highest makes the obs bit-equal too).
     Zero-length rows get path 0 / score 0 like the masked XLA
-    decoder."""
+    decoder.  ``obs_weights`` (segment mode) scales the per-position
+    obs log-probs exactly like the XLA path's ``obs * w``."""
     B, L, T = symbols.shape
     S, _T2, V = log_em.shape
     lengths = (
@@ -2304,8 +2400,28 @@ def viterbi_fused_pallas_v4(
         (G, Sp, Bg),
     )
 
+    weighted = obs_weights is not None
+    w_args = []
+    w_in_spec = []
+    w_scratch = []
+    if weighted:
+        w_t = jnp.pad(
+            jnp.moveaxis(obs_weights.astype(jnp.float32), 1, 0),
+            ((0, Lp - L), (0, Bp - B)),
+        )                                                # [Lp, Bp]
+        w_arr = jnp.moveaxis(
+            w_t.reshape(NB, K, 1, G, Bg), 3, 0
+        )
+        w_arr = jnp.concatenate(
+            [w_arr, jnp.zeros((G, NB, K, 7, Bg), jnp.float32)], axis=3
+        )
+        w_args = [w_arr]
+        w_in_spec = [pl.BlockSpec(memory_space=pl.ANY)]
+        w_scratch = [pltpu.VMEM((2, K, 8, Bg), jnp.float32)]
+    w_sem = [pltpu.SemaphoreType.DMA((2,))] if weighted else []
+
     v_pad, dm_pad = pl.pallas_call(
-        _make_viterbi_fwd_kernel_v4(T, V),
+        _make_viterbi_fwd_kernel_v4(T, V, weighted),
         grid=(G,),
         in_specs=[
             pl.BlockSpec((1, 1, Bg), lambda g: (g, 0, 0)),
@@ -2313,7 +2429,7 @@ def viterbi_fused_pallas_v4(
             pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
             pl.BlockSpec((Sp, TVp), lambda g: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ] + w_in_spec,
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -2324,10 +2440,12 @@ def viterbi_fused_pallas_v4(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, K, Tp, Bg), jnp.int32),
+        ] + w_scratch + [
             pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
             pltpu.VMEM((2, K, 8, Bg), jnp.float32),
             pltpu.VMEM((Sp, Bg), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+        ] + w_sem + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -2335,7 +2453,7 @@ def viterbi_fused_pallas_v4(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(len_g, start_g, trans_p, em_flat, sym_arr)
+    )(len_g, start_g, trans_p, em_flat, sym_arr, *w_args)
 
     path_pad = pl.pallas_call(
         _viterbi_backtrace_kernel_v4,
@@ -2393,17 +2511,21 @@ def viterbi_fused_pallas_v4(
 # ---------------------------------------------------------------------
 
 
-def _make_post_decode_kernel_v4(T: int, V: int):
+def _make_post_decode_kernel_v4(T: int, V: int, weighted: bool = False):
     def kernel(
         len_ref,        # [1, 1, Bg] int32
         trans_ref,      # [Sp, Sp] exp(log_trans) zero-padded
         em_ref,         # [Sp, TVp] log_em flat (pad rows ~-1e9)
-        sym_hbm,        # [G, NB, K, Tp, Bg] int32 (ANY) natural order
-        alpha_hbm,      # [G, NB, K, Sp, Bg] alpha_p (ANY) natural order
-        path_hbm,       # [G, NB, K, 8, Bg] out int32 (row 0 = state)
-        sym_buf, alpha_buf, path_buf, b_scr,
-        sym_sem, alpha_sem, path_sem,
+        *rest,
     ):
+        if weighted:
+            (sym_hbm, w_hbm, alpha_hbm, path_hbm,
+             sym_buf, w_buf, alpha_buf, path_buf, b_scr,
+             sym_sem, w_sem, alpha_sem, path_sem) = rest
+        else:
+            (sym_hbm, alpha_hbm, path_hbm,
+             sym_buf, alpha_buf, path_buf, b_scr,
+             sym_sem, alpha_sem, path_sem) = rest
         g = pl.program_id(0)
         NB = sym_hbm.shape[1]
         K = sym_hbm.shape[2]
@@ -2416,6 +2538,11 @@ def _make_post_decode_kernel_v4(T: int, V: int):
         def sym_dma(slot, blk):
             return pltpu.make_async_copy(
                 sym_hbm.at[g, blk], sym_buf.at[slot], sym_sem.at[slot]
+            )
+
+        def w_dma(slot, blk):
+            return pltpu.make_async_copy(
+                w_hbm.at[g, blk], w_buf.at[slot], w_sem.at[slot]
             )
 
         def alpha_dma(slot, blk):
@@ -2431,6 +2558,8 @@ def _make_post_decode_kernel_v4(T: int, V: int):
 
         # reverse walk: iteration r processes natural block NB-1-r
         sym_dma(0, NB - 1).start()
+        if weighted:
+            w_dma(0, NB - 1).start()
         alpha_dma(0, NB - 1).start()
         b_scr[:, :] = jnp.ones_like(b_scr)
 
@@ -2442,9 +2571,13 @@ def _make_post_decode_kernel_v4(T: int, V: int):
             @pl.when(r + 1 < NB)
             def _prefetch():
                 sym_dma(nxt, blk - 1).start()
+                if weighted:
+                    w_dma(nxt, blk - 1).start()
                 alpha_dma(nxt, blk - 1).start()
 
             sym_dma(slot, blk).wait()
+            if weighted:
+                w_dma(slot, blk).wait()
             alpha_dma(slot, blk).wait()
 
             @pl.when(r >= 2)
@@ -2454,7 +2587,8 @@ def _make_post_decode_kernel_v4(T: int, V: int):
             for k in range(K - 1, -1, -1):      # static reverse unroll
                 p = blk * K + k
                 oh = _oh_build(sym_buf[slot, k], T, V, TVp, Bg)
-                obs_p, _o_m = _obs_p_from_sym(em_ref, oh)
+                wk = w_buf[slot, k, 0:1, :] if weighted else None
+                obs_p, _o_m = _obs_p_from_sym(em_ref, oh, wk)
                 b = b_scr[:, :]
                 valid_p = p < lens                          # [1, Bg]
                 # ---- argmax gamma (normalizers cancel in the argmax;
@@ -2507,6 +2641,7 @@ def posterior_decode_fused_pallas_v4(
     log_em: jax.Array,
     symbols: jax.Array,     # int32[B, L, T]
     lengths: jax.Array | None = None,
+    obs_weights: jax.Array | None = None,   # f32[B, L] segment weights
 ) -> jax.Array:
     """Fused max-posterior decode: int32[B, L] argmax-gamma path
     straight from raw symbols (reference: teHmmEval.py --maxPost).
@@ -2516,7 +2651,9 @@ def posterior_decode_fused_pallas_v4(
     from the 3-pass bf16-split dots (TEHMM_V4_PRECISION=highest for
     true-f32), so only exact gamma near-ties can differ — and the
     chunked caller's boundary agreement check still guards those.
-    Zero-length rows decode to path 0 like the masked XLA pipeline."""
+    Zero-length rows decode to path 0 like the masked XLA pipeline.
+    ``obs_weights`` (segment mode) scales the per-position obs
+    log-probs exactly like the XLA path's ``obs * w``."""
     B, L, T = symbols.shape
     S, _T2, V = log_em.shape
     lengths = (
@@ -2557,8 +2694,28 @@ def posterior_decode_fused_pallas_v4(
         (G, Sp, Bg),
     )
 
+    weighted = obs_weights is not None
+    w_args = []
+    w_in_spec = []
+    w_scratch = []
+    if weighted:
+        w_t = jnp.pad(
+            jnp.moveaxis(obs_weights.astype(jnp.float32), 1, 0),
+            ((0, Lp - L), (0, Bp - B)),
+        )                                                # [Lp, Bp]
+        w_arr = jnp.moveaxis(
+            w_t.reshape(NB, K, 1, G, Bg), 3, 0
+        )
+        w_arr = jnp.concatenate(
+            [w_arr, jnp.zeros((G, NB, K, 7, Bg), jnp.float32)], axis=3
+        )
+        w_args = [w_arr]
+        w_in_spec = [pl.BlockSpec(memory_space=pl.ANY)]
+        w_scratch = [pltpu.VMEM((2, K, 8, Bg), jnp.float32)]
+    w_sem = [pltpu.SemaphoreType.DMA((2,))] if weighted else []
+
     alpha_pad, _dm_pad = pl.pallas_call(
-        _make_forward_kernel_v4(T, V),
+        _make_forward_kernel_v4(T, V, weighted),
         grid=(G,),
         in_specs=[
             pl.BlockSpec((1, 1, Bg), lambda g: (g, 0, 0)),
@@ -2566,7 +2723,7 @@ def posterior_decode_fused_pallas_v4(
             pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
             pl.BlockSpec((Sp, TVp), lambda g: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ] + w_in_spec,
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -2577,10 +2734,12 @@ def posterior_decode_fused_pallas_v4(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, K, Tp, Bg), jnp.int32),
+        ] + w_scratch + [
             pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
             pltpu.VMEM((2, K, 8, Bg), jnp.float32),
             pltpu.VMEM((Sp, Bg), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+        ] + w_sem + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -2588,26 +2747,29 @@ def posterior_decode_fused_pallas_v4(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(len_g, start_g, trans_t, em_flat, sym_arr)
+    )(len_g, start_g, trans_t, em_flat, sym_arr, *w_args)
 
     path_pad = pl.pallas_call(
-        _make_post_decode_kernel_v4(T, V),
+        _make_post_decode_kernel_v4(T, V, weighted),
         grid=(G,),
         in_specs=[
             pl.BlockSpec((1, 1, Bg), lambda g: (g, 0, 0)),
             pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
             pl.BlockSpec((Sp, TVp), lambda g: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
+        ] + w_in_spec + [
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((G, NB, K, 8, Bg), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((2, K, Tp, Bg), jnp.int32),
+        ] + w_scratch + [
             pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
             pltpu.VMEM((2, K, 8, Bg), jnp.int32),
             pltpu.VMEM((Sp, Bg), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+        ] + w_sem + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -2615,7 +2777,7 @@ def posterior_decode_fused_pallas_v4(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(len_g, trans_p, em_flat, sym_arr, alpha_pad)
+    )(len_g, trans_p, em_flat, sym_arr, *w_args, alpha_pad)
 
     path = jnp.moveaxis(
         path_pad[:, :, :, 0, :], 0, 2

@@ -76,16 +76,16 @@ def _decode_batch(
                 v = np.concatenate(
                     [v, np.zeros((pad,) + v.shape[1:], v.dtype)]
                 )
-        if v is None and w is None and _use_fused_viterbi(
-            params.log_em.shape[0]
-        ):
+        if v is None and _use_fused_viterbi(params.log_em.shape[0]):
             # fused v4 decode: symbols in, path out — obs never
-            # materializes in HBM and the backtrace runs in-kernel
+            # materializes in HBM and the backtrace runs in-kernel;
+            # segment weights stream alongside the symbols
             from tehmm_tpu.ops import pallas_kernels as pk
 
             paths, _ = pk.viterbi_fused_pallas_v4(
                 params.log_start, params.log_trans, params.log_em,
                 jnp.asarray(sym), jnp.asarray(lens),
+                None if w is None else jnp.asarray(w),
             )
             out[lo:hi] = np.asarray(paths)[: hi - lo]
             continue

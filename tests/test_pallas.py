@@ -497,3 +497,97 @@ class TestFusedMaxPostV4:
             rng.randint(0, L + 1, size=(B,)), jnp.int32
         )
         self._check(params, symbols, lengths)
+
+
+class TestFusedV4SegmentWeights:
+    """Segment mode on the fused engines: obs_weights streams alongside
+    the symbols; parity vs the XLA path's obs * w at every output."""
+
+    def _setup(self, make_hmm, rng, S=5, T=2, V=4, B=4, L=37):
+        from tehmm_tpu.models.params import HmmParams
+
+        ls, lt, lem = make_hmm(S, T, V)
+        params = HmmParams(
+            log_start=jnp.asarray(ls, jnp.float32),
+            log_trans=jnp.asarray(lt, jnp.float32),
+            log_em=jnp.asarray(lem, jnp.float32),
+        )
+        symbols = jnp.asarray(rng.randint(0, V, size=(B, L, T)))
+        lengths = jnp.asarray([L, L - 7, 1, 0][:B], jnp.int32)
+        weights = jnp.asarray(
+            rng.randint(1, 9, size=(B, L)).astype(np.float32)
+        )
+        return params, symbols, lengths, weights
+
+    def test_estep_weighted_matches_xla(self, rng, make_hmm):
+        from tehmm_tpu.ops import em as em_ops
+        from tehmm_tpu.ops import pallas_kernels as pk
+
+        params, symbols, lengths, w = self._setup(make_hmm, rng)
+        a = em_ops.em_sufficient_stats(
+            params, symbols, lengths, engine="xla", obs_weights=w
+        )
+        start, pair, emc, llb = pk.em_counts_fused_pallas_v4(
+            params.log_start, params.log_trans, params.log_em,
+            symbols, lengths, w,
+        )
+        trans = pair * jnp.exp(params.log_trans)
+        np.testing.assert_allclose(
+            float(a.loglik), float(llb.sum()), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.start), np.asarray(start), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.trans), np.asarray(trans), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.em), np.asarray(emc), rtol=1e-4, atol=1e-3
+        )
+
+    def test_viterbi_weighted_bit_identical(self, rng, make_hmm):
+        from tehmm_tpu.models.emission import track_log_likelihoods
+        from tehmm_tpu.ops import dp
+        from tehmm_tpu.ops import pallas_kernels as pk
+
+        params, symbols, lengths, w = self._setup(make_hmm, rng)
+        obs = track_log_likelihoods(params.log_em, symbols)
+        obs = obs * w[:, :, None]
+        want_p, want_s = dp.viterbi(
+            params.log_start, params.log_trans, obs, lengths
+        )
+        got_p, got_s = pk.viterbi_fused_pallas_v4(
+            params.log_start, params.log_trans, params.log_em,
+            symbols, lengths, w,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_p), np.asarray(want_p)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_s), np.asarray(want_s), rtol=1e-5, atol=1e-4
+        )
+
+    def test_maxpost_weighted_matches_xla(self, rng, make_hmm):
+        from tehmm_tpu.models.emission import track_log_likelihoods
+        from tehmm_tpu.ops import dp
+        from tehmm_tpu.ops import pallas_kernels as pk
+
+        params, symbols, lengths, w = self._setup(make_hmm, rng)
+        obs = track_log_likelihoods(params.log_em, symbols)
+        obs = obs * w[:, :, None]
+        ah, _, _ = dp.forward_scaled(
+            params.log_start, params.log_trans, obs, lengths
+        )
+        bh, _ = dp.backward_scaled(params.log_trans, obs, lengths)
+        want = np.asarray(
+            jnp.argmax(dp.posterior_scaled(ah, bh), axis=-1)
+        )
+        got = np.asarray(pk.posterior_decode_fused_pallas_v4(
+            params.log_start, params.log_trans, params.log_em,
+            symbols, lengths, w,
+        ))
+        lens = np.asarray(lengths)
+        for b in range(len(lens)):
+            np.testing.assert_array_equal(
+                got[b, : lens[b]], want[b, : lens[b]]
+            )

@@ -149,3 +149,36 @@ def test_fused_maxpost_matches_xla_on_chip(rng, S):
         for b in range(len(lens))
     )
     assert mism == 0, f"S={S}: {mism} path mismatches"
+
+
+def test_segment_weights_fused_on_chip(rng):
+    """Segment-mode obs_weights through the real compiler: fused
+    E-step/Viterbi/maxPost all match the XLA obs*w pipeline."""
+    from tehmm_tpu.models.emission import track_log_likelihoods
+
+    S = 20
+    params, symbols, lengths = _inputs(rng, S, 3, 6, 6, 256)
+    w = jnp.asarray(
+        rng.randint(1, 9, size=symbols.shape[:2]).astype(np.float32)
+    )
+    a = em_ops.em_sufficient_stats(
+        params, symbols, lengths, engine="xla", obs_weights=w
+    )
+    b = em_ops.em_sufficient_stats(
+        params, symbols, lengths, engine="pallas", obs_weights=w
+    )
+    assert abs(float(a.loglik) - float(b.loglik)) / abs(
+        float(a.loglik)
+    ) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(a.em), np.asarray(b.em), rtol=1e-3, atol=1e-3
+    )
+    obs = track_log_likelihoods(params.log_em, symbols) * w[:, :, None]
+    want_p, _ = dp.viterbi(
+        params.log_start, params.log_trans, obs, lengths
+    )
+    got_p, _ = pk.viterbi_fused_pallas_v4(
+        params.log_start, params.log_trans, params.log_em,
+        symbols, lengths, w,
+    )
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
