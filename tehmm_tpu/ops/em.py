@@ -91,9 +91,9 @@ def em_sufficient_stats(
         [R?]): a segment standing for w identical positions emits
         P(obs|state)^w, and its expected emission counts scale by w.
       engine: "auto" (default; pallas on TPU, xla elsewhere), "xla",
-        or "pallas".  On TPU the fused v4 kernels run whenever the obs
-        term comes purely from symbols; weighted/gaussian obs use the
-        v3 streaming kernels on the precomputed obs tensor.
+        or "pallas".  On TPU the fused v4 kernels handle plain,
+        segment-weighted AND gaussian-track observations (weights and
+        gaussian features stream alongside the symbols).
       gauss_params / gauss_values: gaussian-track emissions
         (models/gauss.py): values f32[B, L, G] with NaN missing.  Adds
         the per-state normal log-densities to obs and returns the
@@ -116,26 +116,36 @@ def em_sufficient_stats(
             else "xla"
         )
     has_gauss = gauss_params is not None and gauss_values is not None
-    if engine == "pallas" and not has_gauss:
+    if engine == "pallas":
         # FUSED v4 engine (ops/pallas_kernels.py): symbols in,
         # statistics out.  obs_p, beta, gamma, b_fac and the one-hot
         # never touch HBM — the backward kernel accumulates the three
         # EM contractions in VMEM while recomputing obs from the
         # streamed symbols (profile-driven round-2 redesign: the v3
         # E-step was HBM/layout-bound, not compute-bound).  Segment
-        # mode streams obs_weights alongside the symbols.
+        # mode streams obs_weights alongside the symbols; gaussian
+        # tracks stream a [mask | x | x²] feature block and come back
+        # as in-VMEM posterior moment sums.
         from tehmm_tpu.ops import pallas_kernels as _pk
 
-        start, pair, em_counts, loglik_b = _pk.em_counts_fused_pallas_v4(
+        out = _pk.em_counts_fused_pallas_v4(
             params.log_start, params.log_trans, params.log_em,
             symbols, lengths, obs_weights,
+            gauss_params if has_gauss else None,
+            gauss_values if has_gauss else None,
         )
+        start, pair, em_counts, loglik_b = out[:4]
+        gauss_fields = {}
+        if has_gauss:
+            gn, gx, gx2 = out[4]
+            gauss_fields = dict(gauss_n=gn, gauss_x=gx, gauss_x2=gx2)
         return EmStats(
             start=start,
             trans=pair * jnp.exp(params.log_trans),
             em=em_counts,
             loglik=loglik_b.sum(),
             n_obs=valid.sum().astype(jnp.float32),
+            **gauss_fields,
         )
 
     obs = track_log_likelihoods(params.log_em, symbols)        # [B,L,S]

@@ -1598,6 +1598,33 @@ def _v4_dot(a, b, dn=None):
     return d(ah, bh) + (d(ah, bl) + d(al, bh))
 
 
+def _v4_dot_full(a, b, dn=None):
+    """f32 x f32 dot with a 3x2 bf16 split (6 MXU passes): ``a`` is
+    split 3-way (f32-exact), ``b`` 2-way.  Used for the gaussian
+    quadratic form, where ``a`` is the FIXED coefficient matrix — a
+    2-way split of a fixed factor leaves the same ~2^-16 rounding
+    residual at every position, which accumulates as a systematic
+    log-likelihood bias (measured 0.18 abs on |ll|=1e4 at L=256);
+    with ``a`` exact, only the per-position feature residuals remain
+    and those cancel as a random walk (~1e-7 relative total)."""
+    if dn is None:
+        dn = (((1,), (0,)), ((), ()))
+    kw = dict(preferred_element_type=jnp.float32)
+    if _V4_MODE != "high":
+        return jax.lax.dot_general(
+            a, b, dn, precision=_V4_PRECISION, **kw
+        )
+    d = lambda x, y: jax.lax.dot_general(
+        x, y, dn, precision=jax.lax.Precision.DEFAULT, **kw
+    )
+    ah, am, al = _bf16_split3(a)
+    bh, bl = _bf16_split2(b)
+    return (
+        d(ah, bh) + (d(ah, bl) + d(am, bh))
+        + (d(am, bl) + d(al, bh) + d(al, bl))
+    )
+
+
 def _v4_dot_oh(a, oh, dn=None):
     """Dot where ``oh`` is a one-hot factor (EXACT in bf16): 3-way
     split of ``a`` gives full f32 accuracy in 3 MXU passes."""
@@ -1616,24 +1643,63 @@ def _v4_dot_oh(a, oh, dn=None):
 
 
 def _pick_batch_group_v4(S: int, T: int, V: int, B: int,
-                         K: int = _KV2) -> int:
+                         K: int = _KV2, GF: int = 0) -> int:
+    """``GF``: padded gaussian feature rows (3·G tracks -> multiple
+    of 8) when the gaussian streams ride along, else 0."""
     Sp = max(-(-S // 8) * 8, 8)
     TVp = -(-(T * V) // 128) * 128
     Tp = max(-(-T // 8) * 8, 8)
     resident = (
         3 * Sp * Sp * 4          # trans, trans_T, pair acc
         + 2 * Sp * TVp * 4       # em table + em acc
+        + 2 * Sp * GF * 4        # gauss coeffs + moment acc
     )
     budget = (9 << 20) - resident
     per_col = (
         2 * K * Sp * 4           # alpha double buffer
         + 2 * K * Tp * 4         # symbol double buffer
+        + 2 * K * GF * 4         # gauss feature double buffer
         + TVp * 4                # one-hot scratch
         + 6 * Sp * 4             # carries / deferred / temporaries
     )
     bg = max(128, (budget // per_col) // 128 * 128)
     Bp = -(-B // 128) * 128
     return min(bg, Bp)
+
+
+def _gauss_feat_stream(gauss_values, L, Lp, B, Bp, NB, K, G_grid, Bg):
+    """values f32[B, L, G] (NaN missing) -> feature stream
+    [G_grid, NB, K, GFp, Bg] with rows [mask·1 | mask·x | mask·x²]
+    (each block G rows wide), zero-padded to GFp = ceil(3G/8)·8 (sublane-aligned — the
+    contraction dim needs no 128 padding, and 8 f32 rows per position
+    keeps the stream's HBM traffic at symbol-stream scale).
+    Zero rows contribute nothing to the coeff dot, so missing values
+    and padding are inert exactly like gauss_log_likelihoods."""
+    Gn = gauss_values.shape[-1]
+    GFp = max(-(-(3 * Gn) // 8) * 8, 8)
+    mask = jnp.isfinite(gauss_values).astype(jnp.float32)
+    x = jnp.where(mask > 0, gauss_values.astype(jnp.float32), 0.0)
+    feats = jnp.concatenate(
+        [mask, x * mask, x * x * mask], axis=-1
+    )                                                    # [B, L, 3G]
+    f_t = jnp.swapaxes(jnp.moveaxis(feats, 1, 0), 1, 2)  # [L, 3G, B]
+    f_t = jnp.pad(
+        f_t, ((0, Lp - L), (0, GFp - 3 * Gn), (0, Bp - B))
+    )
+    return jnp.moveaxis(
+        f_t.reshape(NB, K, GFp, G_grid, Bg), 3, 0
+    ), GFp
+
+
+def _gauss_coeff_matrix(gauss_params, Sp, GFp):
+    """GaussParams -> [Sp, GFp] quadratic-form coefficients in the
+    _gauss_feat_stream row order [c0-block | c1-block | c2-block]."""
+    from tehmm_tpu.models.gauss import _coeffs
+
+    c0, c1, c2 = _coeffs(gauss_params)                   # each [S, G]
+    S, Gn = c0.shape
+    W = jnp.concatenate([c0, c1, c2], axis=1)            # [S, 3G]
+    return jnp.pad(W, ((0, Sp - S), (0, GFp - 3 * Gn)))
 
 
 def _oh_build(sym_k, T: int, V: int, TVp: int, Bg: int):
@@ -1651,20 +1717,31 @@ def _oh_build(sym_k, T: int, V: int, TVp: int, Bg: int):
     return oh
 
 
-def _obs_p_from_sym(em_ref, oh, w=None):
+def _obs_p_from_sym(em_ref, oh, w=None, gauss=None):
     """log_em-flat [Sp, TVp] x one-hot [TVp, Bg] -> (obs_p, o_m).
 
     ``w`` [1, Bg]: optional per-position emission-weight row (segment
     mode, reference emission.py effectiveSegmentLength [R?]) — scales
-    the log obs, i.e. P(obs|state)^w."""
+    the log obs, i.e. P(obs|state)^w.
+
+    ``gauss``: optional (gw_ref [Sp, GFp], gf [GFp, Bg]) — gaussian-
+    track normal log-densities as a quadratic form (models/gauss.py
+    _coeffs): gw holds [c0, c1, c2] per track, gf holds
+    [mask, x·mask, x²·mask] per position, so the dot adds
+    sum_g logN(x | mu, var) to every state row on the MXU."""
     obs_log = _v4_dot_oh(em_ref[:, :], oh)              # [Sp, Bg]
+    if gauss is not None:
+        gw_ref, gf = gauss
+        obs_log = obs_log + _v4_dot_full(gw_ref[:, :], gf)
     if w is not None:
         obs_log = obs_log * w
     o_m = jnp.max(obs_log, axis=0, keepdims=True)       # [1, Bg]
     return jnp.exp(obs_log - o_m), o_m
 
 
-def _make_forward_kernel_v4(T: int, V: int, weighted: bool = False):
+def _make_forward_kernel_v4(
+    T: int, V: int, weighted: bool = False, gauss: bool = False
+):
     def kernel(
         len_ref,        # [1, 1, Bg] int32
         start_ref,      # [1, Sp, Bg] exp(log_start) bcast (pad rows 0)
@@ -1672,14 +1749,24 @@ def _make_forward_kernel_v4(T: int, V: int, weighted: bool = False):
         em_ref,         # [Sp, TVp] log_em flat (pad rows ~-1e9, cols 0)
         *rest,
     ):
-        if weighted:
-            (sym_hbm, w_hbm, alpha_hbm, dm_hbm,
-             sym_buf, w_buf, out_buf, dm_buf, p_scr,
-             in_sem, w_sem, out_sem, dm_sem) = rest
-        else:
-            (sym_hbm, alpha_hbm, dm_hbm,
-             sym_buf, out_buf, dm_buf, p_scr,
-             in_sem, out_sem, dm_sem) = rest
+        rest = list(rest)
+        # optional streams slot in after their mandatory neighbor:
+        # inputs [sym, w?, gf?, gw?], outputs [alpha, dm],
+        # scratch [sym_buf, w_buf?, gf_buf?, out, dm, p,
+        #          in_sem, w_sem?, gf_sem?, out_sem, dm_sem]
+        sym_hbm = rest.pop(0)
+        w_hbm = rest.pop(0) if weighted else None
+        gf_hbm = rest.pop(0) if gauss else None
+        gw_ref = rest.pop(0) if gauss else None
+        alpha_hbm, dm_hbm = rest.pop(0), rest.pop(0)
+        sym_buf = rest.pop(0)
+        w_buf = rest.pop(0) if weighted else None
+        gf_buf = rest.pop(0) if gauss else None
+        out_buf, dm_buf, p_scr = rest.pop(0), rest.pop(0), rest.pop(0)
+        in_sem = rest.pop(0)
+        w_sem = rest.pop(0) if weighted else None
+        gf_sem = rest.pop(0) if gauss else None
+        out_sem, dm_sem = rest.pop(0), rest.pop(0)
         g = pl.program_id(0)
         NB = sym_hbm.shape[1]
         K = sym_hbm.shape[2]
@@ -1698,6 +1785,11 @@ def _make_forward_kernel_v4(T: int, V: int, weighted: bool = False):
                 w_hbm.at[g, blk], w_buf.at[slot], w_sem.at[slot]
             )
 
+        def gf_dma(slot, blk):
+            return pltpu.make_async_copy(
+                gf_hbm.at[g, blk], gf_buf.at[slot], gf_sem.at[slot]
+            )
+
         def out_dma(slot, blk):
             return pltpu.make_async_copy(
                 out_buf.at[slot], alpha_hbm.at[g, blk], out_sem.at[slot]
@@ -1711,6 +1803,8 @@ def _make_forward_kernel_v4(T: int, V: int, weighted: bool = False):
         in_dma(0, 0).start()
         if weighted:
             w_dma(0, 0).start()
+        if gauss:
+            gf_dma(0, 0).start()
         p_scr[:, :] = jnp.ones_like(p_scr)
 
         def body(blk, _):
@@ -1722,10 +1816,14 @@ def _make_forward_kernel_v4(T: int, V: int, weighted: bool = False):
                 in_dma(nxt, blk + 1).start()
                 if weighted:
                     w_dma(nxt, blk + 1).start()
+                if gauss:
+                    gf_dma(nxt, blk + 1).start()
 
             in_dma(slot, blk).wait()
             if weighted:
                 w_dma(slot, blk).wait()
+            if gauss:
+                gf_dma(slot, blk).wait()
 
             @pl.when(blk >= 2)
             def _drain():
@@ -1736,7 +1834,8 @@ def _make_forward_kernel_v4(T: int, V: int, weighted: bool = False):
                 t = blk * K + k
                 oh = _oh_build(sym_buf[slot, k], T, V, TVp, Bg)
                 wk = w_buf[slot, k, 0:1, :] if weighted else None
-                obs_p, o_m = _obs_p_from_sym(em_ref, oh, wk)
+                gk = (gw_ref, gf_buf[slot, k]) if gauss else None
+                obs_p, o_m = _obs_p_from_sym(em_ref, oh, wk, gk)
                 p = p_scr[:, :]
                 s = _v4_dot(trans_t_ref[:, :], p)
                 base = jnp.where(t == 0, start_p, s)
@@ -1779,7 +1878,9 @@ def _make_forward_kernel_v4(T: int, V: int, weighted: bool = False):
     return kernel
 
 
-def _make_bwd_stats_kernel_v4(T: int, V: int, weighted: bool = False):
+def _make_bwd_stats_kernel_v4(
+    T: int, V: int, weighted: bool = False, gauss: bool = False
+):
     def kernel(
         len_ref,        # [1, 1, Bg] int32
         trans_ref,      # [Sp, Sp] exp(log_trans) zero-padded
@@ -1787,20 +1888,31 @@ def _make_bwd_stats_kernel_v4(T: int, V: int, weighted: bool = False):
         em_ref,         # [Sp, TVp] log_em flat
         *rest,
         # weighted adds w_hbm [G,NB,K,8,Bg] (row 0 = weight) after
-        # sym_hbm, plus its w_buf/w_sem scratch pair
+        # sym_hbm, plus its w_buf/w_sem scratch pair; gauss adds the
+        # gf_hbm feature stream + gw_ref coeff matrix, a gsc_ref
+        # [1, Sp, GFp] moment-sum output, and gf_buf/gf_sem scratch
     ):
-        if weighted:
-            (sym_hbm, w_hbm, alpha_hbm, dm_hbm,
-             pair_ref, emc_ref, start_ref,
-             sym_buf, w_buf, alpha_buf, dm_buf,
-             b_scr, defer_scr, defer_z_scr,
-             sym_sem, w_sem, alpha_sem, dm_sem) = rest
-        else:
-            (sym_hbm, alpha_hbm, dm_hbm,
-             pair_ref, emc_ref, start_ref,
-             sym_buf, alpha_buf, dm_buf,
-             b_scr, defer_scr, defer_z_scr,
-             sym_sem, alpha_sem, dm_sem) = rest
+        rest = list(rest)
+        sym_hbm = rest.pop(0)
+        w_hbm = rest.pop(0) if weighted else None
+        gf_hbm = rest.pop(0) if gauss else None
+        gw_ref = rest.pop(0) if gauss else None
+        alpha_hbm, dm_hbm = rest.pop(0), rest.pop(0)
+        pair_ref, emc_ref, start_ref = (
+            rest.pop(0), rest.pop(0), rest.pop(0)
+        )
+        gsc_ref = rest.pop(0) if gauss else None
+        sym_buf = rest.pop(0)
+        w_buf = rest.pop(0) if weighted else None
+        gf_buf = rest.pop(0) if gauss else None
+        alpha_buf, dm_buf = rest.pop(0), rest.pop(0)
+        b_scr, defer_scr, defer_z_scr = (
+            rest.pop(0), rest.pop(0), rest.pop(0)
+        )
+        sym_sem = rest.pop(0)
+        w_sem = rest.pop(0) if weighted else None
+        gf_sem = rest.pop(0) if gauss else None
+        alpha_sem, dm_sem = rest.pop(0), rest.pop(0)
         g = pl.program_id(0)
         NB = sym_hbm.shape[1]
         K = sym_hbm.shape[2]
@@ -1818,6 +1930,11 @@ def _make_bwd_stats_kernel_v4(T: int, V: int, weighted: bool = False):
                 w_hbm.at[g, blk], w_buf.at[slot], w_sem.at[slot]
             )
 
+        def gf_dma(slot, blk):
+            return pltpu.make_async_copy(
+                gf_hbm.at[g, blk], gf_buf.at[slot], gf_sem.at[slot]
+            )
+
         def alpha_dma(slot, blk):
             return pltpu.make_async_copy(
                 alpha_hbm.at[g, blk], alpha_buf.at[slot],
@@ -1833,12 +1950,16 @@ def _make_bwd_stats_kernel_v4(T: int, V: int, weighted: bool = False):
         sym_dma(0, NB - 1).start()
         if weighted:
             w_dma(0, NB - 1).start()
+        if gauss:
+            gf_dma(0, NB - 1).start()
         alpha_dma(0, NB - 1).start()
         dm_dma(0, NB - 1).start()
         b_scr[:, :] = jnp.ones_like(b_scr)
         pair_ref[0] = jnp.zeros_like(pair_ref[0])
         emc_ref[0] = jnp.zeros_like(emc_ref[0])
         start_ref[0] = jnp.zeros_like(start_ref[0])
+        if gauss:
+            gsc_ref[0] = jnp.zeros_like(gsc_ref[0])
 
         def apply_pair(a_prev, xn, z, valid_p):
             # z = sum_ij a_i T_ij b_fac_j, computed WITHOUT a matmul via
@@ -1859,12 +1980,16 @@ def _make_bwd_stats_kernel_v4(T: int, V: int, weighted: bool = False):
                 sym_dma(nxt, blk - 1).start()
                 if weighted:
                     w_dma(nxt, blk - 1).start()
+                if gauss:
+                    gf_dma(nxt, blk - 1).start()
                 alpha_dma(nxt, blk - 1).start()
                 dm_dma(nxt, blk - 1).start()
 
             sym_dma(slot, blk).wait()
             if weighted:
                 w_dma(slot, blk).wait()
+            if gauss:
+                gf_dma(slot, blk).wait()
             alpha_dma(slot, blk).wait()
             dm_dma(slot, blk).wait()
 
@@ -1883,7 +2008,8 @@ def _make_bwd_stats_kernel_v4(T: int, V: int, weighted: bool = False):
                 p = blk * K + k
                 oh = _oh_build(sym_buf[slot, k], T, V, TVp, Bg)
                 wk = w_buf[slot, k, 0:1, :] if weighted else None
-                obs_p, _o_m = _obs_p_from_sym(em_ref, oh, wk)
+                gk = (gw_ref, gf_buf[slot, k]) if gauss else None
+                obs_p, _o_m = _obs_p_from_sym(em_ref, oh, wk, gk)
                 b = b_scr[:, :]
                 valid_p = p < lens                          # [1, Bg]
                 # ---- b_fac ----
@@ -1907,6 +2033,13 @@ def _make_bwd_stats_kernel_v4(T: int, V: int, weighted: bool = False):
                     gamma * wk if weighted else gamma,
                     oh, (((1,), (1,)), ((), ())),
                 )
+                if gauss:
+                    # posterior moment sums gamma @ [mask, x, x2].T
+                    # (models/gauss.gauss_stats uses unweighted gamma)
+                    gsc_ref[0] += _v4_dot(
+                        gamma, gf_buf[slot, k],
+                        (((1,), (1,)), ((), ())),
+                    )
                 @pl.when(p == 0)
                 def _start():
                     col0 = (
@@ -1945,8 +2078,11 @@ def em_counts_fused_pallas_v4(
     symbols: jax.Array,     # int32[B, L, T]
     lengths: jax.Array,
     obs_weights: jax.Array | None = None,   # f32[B, L] segment weights
+    gauss_params=None,                      # models/gauss.GaussParams
+    gauss_values: jax.Array | None = None,  # f32[B, L, Gn] NaN missing
 ):
-    """Fused E-step: (start, pair, em, loglik) from raw symbols.
+    """Fused E-step: (start, pair, em, loglik[, gauss moments]) from
+    raw symbols.
 
     ``pair`` excludes the transition-probability factor (multiply by
     exp(log_trans) for expected transition counts, exactly like the
@@ -1955,14 +2091,24 @@ def em_counts_fused_pallas_v4(
     ``obs_weights`` (segment mode, reference emission.py
     effectiveSegmentLength [R?]): per-position emission-weight stream —
     obs log-probs scale by w inside both kernels and expected emission
-    counts scale by w, matching the XLA path's ``obs * w`` semantics."""
+    counts scale by w, matching the XLA path's ``obs * w`` semantics.
+
+    ``gauss_params``/``gauss_values`` (gaussian track distributions,
+    reference track.py distribution="gaussian" [R?]): the normal
+    log-densities enter as a quadratic-form MXU dot against a streamed
+    [mask | x | x²] feature block, and the backward kernel accumulates
+    the posterior moment sums (gn, gx, gx2) in VMEM — returned as a
+    5th element, matching models/gauss.gauss_stats."""
     B, L, T = symbols.shape
     S, _T2, V = log_em.shape
     K = _KV2
     Sp = max(-(-S // 8) * 8, 8)
     Tp = max(-(-T // 8) * 8, 8)
     TVp = -(-(T * V) // 128) * 128
-    Bg = _pick_batch_group_v4(S, T, V, B)
+    has_gauss = gauss_params is not None and gauss_values is not None
+    Gn = gauss_values.shape[-1] if has_gauss else 0
+    GFp = max(-(-(3 * Gn) // 8) * 8, 8) if has_gauss else 0
+    Bg = _pick_batch_group_v4(S, T, V, B, GF=GFp)
     Bp = -(-B // Bg) * Bg
     G = Bp // Bg
     Lp = -(-L // K) * K
@@ -2016,8 +2162,24 @@ def em_counts_fused_pallas_v4(
         w_scratch = [pltpu.VMEM((2, K, 8, Bg), jnp.float32)]
     w_sem = [pltpu.SemaphoreType.DMA((2,))] if weighted else []
 
+    g_args = []
+    g_in_spec = []
+    g_scratch = []
+    if has_gauss:
+        gf_arr, _ = _gauss_feat_stream(
+            gauss_values, L, Lp, B, Bp, NB, K, G, Bg
+        )
+        gw = _gauss_coeff_matrix(gauss_params, Sp, GFp)
+        g_args = [gf_arr, gw]
+        g_in_spec = [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((Sp, GFp), lambda g: (0, 0)),
+        ]
+        g_scratch = [pltpu.VMEM((2, K, GFp, Bg), jnp.float32)]
+    g_sem = [pltpu.SemaphoreType.DMA((2,))] if has_gauss else []
+
     alpha_pad, dm_pad = pl.pallas_call(
-        _make_forward_kernel_v4(T, V, weighted),
+        _make_forward_kernel_v4(T, V, weighted, has_gauss),
         grid=(G,),
         in_specs=[
             pl.BlockSpec((1, 1, Bg), lambda g: (g, 0, 0)),
@@ -2025,7 +2187,7 @@ def em_counts_fused_pallas_v4(
             pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
             pl.BlockSpec((Sp, TVp), lambda g: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-        ] + w_in_spec,
+        ] + w_in_spec + g_in_spec,
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -2036,12 +2198,12 @@ def em_counts_fused_pallas_v4(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, K, Tp, Bg), jnp.int32),
-        ] + w_scratch + [
+        ] + w_scratch + g_scratch + [
             pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
             pltpu.VMEM((2, K, 8, Bg), jnp.float32),
             pltpu.VMEM((Sp, Bg), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ] + w_sem + [
+        ] + w_sem + g_sem + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -2049,10 +2211,28 @@ def em_counts_fused_pallas_v4(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(len_g, start_g, trans_t, em_flat, sym_arr, *w_args)
+    )(len_g, start_g, trans_t, em_flat, sym_arr, *w_args, *g_args)
 
-    pair_g, emc_g, start_cnt_g = pl.pallas_call(
-        _make_bwd_stats_kernel_v4(T, V, weighted),
+    stats_out_specs = [
+        pl.BlockSpec((1, Sp, Sp), lambda g: (g, 0, 0)),
+        pl.BlockSpec((1, Sp, TVp), lambda g: (g, 0, 0)),
+        pl.BlockSpec((1, Sp, 128), lambda g: (g, 0, 0)),
+    ]
+    stats_out_shape = [
+        jax.ShapeDtypeStruct((G, Sp, Sp), jnp.float32),
+        jax.ShapeDtypeStruct((G, Sp, TVp), jnp.float32),
+        jax.ShapeDtypeStruct((G, Sp, 128), jnp.float32),
+    ]
+    if has_gauss:
+        stats_out_specs.append(
+            pl.BlockSpec((1, Sp, GFp), lambda g: (g, 0, 0))
+        )
+        stats_out_shape.append(
+            jax.ShapeDtypeStruct((G, Sp, GFp), jnp.float32)
+        )
+
+    stats = pl.pallas_call(
+        _make_bwd_stats_kernel_v4(T, V, weighted, has_gauss),
         grid=(G,),
         in_specs=[
             pl.BlockSpec((1, 1, Bg), lambda g: (g, 0, 0)),
@@ -2060,30 +2240,22 @@ def em_counts_fused_pallas_v4(
             pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
             pl.BlockSpec((Sp, TVp), lambda g: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-        ] + w_in_spec + [
+        ] + w_in_spec + g_in_spec + [
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec((1, Sp, Sp), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, Sp, TVp), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, Sp, 128), lambda g: (g, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((G, Sp, Sp), jnp.float32),
-            jax.ShapeDtypeStruct((G, Sp, TVp), jnp.float32),
-            jax.ShapeDtypeStruct((G, Sp, 128), jnp.float32),
-        ],
+        out_specs=stats_out_specs,
+        out_shape=stats_out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, K, Tp, Bg), jnp.int32),
-        ] + w_scratch + [
+        ] + w_scratch + g_scratch + [
             pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
             pltpu.VMEM((2, K, 8, Bg), jnp.float32),
             pltpu.VMEM((Sp, Bg), jnp.float32),
             pltpu.VMEM((Sp, Bg), jnp.float32),
             pltpu.VMEM((8, Bg), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ] + w_sem + [
+        ] + w_sem + g_sem + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -2091,8 +2263,9 @@ def em_counts_fused_pallas_v4(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(len_g, trans_p, trans_t, em_flat, sym_arr, *w_args,
+    )(len_g, trans_p, trans_t, em_flat, sym_arr, *w_args, *g_args,
       alpha_pad, dm_pad)
+    pair_g, emc_g, start_cnt_g = stats[0], stats[1], stats[2]
 
     # ---- host-side (XLA) finish: tiny reductions only ----
     start = jnp.sum(start_cnt_g[:, :S, 0], axis=0)          # [S]
@@ -2109,6 +2282,12 @@ def em_counts_fused_pallas_v4(
         + jnp.sum(dms[:L, :B], axis=0)
     )
     loglik_b = jnp.where(lengths > 0, loglik_b, 0.0)
+    if has_gauss:
+        gsc = jnp.sum(stats[3][:, :S, : 3 * Gn], axis=0)  # [S, 3Gn]
+        gn = gsc[:, :Gn]
+        gx = gsc[:, Gn : 2 * Gn]
+        gx2 = gsc[:, 2 * Gn :]
+        return start, pair, em, loglik_b, (gn, gx, gx2)
     return start, pair, em, loglik_b
 
 
@@ -2131,15 +2310,16 @@ def em_counts_fused_pallas_v4(
 
 
 def _pick_batch_group_vit4(S: int, T: int, V: int, B: int,
-                           K: int = _KV2) -> int:
+                           K: int = _KV2, GF: int = 0) -> int:
     Sp = max(-(-S // 8) * 8, 8)
     TVp = -(-(T * V) // 128) * 128
     Tp = max(-(-T // 8) * 8, 8)
-    resident = Sp * Sp * 4 + Sp * TVp * 4
+    resident = Sp * Sp * 4 + Sp * TVp * 4 + Sp * GF * 4
     budget = (9 << 20) - resident
     per_col = (
         2 * K * Sp * 4 * 2       # value rows: out buffer (fwd) / in (bwd)
         + 2 * K * Tp * 4         # symbol double buffer
+        + 2 * K * GF * 4         # gauss feature double buffer
         + 2 * K * 8 * 4 * 2      # dm out (fwd) / path out (bwd)
         + TVp * 4                # one-hot scratch
         + 8 * Sp * 4             # carries / temporaries
@@ -2149,7 +2329,9 @@ def _pick_batch_group_vit4(S: int, T: int, V: int, B: int,
     return min(bg, Bp)
 
 
-def _make_viterbi_fwd_kernel_v4(T: int, V: int, weighted: bool = False):
+def _make_viterbi_fwd_kernel_v4(
+    T: int, V: int, weighted: bool = False, gauss: bool = False
+):
     def kernel(
         len_ref,        # [1, 1, Bg] int32
         start_ref,      # [1, Sp, Bg] log_start bcast (pad rows LOG_ZERO)
@@ -2157,14 +2339,20 @@ def _make_viterbi_fwd_kernel_v4(T: int, V: int, weighted: bool = False):
         em_ref,         # [Sp, TVp] log_em flat (pad rows ~-1e9, cols 0)
         *rest,
     ):
-        if weighted:
-            (sym_hbm, w_hbm, v_hbm, dm_hbm,
-             sym_buf, w_buf, out_buf, dm_buf, v_scr,
-             in_sem, w_sem, out_sem, dm_sem) = rest
-        else:
-            (sym_hbm, v_hbm, dm_hbm,
-             sym_buf, out_buf, dm_buf, v_scr,
-             in_sem, out_sem, dm_sem) = rest
+        rest = list(rest)
+        sym_hbm = rest.pop(0)
+        w_hbm = rest.pop(0) if weighted else None
+        gf_hbm = rest.pop(0) if gauss else None
+        gw_ref = rest.pop(0) if gauss else None
+        v_hbm, dm_hbm = rest.pop(0), rest.pop(0)
+        sym_buf = rest.pop(0)
+        w_buf = rest.pop(0) if weighted else None
+        gf_buf = rest.pop(0) if gauss else None
+        out_buf, dm_buf, v_scr = rest.pop(0), rest.pop(0), rest.pop(0)
+        in_sem = rest.pop(0)
+        w_sem = rest.pop(0) if weighted else None
+        gf_sem = rest.pop(0) if gauss else None
+        out_sem, dm_sem = rest.pop(0), rest.pop(0)
         g = pl.program_id(0)
         NB = sym_hbm.shape[1]
         K = sym_hbm.shape[2]
@@ -2184,6 +2372,11 @@ def _make_viterbi_fwd_kernel_v4(T: int, V: int, weighted: bool = False):
                 w_hbm.at[g, blk], w_buf.at[slot], w_sem.at[slot]
             )
 
+        def gf_dma(slot, blk):
+            return pltpu.make_async_copy(
+                gf_hbm.at[g, blk], gf_buf.at[slot], gf_sem.at[slot]
+            )
+
         def out_dma(slot, blk):
             return pltpu.make_async_copy(
                 out_buf.at[slot], v_hbm.at[g, blk], out_sem.at[slot]
@@ -2197,6 +2390,8 @@ def _make_viterbi_fwd_kernel_v4(T: int, V: int, weighted: bool = False):
         in_dma(0, 0).start()
         if weighted:
             w_dma(0, 0).start()
+        if gauss:
+            gf_dma(0, 0).start()
         # zero-length rows carry the initial scratch to every output row
         v_scr[:, :] = jnp.zeros_like(v_scr)
 
@@ -2209,10 +2404,14 @@ def _make_viterbi_fwd_kernel_v4(T: int, V: int, weighted: bool = False):
                 in_dma(nxt, blk + 1).start()
                 if weighted:
                     w_dma(nxt, blk + 1).start()
+                if gauss:
+                    gf_dma(nxt, blk + 1).start()
 
             in_dma(slot, blk).wait()
             if weighted:
                 w_dma(slot, blk).wait()
+            if gauss:
+                gf_dma(slot, blk).wait()
 
             @pl.when(blk >= 2)
             def _drain():
@@ -2223,6 +2422,10 @@ def _make_viterbi_fwd_kernel_v4(T: int, V: int, weighted: bool = False):
                 t = blk * K + k
                 oh = _oh_build(sym_buf[slot, k], T, V, TVp, Bg)
                 obs_log = _v4_dot_oh(em_ref[:, :], oh)      # [Sp, Bg]
+                if gauss:
+                    obs_log = obs_log + _v4_dot_full(
+                        gw_ref[:, :], gf_buf[slot, k]
+                    )
                 if weighted:
                     obs_log = obs_log * w_buf[slot, k, 0:1, :]
                 v_hat = v_scr[:, :]
@@ -2349,6 +2552,8 @@ def viterbi_fused_pallas_v4(
     symbols: jax.Array,     # int32[B, L, T]
     lengths: jax.Array | None = None,
     obs_weights: jax.Array | None = None,   # f32[B, L] segment weights
+    gauss_params=None,                      # models/gauss.GaussParams
+    gauss_values: jax.Array | None = None,  # f32[B, L, Gn] NaN missing
 ) -> tuple[jax.Array, jax.Array]:
     """Fused Viterbi decode: (path int32[B, L], score f32[B]) straight
     from raw symbols.  Same max-plus op order and first-hit argmax
@@ -2357,7 +2562,9 @@ def viterbi_fused_pallas_v4(
     obs; TEHMM_V4_PRECISION=highest makes the obs bit-equal too).
     Zero-length rows get path 0 / score 0 like the masked XLA
     decoder.  ``obs_weights`` (segment mode) scales the per-position
-    obs log-probs exactly like the XLA path's ``obs * w``."""
+    obs log-probs exactly like the XLA path's ``obs * w``;
+    ``gauss_params``/``gauss_values`` add the gaussian-track normal
+    log-densities via the streamed quadratic-form dot."""
     B, L, T = symbols.shape
     S, _T2, V = log_em.shape
     lengths = (
@@ -2368,7 +2575,10 @@ def viterbi_fused_pallas_v4(
     Sp = max(-(-S // 8) * 8, 8)
     Tp = max(-(-T // 8) * 8, 8)
     TVp = -(-(T * V) // 128) * 128
-    Bg = _pick_batch_group_vit4(S, T, V, B)
+    has_gauss = gauss_params is not None and gauss_values is not None
+    Gn = gauss_values.shape[-1] if has_gauss else 0
+    GFp = max(-(-(3 * Gn) // 8) * 8, 8) if has_gauss else 0
+    Bg = _pick_batch_group_vit4(S, T, V, B, GF=GFp)
     Bp = -(-B // Bg) * Bg
     G = Bp // Bg
     Lp = -(-L // K) * K
@@ -2420,8 +2630,24 @@ def viterbi_fused_pallas_v4(
         w_scratch = [pltpu.VMEM((2, K, 8, Bg), jnp.float32)]
     w_sem = [pltpu.SemaphoreType.DMA((2,))] if weighted else []
 
+    g_args = []
+    g_in_spec = []
+    g_scratch = []
+    if has_gauss:
+        gf_arr, _ = _gauss_feat_stream(
+            gauss_values, L, Lp, B, Bp, NB, K, G, Bg
+        )
+        gw = _gauss_coeff_matrix(gauss_params, Sp, GFp)
+        g_args = [gf_arr, gw]
+        g_in_spec = [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((Sp, GFp), lambda g: (0, 0)),
+        ]
+        g_scratch = [pltpu.VMEM((2, K, GFp, Bg), jnp.float32)]
+    g_sem = [pltpu.SemaphoreType.DMA((2,))] if has_gauss else []
+
     v_pad, dm_pad = pl.pallas_call(
-        _make_viterbi_fwd_kernel_v4(T, V, weighted),
+        _make_viterbi_fwd_kernel_v4(T, V, weighted, has_gauss),
         grid=(G,),
         in_specs=[
             pl.BlockSpec((1, 1, Bg), lambda g: (g, 0, 0)),
@@ -2429,7 +2655,7 @@ def viterbi_fused_pallas_v4(
             pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
             pl.BlockSpec((Sp, TVp), lambda g: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-        ] + w_in_spec,
+        ] + w_in_spec + g_in_spec,
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -2440,12 +2666,12 @@ def viterbi_fused_pallas_v4(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, K, Tp, Bg), jnp.int32),
-        ] + w_scratch + [
+        ] + w_scratch + g_scratch + [
             pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
             pltpu.VMEM((2, K, 8, Bg), jnp.float32),
             pltpu.VMEM((Sp, Bg), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ] + w_sem + [
+        ] + w_sem + g_sem + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -2453,7 +2679,7 @@ def viterbi_fused_pallas_v4(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(len_g, start_g, trans_p, em_flat, sym_arr, *w_args)
+    )(len_g, start_g, trans_p, em_flat, sym_arr, *w_args, *g_args)
 
     path_pad = pl.pallas_call(
         _viterbi_backtrace_kernel_v4,
@@ -2511,21 +2737,31 @@ def viterbi_fused_pallas_v4(
 # ---------------------------------------------------------------------
 
 
-def _make_post_decode_kernel_v4(T: int, V: int, weighted: bool = False):
+def _make_post_decode_kernel_v4(
+    T: int, V: int, weighted: bool = False, gauss: bool = False
+):
     def kernel(
         len_ref,        # [1, 1, Bg] int32
         trans_ref,      # [Sp, Sp] exp(log_trans) zero-padded
         em_ref,         # [Sp, TVp] log_em flat (pad rows ~-1e9)
         *rest,
     ):
-        if weighted:
-            (sym_hbm, w_hbm, alpha_hbm, path_hbm,
-             sym_buf, w_buf, alpha_buf, path_buf, b_scr,
-             sym_sem, w_sem, alpha_sem, path_sem) = rest
-        else:
-            (sym_hbm, alpha_hbm, path_hbm,
-             sym_buf, alpha_buf, path_buf, b_scr,
-             sym_sem, alpha_sem, path_sem) = rest
+        rest = list(rest)
+        sym_hbm = rest.pop(0)
+        w_hbm = rest.pop(0) if weighted else None
+        gf_hbm = rest.pop(0) if gauss else None
+        gw_ref = rest.pop(0) if gauss else None
+        alpha_hbm, path_hbm = rest.pop(0), rest.pop(0)
+        sym_buf = rest.pop(0)
+        w_buf = rest.pop(0) if weighted else None
+        gf_buf = rest.pop(0) if gauss else None
+        alpha_buf, path_buf, b_scr = (
+            rest.pop(0), rest.pop(0), rest.pop(0)
+        )
+        sym_sem = rest.pop(0)
+        w_sem = rest.pop(0) if weighted else None
+        gf_sem = rest.pop(0) if gauss else None
+        alpha_sem, path_sem = rest.pop(0), rest.pop(0)
         g = pl.program_id(0)
         NB = sym_hbm.shape[1]
         K = sym_hbm.shape[2]
@@ -2545,6 +2781,11 @@ def _make_post_decode_kernel_v4(T: int, V: int, weighted: bool = False):
                 w_hbm.at[g, blk], w_buf.at[slot], w_sem.at[slot]
             )
 
+        def gf_dma(slot, blk):
+            return pltpu.make_async_copy(
+                gf_hbm.at[g, blk], gf_buf.at[slot], gf_sem.at[slot]
+            )
+
         def alpha_dma(slot, blk):
             return pltpu.make_async_copy(
                 alpha_hbm.at[g, blk], alpha_buf.at[slot],
@@ -2560,6 +2801,8 @@ def _make_post_decode_kernel_v4(T: int, V: int, weighted: bool = False):
         sym_dma(0, NB - 1).start()
         if weighted:
             w_dma(0, NB - 1).start()
+        if gauss:
+            gf_dma(0, NB - 1).start()
         alpha_dma(0, NB - 1).start()
         b_scr[:, :] = jnp.ones_like(b_scr)
 
@@ -2573,11 +2816,15 @@ def _make_post_decode_kernel_v4(T: int, V: int, weighted: bool = False):
                 sym_dma(nxt, blk - 1).start()
                 if weighted:
                     w_dma(nxt, blk - 1).start()
+                if gauss:
+                    gf_dma(nxt, blk - 1).start()
                 alpha_dma(nxt, blk - 1).start()
 
             sym_dma(slot, blk).wait()
             if weighted:
                 w_dma(slot, blk).wait()
+            if gauss:
+                gf_dma(slot, blk).wait()
             alpha_dma(slot, blk).wait()
 
             @pl.when(r >= 2)
@@ -2588,7 +2835,8 @@ def _make_post_decode_kernel_v4(T: int, V: int, weighted: bool = False):
                 p = blk * K + k
                 oh = _oh_build(sym_buf[slot, k], T, V, TVp, Bg)
                 wk = w_buf[slot, k, 0:1, :] if weighted else None
-                obs_p, _o_m = _obs_p_from_sym(em_ref, oh, wk)
+                gk = (gw_ref, gf_buf[slot, k]) if gauss else None
+                obs_p, _o_m = _obs_p_from_sym(em_ref, oh, wk, gk)
                 b = b_scr[:, :]
                 valid_p = p < lens                          # [1, Bg]
                 # ---- argmax gamma (normalizers cancel in the argmax;
@@ -2642,6 +2890,8 @@ def posterior_decode_fused_pallas_v4(
     symbols: jax.Array,     # int32[B, L, T]
     lengths: jax.Array | None = None,
     obs_weights: jax.Array | None = None,   # f32[B, L] segment weights
+    gauss_params=None,                      # models/gauss.GaussParams
+    gauss_values: jax.Array | None = None,  # f32[B, L, Gn] NaN missing
 ) -> jax.Array:
     """Fused max-posterior decode: int32[B, L] argmax-gamma path
     straight from raw symbols (reference: teHmmEval.py --maxPost).
@@ -2653,7 +2903,9 @@ def posterior_decode_fused_pallas_v4(
     chunked caller's boundary agreement check still guards those.
     Zero-length rows decode to path 0 like the masked XLA pipeline.
     ``obs_weights`` (segment mode) scales the per-position obs
-    log-probs exactly like the XLA path's ``obs * w``."""
+    log-probs exactly like the XLA path's ``obs * w``;
+    ``gauss_params``/``gauss_values`` add the gaussian-track normal
+    log-densities via the streamed quadratic-form dot."""
     B, L, T = symbols.shape
     S, _T2, V = log_em.shape
     lengths = (
@@ -2664,7 +2916,10 @@ def posterior_decode_fused_pallas_v4(
     Sp = max(-(-S // 8) * 8, 8)
     Tp = max(-(-T // 8) * 8, 8)
     TVp = -(-(T * V) // 128) * 128
-    Bg = _pick_batch_group_v4(S, T, V, B)
+    has_gauss = gauss_params is not None and gauss_values is not None
+    Gn = gauss_values.shape[-1] if has_gauss else 0
+    GFp = max(-(-(3 * Gn) // 8) * 8, 8) if has_gauss else 0
+    Bg = _pick_batch_group_v4(S, T, V, B, GF=GFp)
     Bp = -(-B // Bg) * Bg
     G = Bp // Bg
     Lp = -(-L // K) * K
@@ -2714,8 +2969,24 @@ def posterior_decode_fused_pallas_v4(
         w_scratch = [pltpu.VMEM((2, K, 8, Bg), jnp.float32)]
     w_sem = [pltpu.SemaphoreType.DMA((2,))] if weighted else []
 
+    g_args = []
+    g_in_spec = []
+    g_scratch = []
+    if has_gauss:
+        gf_arr, _ = _gauss_feat_stream(
+            gauss_values, L, Lp, B, Bp, NB, K, G, Bg
+        )
+        gw = _gauss_coeff_matrix(gauss_params, Sp, GFp)
+        g_args = [gf_arr, gw]
+        g_in_spec = [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((Sp, GFp), lambda g: (0, 0)),
+        ]
+        g_scratch = [pltpu.VMEM((2, K, GFp, Bg), jnp.float32)]
+    g_sem = [pltpu.SemaphoreType.DMA((2,))] if has_gauss else []
+
     alpha_pad, _dm_pad = pl.pallas_call(
-        _make_forward_kernel_v4(T, V, weighted),
+        _make_forward_kernel_v4(T, V, weighted, has_gauss),
         grid=(G,),
         in_specs=[
             pl.BlockSpec((1, 1, Bg), lambda g: (g, 0, 0)),
@@ -2723,7 +2994,7 @@ def posterior_decode_fused_pallas_v4(
             pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
             pl.BlockSpec((Sp, TVp), lambda g: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-        ] + w_in_spec,
+        ] + w_in_spec + g_in_spec,
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -2734,12 +3005,12 @@ def posterior_decode_fused_pallas_v4(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, K, Tp, Bg), jnp.int32),
-        ] + w_scratch + [
+        ] + w_scratch + g_scratch + [
             pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
             pltpu.VMEM((2, K, 8, Bg), jnp.float32),
             pltpu.VMEM((Sp, Bg), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ] + w_sem + [
+        ] + w_sem + g_sem + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -2747,29 +3018,29 @@ def posterior_decode_fused_pallas_v4(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(len_g, start_g, trans_t, em_flat, sym_arr, *w_args)
+    )(len_g, start_g, trans_t, em_flat, sym_arr, *w_args, *g_args)
 
     path_pad = pl.pallas_call(
-        _make_post_decode_kernel_v4(T, V, weighted),
+        _make_post_decode_kernel_v4(T, V, weighted, has_gauss),
         grid=(G,),
         in_specs=[
             pl.BlockSpec((1, 1, Bg), lambda g: (g, 0, 0)),
             pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
             pl.BlockSpec((Sp, TVp), lambda g: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-        ] + w_in_spec + [
+        ] + w_in_spec + g_in_spec + [
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((G, NB, K, 8, Bg), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((2, K, Tp, Bg), jnp.int32),
-        ] + w_scratch + [
+        ] + w_scratch + g_scratch + [
             pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
             pltpu.VMEM((2, K, 8, Bg), jnp.int32),
             pltpu.VMEM((Sp, Bg), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ] + w_sem + [
+        ] + w_sem + g_sem + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -2777,7 +3048,7 @@ def posterior_decode_fused_pallas_v4(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(len_g, trans_p, em_flat, sym_arr, *w_args, alpha_pad)
+    )(len_g, trans_p, em_flat, sym_arr, *w_args, *g_args, alpha_pad)
 
     path = jnp.moveaxis(
         path_pad[:, :, :, 0, :], 0, 2

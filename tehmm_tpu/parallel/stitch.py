@@ -76,16 +76,19 @@ def _decode_batch(
                 v = np.concatenate(
                     [v, np.zeros((pad,) + v.shape[1:], v.dtype)]
                 )
-        if v is None and _use_fused_viterbi(params.log_em.shape[0]):
+        if _use_fused_viterbi(params.log_em.shape[0]):
             # fused v4 decode: symbols in, path out — obs never
             # materializes in HBM and the backtrace runs in-kernel;
-            # segment weights stream alongside the symbols
+            # segment weights and gaussian-track values stream
+            # alongside the symbols
             from tehmm_tpu.ops import pallas_kernels as pk
 
             paths, _ = pk.viterbi_fused_pallas_v4(
                 params.log_start, params.log_trans, params.log_em,
                 jnp.asarray(sym), jnp.asarray(lens),
                 None if w is None else jnp.asarray(w),
+                gauss_params if v is not None else None,
+                None if v is None else jnp.asarray(v),
             )
             out[lo:hi] = np.asarray(paths)[: hi - lo]
             continue
@@ -370,14 +373,16 @@ def _posterior_batch(
                 v = np.concatenate(
                     [v, np.zeros((pad,) + v.shape[1:], v.dtype)]
                 )
-        if v is None and _use_fused_viterbi(params.log_em.shape[0]):
+        if _use_fused_viterbi(params.log_em.shape[0]):
             # fused v4 maxPost: symbols in, argmax-gamma path out —
             # obs/alpha/beta tables never materialize as [B,L,S] in HBM
             from tehmm_tpu.ops import pallas_kernels as pk
 
             states = pk.posterior_decode_fused_pallas_v4(
                 params.log_start, params.log_trans, params.log_em,
-                jnp.asarray(sym), jnp.asarray(lens),
+                jnp.asarray(sym), jnp.asarray(lens), None,
+                gauss_params if v is not None else None,
+                None if v is None else jnp.asarray(v),
             )
             out[lo:hi] = np.asarray(states)[: hi - lo]
             continue

@@ -591,3 +591,104 @@ class TestFusedV4SegmentWeights:
             np.testing.assert_array_equal(
                 got[b, : lens[b]], want[b, : lens[b]]
             )
+
+
+class TestFusedV4Gauss:
+    """Gaussian-track emissions on the fused engines: the normal
+    log-densities enter as a quadratic-form MXU dot against a streamed
+    [mask | x | x²] feature block (models/gauss.py coefficients)."""
+
+    def _setup(self, make_hmm, rng, S=5, T=2, V=4, B=3, L=33, Gn=2):
+        from tehmm_tpu.models.gauss import GaussParams
+        from tehmm_tpu.models.params import HmmParams
+
+        ls, lt, lem = make_hmm(S, T, V)
+        params = HmmParams(
+            log_start=jnp.asarray(ls, jnp.float32),
+            log_trans=jnp.asarray(lt, jnp.float32),
+            log_em=jnp.asarray(lem, jnp.float32),
+        )
+        symbols = jnp.asarray(rng.randint(0, V, size=(B, L, T)))
+        lengths = jnp.asarray([L, L - 7, 1][:B], jnp.int32)
+        vals = rng.randn(B, L, Gn).astype(np.float32)
+        vals[rng.rand(B, L, Gn) < 0.1] = np.nan     # missing values
+        gp = GaussParams(
+            mu=jnp.asarray(rng.randn(S, Gn).astype(np.float32)),
+            log_var=jnp.asarray(
+                np.log(0.5 + rng.rand(S, Gn).astype(np.float32))
+            ),
+        )
+        return params, symbols, lengths, jnp.asarray(vals), gp
+
+    def test_estep_gauss_matches_xla(self, rng, make_hmm):
+        from tehmm_tpu.ops import em as em_ops
+        from tehmm_tpu.ops import pallas_kernels as pk
+
+        params, symbols, lengths, vals, gp = self._setup(make_hmm, rng)
+        a = em_ops.em_sufficient_stats(
+            params, symbols, lengths, engine="xla",
+            gauss_params=gp, gauss_values=vals,
+        )
+        start, pair, emc, llb, (gn, gx, gx2) = (
+            pk.em_counts_fused_pallas_v4(
+                params.log_start, params.log_trans, params.log_em,
+                symbols, lengths, None, gp, vals,
+            )
+        )
+        np.testing.assert_allclose(
+            float(a.loglik), float(llb.sum()), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.trans),
+            np.asarray(pair * jnp.exp(params.log_trans)),
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.em), np.asarray(emc), rtol=1e-4, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.gauss_n), np.asarray(gn), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.gauss_x), np.asarray(gx), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.gauss_x2), np.asarray(gx2),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_decodes_gauss_match_xla(self, rng, make_hmm):
+        from tehmm_tpu.models.emission import track_log_likelihoods
+        from tehmm_tpu.models.gauss import gauss_log_likelihoods
+        from tehmm_tpu.ops import dp
+        from tehmm_tpu.ops import pallas_kernels as pk
+
+        params, symbols, lengths, vals, gp = self._setup(make_hmm, rng)
+        obs = track_log_likelihoods(params.log_em, symbols) \
+            + gauss_log_likelihoods(gp, vals)
+        want_p, _ = dp.viterbi(
+            params.log_start, params.log_trans, obs, lengths
+        )
+        got_p, _ = pk.viterbi_fused_pallas_v4(
+            params.log_start, params.log_trans, params.log_em,
+            symbols, lengths, None, gp, vals,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_p), np.asarray(want_p)
+        )
+        ah, _, _ = dp.forward_scaled(
+            params.log_start, params.log_trans, obs, lengths
+        )
+        bh, _ = dp.backward_scaled(params.log_trans, obs, lengths)
+        want = np.asarray(
+            jnp.argmax(dp.posterior_scaled(ah, bh), axis=-1)
+        )
+        got = np.asarray(pk.posterior_decode_fused_pallas_v4(
+            params.log_start, params.log_trans, params.log_em,
+            symbols, lengths, None, gp, vals,
+        ))
+        lens = np.asarray(lengths)
+        for b in range(len(lens)):
+            np.testing.assert_array_equal(
+                got[b, : lens[b]], want[b, : lens[b]]
+            )

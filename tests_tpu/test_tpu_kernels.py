@@ -182,3 +182,49 @@ def test_segment_weights_fused_on_chip(rng):
         symbols, lengths, w,
     )
     np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+
+
+def test_gauss_fused_on_chip(rng):
+    """Gaussian-track quadratic-form streams through the real
+    compiler: fused E-step moments and decode paths match XLA."""
+    from tehmm_tpu.models.emission import track_log_likelihoods
+    from tehmm_tpu.models.gauss import (
+        GaussParams, gauss_log_likelihoods,
+    )
+
+    S, Gn = 20, 3
+    params, symbols, lengths = _inputs(rng, S, 3, 6, 6, 256)
+    vals = rng.randn(*symbols.shape[:2], Gn).astype(np.float32)
+    vals[rng.rand(*vals.shape) < 0.1] = np.nan
+    vals = jnp.asarray(vals)
+    gp = GaussParams(
+        mu=jnp.asarray(rng.randn(S, Gn).astype(np.float32)),
+        log_var=jnp.asarray(
+            np.log(0.5 + rng.rand(S, Gn).astype(np.float32))
+        ),
+    )
+    a = em_ops.em_sufficient_stats(
+        params, symbols, lengths, engine="xla",
+        gauss_params=gp, gauss_values=vals,
+    )
+    b = em_ops.em_sufficient_stats(
+        params, symbols, lengths, engine="pallas",
+        gauss_params=gp, gauss_values=vals,
+    )
+    assert abs(float(a.loglik) - float(b.loglik)) / abs(
+        float(a.loglik)
+    ) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(a.gauss_x2), np.asarray(b.gauss_x2),
+        rtol=1e-3, atol=1e-3,
+    )
+    obs = track_log_likelihoods(params.log_em, symbols) \
+        + gauss_log_likelihoods(gp, vals)
+    want_p, _ = dp.viterbi(
+        params.log_start, params.log_trans, obs, lengths
+    )
+    got_p, _ = pk.viterbi_fused_pallas_v4(
+        params.log_start, params.log_trans, params.log_em,
+        symbols, lengths, None, gp, vals,
+    )
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
