@@ -1274,7 +1274,8 @@ def viterbi_pallas_v2(
 def _pick_batch_group_vit(S: int, B: int, K: int = _KV2) -> int:
     Sp = max(-(-S // 8) * 8, 8)
     budget = (10 << 20) - Sp * Sp * 4
-    per_col = 4 * K * Sp * 4 + 3 * Sp * 4 + 2 * K * 8 * 4
+    per_col = (4 * K * Sp * 4 + 3 * Sp * 4 + 2 * K * 8 * 4
+               + K * Sp * Sp * 4 // 8)  # max-plus stack (_maxplus_rows)
     bg = max(128, (budget // per_col) // 128 * 128)
     Bp = -(-B // 128) * 128
     return min(bg, Bp)
@@ -1338,12 +1339,7 @@ def _make_viterbi_kernel_v3(carry_mode: bool):
                 t = blk * K + k
                 obs_row = obs_buf[slot, k]
                 v_hat = v_scr[:, :]
-                best = v_hat[0:1, :] + trans_ref[0, :][:, None]
-                for i in range(1, Sp):
-                    best = jnp.maximum(
-                        best,
-                        v_hat[i:i + 1, :] + trans_ref[i, :][:, None],
-                    )
+                best = _maxplus_rows(v_hat, trans_ref, Sp)
                 if carry_mode:
                     base = best
                 else:
@@ -1384,9 +1380,10 @@ def _viterbi_values_v3(
 ) -> tuple[jax.Array, jax.Array]:
     """Shared wrapper: max-normalized value rows + dm increments."""
     B, L, S = obs.shape
-    Bg = _pick_batch_group_vit(S, B)
-    K = _KV2
     Sp = max(-(-S // 8) * 8, 8)
+    # K=1 past Sp=64 bounds the max-plus stack (see _maxplus_rows)
+    K = _KV2 if Sp <= 64 else 1
+    Bg = _pick_batch_group_vit(S, B, K=K)
     Bp = -(-B // Bg) * Bg
     G = Bp // Bg
     Lp = -(-L // K) * K
@@ -2309,6 +2306,28 @@ def em_counts_fused_pallas_v4(
 # ---------------------------------------------------------------------
 
 
+def _maxplus_rows(v_hat, trans_ref, Sp: int):
+    """best[j, b] = max_i (v_hat[i, b] + trans[i, j]) — the max-plus
+    Viterbi step as Sp unrolled rank-1 broadcast-maxes.
+
+    VMEM-stack note (measured on v5e): Mosaic schedules the Sp
+    independent adds ahead of the max chain and stack-allocates up to
+    ALL Sp [Sp, Bg] temporaries per unrolled TIME step (S=256 OOMs at
+    every batch-group size; S=128 fits only with K=1) —
+    scratch-accumulator barriers do NOT stop the hoisting (reads have
+    no ordering), and dynamic-slice row loops don't lower (no value
+    dynamic_slice; lane-dim ref slices must be 128-aligned).  The
+    wrappers drop the time unroll K to 1 past Sp=64, and the decode
+    engine gates route S > 128 to the XLA decoder
+    (parallel/stitch._use_fused_viterbi)."""
+    best = v_hat[0:1, :] + trans_ref[0, :][:, None]
+    for i in range(1, Sp):
+        best = jnp.maximum(
+            best, v_hat[i:i + 1, :] + trans_ref[i, :][:, None]
+        )
+    return best
+
+
 def _pick_batch_group_vit4(S: int, T: int, V: int, B: int,
                            K: int = _KV2, GF: int = 0) -> int:
     Sp = max(-(-S // 8) * 8, 8)
@@ -2323,6 +2342,7 @@ def _pick_batch_group_vit4(S: int, T: int, V: int, B: int,
         + 2 * K * 8 * 4 * 2      # dm out (fwd) / path out (bwd)
         + TVp * 4                # one-hot scratch
         + 8 * Sp * 4             # carries / temporaries
+        + K * Sp * Sp * 4 // 8   # max-plus stack temps (_maxplus_rows)
     )
     bg = max(128, (budget // per_col) // 128 * 128)
     Bp = -(-B // 128) * 128
@@ -2348,7 +2368,9 @@ def _make_viterbi_fwd_kernel_v4(
         sym_buf = rest.pop(0)
         w_buf = rest.pop(0) if weighted else None
         gf_buf = rest.pop(0) if gauss else None
-        out_buf, dm_buf, v_scr = rest.pop(0), rest.pop(0), rest.pop(0)
+        out_buf, dm_buf, v_scr = (
+            rest.pop(0), rest.pop(0), rest.pop(0)
+        )
         in_sem = rest.pop(0)
         w_sem = rest.pop(0) if weighted else None
         gf_sem = rest.pop(0) if gauss else None
@@ -2429,11 +2451,7 @@ def _make_viterbi_fwd_kernel_v4(
                 if weighted:
                     obs_log = obs_log * w_buf[slot, k, 0:1, :]
                 v_hat = v_scr[:, :]
-                best = v_hat[0:1, :] + trans_ref[0, :][:, None]
-                for i in range(1, Sp):
-                    best = jnp.maximum(
-                        best, v_hat[i:i + 1, :] + trans_ref[i, :][:, None]
-                    )
+                best = _maxplus_rows(v_hat, trans_ref, Sp)
                 base = jnp.where(t == 0, start_row, best)
                 new = base + obs_log
                 m = jnp.maximum(
@@ -2571,14 +2589,16 @@ def viterbi_fused_pallas_v4(
         jnp.full((B,), L, jnp.int32) if lengths is None
         else lengths.astype(jnp.int32)
     )
-    K = _KV2
     Sp = max(-(-S // 8) * 8, 8)
+    # K=1 past Sp=64 bounds the max-plus row loop's stack temporaries
+    # (see _maxplus_rows); K=4 at S=128 measured 17.6M scoped VMEM
+    K = _KV2 if Sp <= 64 else 1
     Tp = max(-(-T // 8) * 8, 8)
     TVp = -(-(T * V) // 128) * 128
     has_gauss = gauss_params is not None and gauss_values is not None
     Gn = gauss_values.shape[-1] if has_gauss else 0
     GFp = max(-(-(3 * Gn) // 8) * 8, 8) if has_gauss else 0
-    Bg = _pick_batch_group_vit4(S, T, V, B, GF=GFp)
+    Bg = _pick_batch_group_vit4(S, T, V, B, K=K, GF=GFp)
     Bp = -(-B // Bg) * Bg
     G = Bp // Bg
     Lp = -(-L // K) * K

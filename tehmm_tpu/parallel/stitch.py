@@ -110,7 +110,20 @@ def _decode_batch(
 
 def _use_fused_viterbi(num_states: int) -> bool:
     """Gate for the symbols-in/path-out fused decode kernel
-    (ops/pallas_kernels.viterbi_fused_pallas_v4)."""
+    (ops/pallas_kernels.viterbi_fused_pallas_v4).  S <= 128: past
+    that the max-plus row loop's Mosaic stack temporaries exceed
+    scoped VMEM at any batch-group size
+    (ops/pallas_kernels._maxplus_rows note); the XLA decoder takes
+    over there."""
+    import jax
+
+    return jax.default_backend() == "tpu" and num_states <= 128
+
+
+def _use_fused_maxpost(num_states: int) -> bool:
+    """Gate for the fused max-posterior decoder.  Unlike the Viterbi
+    kernels it is matmul-based (no max-plus row loop), so it shares
+    the E-step's S <= 1024 envelope."""
     import jax
 
     return jax.default_backend() == "tpu" and num_states <= 1024
@@ -118,12 +131,12 @@ def _use_fused_viterbi(num_states: int) -> bool:
 
 def _viterbi_engine(num_states: int):
     """Streaming Pallas Viterbi on TPU (bit-identical paths — measured
-    zero mismatches on device), XLA scan elsewhere.  The v3 kernel
-    slices the batch into VMEM-sized groups, so any practical state
-    count runs streamed (round-1's S <= 64 v2 gate is gone)."""
+    zero mismatches on device), XLA scan elsewhere.  Gated at S <= 128
+    like the fused decoder (max-plus stack temporaries, see
+    ops/pallas_kernels._maxplus_rows)."""
     import jax
 
-    if jax.default_backend() == "tpu" and num_states <= 1024:
+    if jax.default_backend() == "tpu" and num_states <= 128:
         from tehmm_tpu.ops import pallas_kernels as pk
 
         return pk.viterbi_pallas_v3
@@ -373,7 +386,7 @@ def _posterior_batch(
                 v = np.concatenate(
                     [v, np.zeros((pad,) + v.shape[1:], v.dtype)]
                 )
-        if _use_fused_viterbi(params.log_em.shape[0]):
+        if _use_fused_maxpost(params.log_em.shape[0]):
             # fused v4 maxPost: symbols in, argmax-gamma path out —
             # obs/alpha/beta tables never materialize as [B,L,S] in HBM
             from tehmm_tpu.ops import pallas_kernels as pk
@@ -614,7 +627,7 @@ def viterbi_exact(
     # ---- backtrace sweep (streaming kernel on TPU, XLA elsewhere) ----
     import jax as _jax
 
-    if _jax.default_backend() == "tpu" and params.num_states <= 1024:
+    if _jax.default_backend() == "tpu" and params.num_states <= 128:
         from tehmm_tpu.ops.pallas_kernels import (
             viterbi_chunk_values_pallas as _chunk_values,
         )

@@ -102,6 +102,39 @@ def time_decode(params, symbols, engine, iters):
     return dt, int(jnp.sum(paths))
 
 
+def time_maxpost(params, symbols, engine, iters):
+    """--maxPost decode: fused v4 vs the XLA fwd/bwd/argmax pipeline."""
+    from tehmm_tpu.models.emission import track_log_likelihoods
+    from tehmm_tpu.ops import dp
+    from tehmm_tpu.ops import pallas_kernels as pk
+
+    if engine in ("pallas", "fused"):
+        @jax.jit
+        def run(params, symbols):
+            return pk.posterior_decode_fused_pallas_v4(
+                params.log_start, params.log_trans, params.log_em,
+                symbols,
+            )
+    else:
+        @jax.jit
+        def run(params, symbols):
+            obs = track_log_likelihoods(params.log_em, symbols)
+            ah, _, _ = dp.forward_scaled(
+                params.log_start, params.log_trans, obs
+            )
+            bh, _ = dp.backward_scaled(params.log_trans, obs)
+            return jnp.argmax(dp.posterior_scaled(ah, bh), axis=-1)
+
+    path = run(params, symbols)
+    _sync = int(path[0, 0])
+    t0 = time.time()
+    for _ in range(iters):
+        path = run(params, symbols)
+    _sync = int(path[0, 0])
+    dt = (time.time() - t0) / iters
+    return dt, float(jnp.sum(path))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="S20,S64,S128,S256")
@@ -110,6 +143,9 @@ def main():
     ap.add_argument("--decode", action="store_true",
                     help="benchmark Viterbi decode (obs + values + "
                          "backtrace) instead of the EM E-step")
+    ap.add_argument("--maxpost", action="store_true",
+                    help="benchmark max-posterior decode (teHmmEval "
+                         "--maxPost) instead of the EM E-step")
     args = ap.parse_args()
 
     dev = jax.devices()[0]
@@ -122,6 +158,8 @@ def main():
         for engine in args.engines.split(","):
             if args.decode:
                 dt, ll = time_decode(params, symbols, engine, args.iters)
+            elif args.maxpost:
+                dt, ll = time_maxpost(params, symbols, engine, args.iters)
             else:
                 dt, ll = time_estep(params, symbols, engine, args.iters)
             lls[engine] = ll
