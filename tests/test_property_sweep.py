@@ -72,3 +72,108 @@ def test_dp_invariants_random_model(seed):
     p2 = em.em_m_step(stats, params, sizes)
     stats2 = em.em_sufficient_stats(p2, jnp.asarray(symbols)[None])
     assert float(stats2.loglik) >= float(stats.loglik) - 1e-3
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fused_v4_invariants_random_model(seed):
+    """Fused v4 engines (interpret mode) across random models with
+    random combinations of segment weights and gaussian tracks: the
+    E-step matches the XLA engine and both decoders match the XLA
+    pipeline on every valid position."""
+    from tehmm_tpu.models.emission import track_log_likelihoods
+    from tehmm_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.RandomState(2000 + seed)
+    S = rng.randint(2, 24)
+    T = rng.randint(1, 4)
+    V = rng.randint(3, 7)
+    L = rng.randint(10, 60)
+    B = rng.randint(1, 5)
+    log_start, log_trans, log_em = random_hmm(rng, S, T, V)
+    params = HmmParams(
+        log_start=jnp.asarray(log_start, jnp.float32),
+        log_trans=jnp.asarray(log_trans, jnp.float32),
+        log_em=jnp.asarray(log_em, jnp.float32),
+    )
+    symbols = jnp.asarray(rng.randint(0, V, size=(B, L, T)))
+    lens_np = rng.randint(0, L + 1, size=B)
+    lens_np[0] = L
+    lengths = jnp.asarray(lens_np, jnp.int32)
+
+    weighted = bool(rng.rand() < 0.5)
+    w = None
+    if weighted:
+        w = jnp.asarray(
+            rng.randint(1, 6, size=(B, L)).astype(np.float32)
+        )
+
+    gauss = bool(rng.rand() < 0.5)
+    gp, vals = None, None
+    if gauss:
+        from tehmm_tpu.models.gauss import GaussParams
+
+        Gn = rng.randint(1, 3)
+        v_np = rng.randn(B, L, Gn).astype(np.float32)
+        v_np[rng.rand(B, L, Gn) < 0.15] = np.nan
+        vals = jnp.asarray(v_np)
+        gp = GaussParams(
+            mu=jnp.asarray(rng.randn(S, Gn).astype(np.float32)),
+            log_var=jnp.asarray(
+                np.log(0.3 + rng.rand(S, Gn).astype(np.float32))
+            ),
+        )
+
+    # reference obs via the XLA pipeline
+    obs = track_log_likelihoods(params.log_em, symbols)
+    if gauss:
+        from tehmm_tpu.models.gauss import gauss_log_likelihoods
+
+        obs = obs + gauss_log_likelihoods(gp, vals)
+    if weighted:
+        obs = obs * w[:, :, None]
+
+    # E-step parity
+    a = em.em_sufficient_stats(
+        params, symbols, lengths, engine="xla", obs_weights=w,
+        gauss_params=gp, gauss_values=vals,
+    )
+    out = pk.em_counts_fused_pallas_v4(
+        params.log_start, params.log_trans, params.log_em,
+        symbols, lengths, w, gp, vals,
+    )
+    np.testing.assert_allclose(
+        float(a.loglik), float(out[3].sum()), rtol=2e-5, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.em), np.asarray(out[2]), rtol=1e-3, atol=1e-3
+    )
+    if gauss:
+        np.testing.assert_allclose(
+            np.asarray(a.gauss_x2), np.asarray(out[4][2]),
+            rtol=1e-3, atol=1e-3,
+        )
+
+    # Viterbi parity
+    want_p, _ = dp.viterbi(
+        params.log_start, params.log_trans, obs, lengths
+    )
+    got_p, _ = pk.viterbi_fused_pallas_v4(
+        params.log_start, params.log_trans, params.log_em,
+        symbols, lengths, w, gp, vals,
+    )
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+
+    # maxPost parity
+    ah, _, _ = dp.forward_scaled(
+        params.log_start, params.log_trans, obs, lengths
+    )
+    bh, _ = dp.backward_scaled(params.log_trans, obs, lengths)
+    want = np.asarray(jnp.argmax(dp.posterior_scaled(ah, bh), -1))
+    got = np.asarray(pk.posterior_decode_fused_pallas_v4(
+        params.log_start, params.log_trans, params.log_em,
+        symbols, lengths, w, gp, vals,
+    ))
+    for b in range(B):
+        np.testing.assert_array_equal(
+            got[b, : lens_np[b]], want[b, : lens_np[b]]
+        )
