@@ -408,3 +408,37 @@ class TestChunkedCfgDecode:
         pred = read_bed_intervals(out, ncol=4)
         covered = sum(e - s for _, s, e, _ in pred)
         assert covered == L
+
+
+class TestDeviceTraceback:
+    def test_device_traceback_matches_host(self, rng, make_hmm):
+        """The in-device linear traceback (_cfg_traceback_device) must
+        reproduce the host stack traceback exactly — same root choice,
+        same per-position states, same score."""
+        from tehmm_tpu.models.cfg import (
+            _cfg_traceback, _cfg_traceback_device, cfg_viterbi_chart,
+        )
+
+        S, T, V, L = 4, 2, 5, 40
+        hmm, log_em = _hmm_params(make_hmm, S, T, V)
+        for seed in range(4):
+            r = np.random.RandomState(seed)
+            sym = r.randint(0, V, size=(L, T)).astype(np.int32)
+            obs = jnp.asarray(
+                oracle.obs_log_likelihoods(log_em, sym), jnp.float32
+            )
+            params = make_cfg_params(
+                hmm, pair_states=[1, 3], match_bonus=1.5
+            )
+            charts = cfg_viterbi_chart(params, obs, jnp.asarray(sym), L)
+            want_p, want_s = _cfg_traceback(
+                *map(np.asarray, charts),
+                np.asarray(hmm.log_start), L,
+            )
+            got_p, got_s = _cfg_traceback_device(
+                *charts, params.hmm.log_start
+            )
+            np.testing.assert_array_equal(np.asarray(got_p), want_p)
+            np.testing.assert_allclose(
+                float(got_s), want_s, rtol=1e-6, atol=1e-6
+            )
