@@ -190,23 +190,46 @@ def main(argv=None) -> int:
 
 
 def _eval_segments(opts, model, seg_tables) -> int:
-    """Segment-resolution decode: Viterbi over per-segment observations,
-    expanded back to base-space BED (reference: teHmmEval --segment)."""
+    """Segment-resolution decode: Viterbi (default), max-posterior
+    (--maxPost), or posterior distributions (--pd) over per-segment
+    observations, expanded back to base-space BED (reference:
+    teHmmEval --segment)."""
     from tehmm_tpu.io.segments import expand_path
     from tehmm_tpu.parallel.stitch import viterbi_chunked
 
     weights = None
     if opts.segLen:
         weights = [t.lengths.astype("float32") for t in seg_tables]
-    paths, report = viterbi_chunked(
-        model.params, seg_tables, chunk_len=opts.chunk,
-        halo=opts.halo, weight_arrays=weights,
-        gauss_params=model.gauss,
-    )
-    logger.info(
-        "segment decode: %d chunks, boundaries ok=%s",
-        report.n_chunks, report.boundaries_ok,
-    )
+    if opts.maxPost:
+        paths = model.posterior_decode_tables(
+            seg_tables, chunk_len=opts.chunk, halo=opts.halo,
+            weight_arrays=weights,
+        )
+    else:
+        paths, report = viterbi_chunked(
+            model.params, seg_tables, chunk_len=opts.chunk,
+            halo=opts.halo, weight_arrays=weights,
+            gauss_params=model.gauss,
+        )
+        logger.info(
+            "segment decode: %d chunks, boundaries ok=%s",
+            report.n_chunks, report.boundaries_ok,
+        )
+    if opts.pd:
+        dists = model.posterior_distributions(
+            seg_tables, chunk_len=opts.chunk, weight_arrays=weights,
+        )
+        rows = []
+        for tab, pd in zip(seg_tables, dists):
+            for i in range(len(tab)):
+                probs = ",".join(f"{p:.6g}" for p in pd[i])
+                rows.append((
+                    tab.chrom,
+                    int(tab.seg_bounds[i]),
+                    int(tab.seg_bounds[i + 1]),
+                    probs,
+                ))
+        write_bed_intervals(rows, opts.pd)
     if opts.bed:
         out = []
         for tab, path in zip(seg_tables, paths):

@@ -479,6 +479,7 @@ class MultitrackHmm:
         chunk_len: int = 1 << 14,
         halo: int = 256,
         rows_per_pass: int = 64,
+        weight_arrays: Sequence[np.ndarray] | None = None,
     ) -> list[np.ndarray]:
         """Max-posterior (per-position argmax gamma) decoding
         (reference: teHmmEval.py --maxPost).
@@ -487,17 +488,22 @@ class MultitrackHmm:
         boundary agreement check + adaptive widening as the Viterbi
         stitcher, falling back to the exact carried-alpha/beta decoder
         (bit-identical to monolithic) when agreement cannot be reached
-        (parallel/stitch.posterior_chunked)."""
+        (parallel/stitch.posterior_chunked).  ``weight_arrays``: segment
+        mode per-position emission weights (--segment --segLen)."""
         from tehmm_tpu.parallel.stitch import posterior_chunked
 
         paths, _report = posterior_chunked(
             self.params, tables, chunk_len=chunk_len, halo=halo,
             rows_per_pass=rows_per_pass, gauss_params=self.gauss,
+            weight_arrays=weight_arrays,
         )
         return paths
 
     def posterior_distributions(
-        self, tables: Sequence[TrackTable], chunk_len: int = 1 << 14
+        self,
+        tables: Sequence[TrackTable],
+        chunk_len: int = 1 << 14,
+        weight_arrays: Sequence[np.ndarray] | None = None,
     ) -> list[np.ndarray]:
         """Full per-position posterior state distributions
         (reference: teHmmEval.py --pd output [R?]).
@@ -519,7 +525,7 @@ class MultitrackHmm:
 
         posterior_sweep(
             self.params, tables, chunk_len=chunk_len, consume=consume,
-            gauss_params=self.gauss,
+            gauss_params=self.gauss, weight_arrays=weight_arrays,
         )
         return out
 

@@ -279,6 +279,7 @@ def posterior_chunked(
     rows_per_pass: int = 64,
     strict: bool = False,
     gauss_params=None,
+    weight_arrays: Sequence[np.ndarray] | None = None,
 ) -> tuple[list[np.ndarray], StitchReport]:
     """Max-posterior decoding with the same boundary guarantees as
     viterbi_chunked: halo chunks, per-boundary agreement check, adaptive
@@ -301,9 +302,17 @@ def posterior_chunked(
         vbatch = None
         if value_arrays is not None:
             vbatch = batch_chunks(value_arrays, chunks).symbols
+        wbatch = None
+        if weight_arrays is not None:
+            wb = batch_chunks(
+                [np.asarray(w, np.float32)[:, None]
+                 for w in weight_arrays],
+                chunks,
+            )
+            wbatch = wb.symbols[..., 0]
         decoded = _posterior_batch(
             params, batch.symbols, batch.lengths, rows_per_pass,
-            gauss_params, vbatch,
+            gauss_params, vbatch, wbatch,
         )
 
         paths = [np.zeros(L, dtype=np.int32) for L in lengths]
@@ -339,7 +348,9 @@ def posterior_chunked(
                     "alpha/beta decoder", max_halo,
                 )
                 paths = posterior_exact(
-                    params, tables, chunk_len, gauss_params=gauss_params
+                    params, tables, chunk_len,
+                    gauss_params=gauss_params,
+                    weight_arrays=weight_arrays,
                 )
                 ok = True
             report = StitchReport(
@@ -366,6 +377,7 @@ def _posterior_batch(
     rows_per_pass: int,
     gauss_params=None,
     values: np.ndarray | None = None,
+    weights: np.ndarray | None = None,
 ) -> np.ndarray:
     """argmax-gamma over a chunk batch in fixed-shape row groups."""
     n, L, _T = symbols.shape
@@ -376,6 +388,7 @@ def _posterior_batch(
         sym = symbols[lo:hi]
         lens = lengths[lo:hi]
         v = None if values is None else values[lo:hi]
+        w = None if weights is None else weights[lo:hi]
         if hi - lo < rows_per_pass:
             pad = rows_per_pass - (hi - lo)
             sym = np.concatenate(
@@ -386,14 +399,20 @@ def _posterior_batch(
                 v = np.concatenate(
                     [v, np.zeros((pad,) + v.shape[1:], v.dtype)]
                 )
+            if w is not None:
+                w = np.concatenate(
+                    [w, np.zeros((pad, w.shape[1]), w.dtype)]
+                )
         if _use_fused_maxpost(params.log_em.shape[0]):
             # fused v4 maxPost: symbols in, argmax-gamma path out —
-            # obs/alpha/beta tables never materialize as [B,L,S] in HBM
+            # obs/alpha/beta tables never materialize as [B,L,S] in HBM;
+            # segment weights and gaussian values stream alongside
             from tehmm_tpu.ops import pallas_kernels as pk
 
             states = pk.posterior_decode_fused_pallas_v4(
                 params.log_start, params.log_trans, params.log_em,
-                jnp.asarray(sym), jnp.asarray(lens), None,
+                jnp.asarray(sym), jnp.asarray(lens),
+                None if w is None else jnp.asarray(w),
                 gauss_params if v is not None else None,
                 None if v is None else jnp.asarray(v),
             )
@@ -406,6 +425,8 @@ def _posterior_batch(
             obs = obs + gauss_log_likelihoods(
                 gauss_params, jnp.asarray(v)
             )
+        if w is not None:
+            obs = obs * jnp.asarray(w)[:, :, None]
         jl = jnp.asarray(lens)
         ah, _, _ = dp.forward_scaled(
             params.log_start, params.log_trans, obs, jl
@@ -422,6 +443,7 @@ def posterior_sweep(
     chunk_len: int = 1 << 14,
     consume=None,
     gauss_params=None,
+    weight_arrays: Sequence[np.ndarray] | None = None,
 ) -> list[np.ndarray]:
     """EXACT chunked posterior machinery (carried alpha forward sweep +
     carried beta backward sweep, per-chunk recompute; SURVEY.md §7 hard
@@ -436,6 +458,9 @@ def posterior_sweep(
     vmats = None
     if gauss_params is not None:
         vmats = [np.asarray(t.values, np.float32) for t in tables]
+    wmats = None
+    if weight_arrays is not None:
+        wmats = [np.asarray(w, np.float32) for w in weight_arrays]
     B = len(mats)
     true_lens = np.asarray([len(m) for m in mats], np.int64)
     T = mats[0].shape[1]
@@ -467,6 +492,12 @@ def posterior_sweep(
             obs = obs + gauss_log_likelihoods(
                 gauss_params, jnp.asarray(vb)
             )
+        if wmats is not None:
+            wb = np.ones((B, Lc), np.float32)
+            for b, wv in enumerate(wmats):
+                piece = wv[lo : lo + Lc]
+                wb[b, : len(piece)] = piece
+            obs = obs * jnp.asarray(wb)[:, :, None]
         lens = jnp.asarray(np.clip(true_lens - lo, 0, Lc))
         return obs, lens
 
@@ -482,6 +513,9 @@ def posterior_sweep(
         obs0 = obs0 + gauss_log_likelihoods(
             gauss_params, jnp.asarray(v0[:, None, :])
         )[:, 0, :]
+    if wmats is not None:
+        w0 = np.stack([wv[0] for wv in wmats])
+        obs0 = obs0 * jnp.asarray(w0)[:, None]
     a0 = params.log_start[None, :] + obs0
     m0 = jnp.maximum(jnp.max(a0, axis=-1, keepdims=True), -1e30)
     carry = a0 - m0
@@ -543,10 +577,12 @@ def posterior_exact(
     tables: Sequence,
     chunk_len: int = 1 << 14,
     gauss_params=None,
+    weight_arrays: Sequence[np.ndarray] | None = None,
 ) -> list[np.ndarray]:
     """Exact max-posterior paths (argmax of the bit-exact chunked gamma)."""
     return posterior_sweep(
-        params, tables, chunk_len, gauss_params=gauss_params
+        params, tables, chunk_len, gauss_params=gauss_params,
+        weight_arrays=weight_arrays,
     )
 
 

@@ -98,3 +98,38 @@ class TestSegmentPipeline:
                 [f["xml"], f["regions"], str(f["dir"] / "x.npz"),
                  "--segment", "--supervised"]
             )
+
+    def test_segment_maxpost_and_pd(self, seg_fixture):
+        """--segment with --maxPost and --pd (reference: teHmmEval
+        supports posterior decoding on segment-trained models): the
+        max-posterior BED matches truth like the Viterbi one, and the
+        --pd output has one normalized row per segment."""
+        f = seg_fixture
+        segs = str(f["dir"] / "segs2.bed")
+        cli_seg.main([f["xml"], f["regions"], segs])
+        model = str(f["dir"] / "m2.npz")
+        rc = cli_train.main(
+            [f["xml"], segs, model, "--segment", "--segLen",
+             "--numStates", "2", "--iter", "30", "--seed", "4"]
+        )
+        assert rc == 0
+        out = str(f["dir"] / "mp.bed")
+        pd_out = str(f["dir"] / "pd.bed")
+        rc = cli_eval.main(
+            [f["xml"], model, segs, "--segment", "--segLen",
+             "--maxPost", "--bed", out, "--pd", pd_out]
+        )
+        assert rc == 0
+        pred = np.full(f["L"], -1)
+        for _c, s, e, n in read_bed_intervals(out, ncol=4):
+            pred[s:e] = int(n)
+        truth = f["truth"]
+        acc = max((pred == truth).mean(), (pred == 1 - truth).mean())
+        assert acc > 0.9, acc
+        # --pd: one row per segment, probabilities sum to 1
+        rows = read_bed_intervals(pd_out, ncol=4)
+        covered = sum(e - s for _c, s, e, _p in rows)
+        assert covered == f["L"]
+        for _c, _s, _e, p in rows[:20]:
+            probs = np.fromstring(p, sep=",")
+            assert abs(probs.sum() - 1.0) < 1e-3
