@@ -12,6 +12,14 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+# CLI tests call utils.platform.setup_jax in-process, which would enable
+# the PERSISTENT compile cache for the whole pytest process.  A test run
+# killed mid-compile leaves truncated cache entries whose read then
+# segfaults/hangs later runs inside jax's compilation_cache (observed:
+# full-suite hang in _compile_and_write_cache, then SIGSEGV in
+# get_executable_and_time on the poisoned entry).  Tests never benefit
+# from cross-process caching — disable it before anything imports jax.
+os.environ["TEHMM_COMPILE_CACHE"] = "0"
 
 import jax
 

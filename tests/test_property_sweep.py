@@ -80,8 +80,18 @@ def test_fused_v4_invariants_random_model(seed):
     random combinations of segment weights and gaussian tracks: the
     E-step matches the XLA engine and both decoders match the XLA
     pipeline on every valid position."""
+    import jax
+
     from tehmm_tpu.models.emission import track_log_likelihoods
     from tehmm_tpu.ops import pallas_kernels as pk
+
+    # full-suite runs crash (SIGSEGV/SIGABRT) inside the XLA CPU
+    # compile of these interpret-mode kernels once ~170 earlier tests
+    # have filled jax's executable caches; the same compiles are rock
+    # solid in isolation.  Dropping the accumulated executables before
+    # the heavy compiles sidesteps the crash.
+    if seed == 0:
+        jax.clear_caches()
 
     rng = np.random.RandomState(2000 + seed)
     S = rng.randint(2, 24)
