@@ -230,7 +230,7 @@ def viterbi_chunked(
                 break
 
         if ok or cur_halo >= max_halo:
-            if not ok and weight_arrays is None:
+            if not ok:
                 # halo forgetting never kicked in (adversarial/near-tie
                 # model): fall back to the EXACT checkpointed decoder —
                 # sequential over chunks but guaranteed == monolithic
@@ -240,18 +240,11 @@ def viterbi_chunked(
                     "decoder", max_halo,
                 )
                 paths = viterbi_exact(
-                    params, tables, chunk_len, gauss_params=gauss_params
+                    params, tables, chunk_len,
+                    gauss_params=gauss_params,
+                    weight_arrays=weight_arrays,
                 )
                 ok = True
-            elif not ok:
-                msg = (
-                    f"viterbi_chunked: boundary disagreement persists at "
-                    f"max_halo={max_halo}; output may differ from the "
-                    f"monolithic decode near chunk boundaries"
-                )
-                if strict:
-                    raise RuntimeError(msg)
-                logger.warning(msg)
             report = StitchReport(
                 n_chunks=len(chunks),
                 final_halo=cur_halo,
@@ -591,6 +584,7 @@ def viterbi_exact(
     tables: Sequence,
     chunk_len: int = 1 << 14,
     gauss_params=None,
+    weight_arrays: Sequence[np.ndarray] | None = None,
 ) -> list[np.ndarray]:
     """EXACT chunked Viterbi via checkpointed carries (SURVEY.md §7 hard
     part #3): a cheap forward sweep stores only the O(S) carry at every
@@ -606,6 +600,9 @@ def viterbi_exact(
     vmats = None
     if gauss_params is not None:
         vmats = [np.asarray(t.values, np.float32) for t in tables]
+    wmats = None
+    if weight_arrays is not None:
+        wmats = [np.asarray(w, np.float32) for w in weight_arrays]
     B = len(mats)
     true_lens = np.asarray([len(m) for m in mats], np.int64)
     T = mats[0].shape[1]
@@ -634,6 +631,12 @@ def viterbi_exact(
             obs = obs + gauss_log_likelihoods(
                 gauss_params, jnp.asarray(vb)
             )
+        if wmats is not None:
+            wb = np.ones((B, Lc), np.float32)
+            for b, wv in enumerate(wmats):
+                piece = wv[lo : lo + Lc]
+                wb[b, : len(piece)] = piece
+            obs = obs * jnp.asarray(wb)[:, :, None]
         lens = jnp.asarray(np.clip(true_lens - lo, 0, Lc))
         return obs, lens
 
@@ -649,6 +652,9 @@ def viterbi_exact(
         obs0 = obs0 + gauss_log_likelihoods(
             gauss_params, jnp.asarray(v0[:, None, :])
         )[:, 0, :]
+    if wmats is not None:
+        w0 = np.stack([wv[0] for wv in wmats])
+        obs0 = obs0 * jnp.asarray(w0)[:, None]
     v0 = params.log_start[None, :] + obs0
     m0 = jnp.maximum(jnp.max(v0, axis=-1, keepdims=True), -1e30)
     carry = v0 - m0

@@ -133,3 +133,31 @@ class TestSegmentPipeline:
         for _c, _s, _e, p in rows[:20]:
             probs = np.fromstring(p, sep=",")
             assert abs(probs.sum() - 1.0) < 1e-3
+
+    def test_exact_viterbi_with_weights_matches_monolithic(
+        self, seg_fixture
+    ):
+        """viterbi_exact with segment weights == monolithic weighted
+        decode (the exact fallback now covers segment mode too)."""
+        import jax.numpy as jnp
+
+        from tehmm_tpu.models.emission import track_log_likelihoods
+        from tehmm_tpu.models.params import init_random
+        from tehmm_tpu.ops import dp
+        from tehmm_tpu.parallel.stitch import viterbi_exact
+
+        rng = np.random.RandomState(5)
+        S, T, V, L = 3, 2, 5, 300
+        params = init_random(S, [V] * T, seed=2)
+        sym = rng.randint(0, V, size=(L, T)).astype(np.int32)
+        w = rng.randint(1, 7, size=L).astype(np.float32)
+        obs = track_log_likelihoods(
+            params.log_em, jnp.asarray(sym[None])
+        ) * jnp.asarray(w)[None, :, None]
+        want, _ = dp.viterbi(
+            params.log_start, params.log_trans, obs
+        )
+        got = viterbi_exact(
+            params, [sym], chunk_len=64, weight_arrays=[w]
+        )
+        np.testing.assert_array_equal(got[0], np.asarray(want[0]))
