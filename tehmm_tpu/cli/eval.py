@@ -200,11 +200,23 @@ def _eval_segments(opts, model, seg_tables) -> int:
     weights = None
     if opts.segLen:
         weights = [t.lengths.astype("float32") for t in seg_tables]
-    if opts.maxPost:
-        paths = model.posterior_decode_tables(
-            seg_tables, chunk_len=opts.chunk, halo=opts.halo,
-            weight_arrays=weights,
+    dists = None
+    if opts.pd:
+        dists = model.posterior_distributions(
+            seg_tables, chunk_len=opts.chunk, weight_arrays=weights,
         )
+    if opts.maxPost:
+        if dists is not None:
+            # --pd already computed the exact posteriors; the maxPost
+            # path is their argmax — skip the second full pass
+            paths = [
+                np.argmax(d, axis=-1).astype(np.int32) for d in dists
+            ]
+        else:
+            paths = model.posterior_decode_tables(
+                seg_tables, chunk_len=opts.chunk, halo=opts.halo,
+                weight_arrays=weights,
+            )
     else:
         paths, report = viterbi_chunked(
             model.params, seg_tables, chunk_len=opts.chunk,
@@ -215,10 +227,7 @@ def _eval_segments(opts, model, seg_tables) -> int:
             "segment decode: %d chunks, boundaries ok=%s",
             report.n_chunks, report.boundaries_ok,
         )
-    if opts.pd:
-        dists = model.posterior_distributions(
-            seg_tables, chunk_len=opts.chunk, weight_arrays=weights,
-        )
+    if dists is not None:
         rows = []
         for tab, pd in zip(seg_tables, dists):
             for i in range(len(tab)):

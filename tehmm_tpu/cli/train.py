@@ -388,8 +388,13 @@ def _learn_pair_params(opts, model, track_data, pair_names, labeled):
         )
         return {"log_match": [float(x) for x in log_match]}
 
-    # EM mode: shared-bonus likelihood fit on bounded windows
-    params = cfg_mod.make_cfg_params(model.params, pair_idx, 0.0)
+    # EM mode: shared-bonus likelihood fit on bounded windows.  The
+    # fit must run under the SAME grammar decode will use — with
+    # --saPrior unapplied here the selected bonus would be calibrated
+    # for an unpenalized pair rule and systematically mis-fit.
+    params = cfg_mod.make_cfg_params(
+        model.params, pair_idx, 0.0, sa_prior=opts.saPrior
+    )
     obs_list, sym_list = [], []
     for tab in track_data.tables:
         sym = jnp.asarray(tab.symbols[: opts.maxSpan])

@@ -543,10 +543,13 @@ def cfg_viterbi_decode_chunked(
         obs_wins = jnp.asarray(obs)[idx]                   # [N, W, S]
         sym_wins = jnp.asarray(symbols)[idx]               # [N, W, T]
 
-        # group windows to bound the chart memory (W²·S·6 B each);
-        # FIXED group size with padding so every group reuses one
-        # compiled (group, W) shape
-        per_win = W * W * S * 6
+        # group windows to bound the chart memory; FIXED group size
+        # with padding so every group reuses one compiled (group, W)
+        # shape.  Bytes per chart cell: f32 scores + ptr_s (uint8 up
+        # to 255 states, int32 beyond — cfg_viterbi_chart's pdt) +
+        # uint8 ptr_r.
+        ptr_bytes = 4 if S > 255 else 1
+        per_win = W * W * S * (4 + ptr_bytes + 1)
         group = min(n_win, max(1, (256 << 20) // max(per_win, 1)))
         decoded = []
         score = 0.0

@@ -91,7 +91,9 @@ def em_sufficient_stats(
         [R?]): a segment standing for w identical positions emits
         P(obs|state)^w, and its expected emission counts scale by w.
       engine: "auto" (default; pallas on TPU, xla elsewhere), "xla",
-        or "pallas".  On TPU the fused v4 kernels handle plain,
+        "pallas" (fused v4), or "pallas_v3" (the superseded streaming
+        engine on a precomputed obs tensor, kept for engine
+        comparisons).  On TPU the fused v4 kernels handle plain,
         segment-weighted AND gaussian-track observations (weights and
         gaussian features stream alongside the symbols).
       gauss_params / gauss_values: gaussian-track emissions
@@ -155,11 +157,13 @@ def em_sufficient_stats(
         obs = obs + gauss_log_likelihoods(gauss_params, gauss_values)
     if obs_weights is not None:
         obs = obs * obs_weights[:, :, None]
-    if engine == "pallas":
-        # Probability-space streaming engine (ops/pallas_kernels.py v3):
-        # the kernels emit alpha_p = exp(alpha_hat) and beta_p =
-        # exp(beta_hat) directly — exactly the factors the contractions
-        # below consume, so no per-cell exp/log happens anywhere.
+    if engine == "pallas_v3":
+        # Probability-space streaming engine (ops/pallas_kernels.py v3)
+        # on a PRECOMPUTED obs tensor — superseded by the fused v4
+        # engine for production but kept addressable for engine
+        # comparisons (tools/bench_engines.py): the kernels emit
+        # alpha_p = exp(alpha_hat) and beta_p = exp(beta_hat) directly
+        # — exactly the factors the contractions below consume.
         from tehmm_tpu.ops import pallas_kernels as _pk
 
         o_m = jnp.max(obs, axis=-1)                            # [B,L]

@@ -1699,6 +1699,44 @@ def _gauss_coeff_matrix(gauss_params, Sp, GFp):
     return jnp.pad(W, ((0, Sp - S), (0, GFp - 3 * Gn)))
 
 
+def _v4_opt_streams(obs_weights, gauss_params, gauss_values,
+                    L, Lp, B, Bp, NB, K, G, Bg, Sp, GFp):
+    """Build the optional weight-row and gaussian-feature streams
+    shared by the three fused-v4 wrappers (E-step / Viterbi / maxPost).
+
+    Returns (call_args, in_specs, scratch_bufs, sems) — the caller
+    splices scratch_bufs right after the symbol buffer and sems right
+    after the symbol semaphore, matching the kernels' unpack order."""
+    args, in_specs, scratch, sems = [], [], [], []
+    if obs_weights is not None:
+        # weights -> [G, NB, K, 8, Bg] f32, row 0 = weight (pad rows 0)
+        w_t = jnp.pad(
+            jnp.moveaxis(obs_weights.astype(jnp.float32), 1, 0),
+            ((0, Lp - L), (0, Bp - B)),
+        )                                                # [Lp, Bp]
+        w_arr = jnp.moveaxis(w_t.reshape(NB, K, 1, G, Bg), 3, 0)
+        w_arr = jnp.concatenate(
+            [w_arr, jnp.zeros((G, NB, K, 7, Bg), jnp.float32)], axis=3
+        )
+        args.append(w_arr)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch.append(pltpu.VMEM((2, K, 8, Bg), jnp.float32))
+        sems.append(pltpu.SemaphoreType.DMA((2,)))
+    if gauss_params is not None and gauss_values is not None:
+        gf_arr, _ = _gauss_feat_stream(
+            gauss_values, L, Lp, B, Bp, NB, K, G, Bg
+        )
+        gw = _gauss_coeff_matrix(gauss_params, Sp, GFp)
+        args += [gf_arr, gw]
+        in_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((Sp, GFp), lambda g: (0, 0)),
+        ]
+        scratch.append(pltpu.VMEM((2, K, GFp, Bg), jnp.float32))
+        sems.append(pltpu.SemaphoreType.DMA((2,)))
+    return args, in_specs, scratch, sems
+
+
 def _oh_build(sym_k, T: int, V: int, TVp: int, Bg: int):
     """[Tp, Bg] int32 -> one-hot f32[TVp, Bg] (cols beyond T*V zero)."""
     rows = []
@@ -1737,7 +1775,8 @@ def _obs_p_from_sym(em_ref, oh, w=None, gauss=None):
 
 
 def _make_forward_kernel_v4(
-    T: int, V: int, weighted: bool = False, gauss: bool = False
+    T: int, V: int, weighted: bool = False, gauss: bool = False,
+    emit_dm: bool = True,
 ):
     def kernel(
         len_ref,        # [1, 1, Bg] int32
@@ -1748,22 +1787,29 @@ def _make_forward_kernel_v4(
     ):
         rest = list(rest)
         # optional streams slot in after their mandatory neighbor:
-        # inputs [sym, w?, gf?, gw?], outputs [alpha, dm],
-        # scratch [sym_buf, w_buf?, gf_buf?, out, dm, p,
-        #          in_sem, w_sem?, gf_sem?, out_sem, dm_sem]
+        # inputs [sym, w?, gf?, gw?], outputs [alpha, dm?],
+        # scratch [sym_buf, w_buf?, gf_buf?, out, dm?, p,
+        #          in_sem, w_sem?, gf_sem?, out_sem, dm_sem?]
+        # emit_dm=False (the maxPost caller) drops the dm stream: the
+        # per-position argmax needs no normalizers, so the 8-row f32
+        # write per position is pure waste there
         sym_hbm = rest.pop(0)
         w_hbm = rest.pop(0) if weighted else None
         gf_hbm = rest.pop(0) if gauss else None
         gw_ref = rest.pop(0) if gauss else None
-        alpha_hbm, dm_hbm = rest.pop(0), rest.pop(0)
+        alpha_hbm = rest.pop(0)
+        dm_hbm = rest.pop(0) if emit_dm else None
         sym_buf = rest.pop(0)
         w_buf = rest.pop(0) if weighted else None
         gf_buf = rest.pop(0) if gauss else None
-        out_buf, dm_buf, p_scr = rest.pop(0), rest.pop(0), rest.pop(0)
+        out_buf = rest.pop(0)
+        dm_buf = rest.pop(0) if emit_dm else None
+        p_scr = rest.pop(0)
         in_sem = rest.pop(0)
         w_sem = rest.pop(0) if weighted else None
         gf_sem = rest.pop(0) if gauss else None
-        out_sem, dm_sem = rest.pop(0), rest.pop(0)
+        out_sem = rest.pop(0)
+        dm_sem = rest.pop(0) if emit_dm else None
         g = pl.program_id(0)
         NB = sym_hbm.shape[1]
         K = sym_hbm.shape[2]
@@ -1825,7 +1871,8 @@ def _make_forward_kernel_v4(
             @pl.when(blk >= 2)
             def _drain():
                 out_dma(slot, blk - 2).wait()
-                dm_dma(slot, blk - 2).wait()
+                if emit_dm:
+                    dm_dma(slot, blk - 2).wait()
 
             for k in range(K):
                 t = blk * K + k
@@ -1841,26 +1888,30 @@ def _make_forward_kernel_v4(
                 m_safe = jnp.maximum(m, 1e-37)
                 valid = t < lens
                 new_p = jnp.where(valid, u * (1.0 / m_safe), p)
-                # row 0: loglik increment log(m) + o_m; row 1: raw m
-                # (consumed by the stats kernel's z identity)
-                dm = jnp.where(valid, jnp.log(m_safe) + o_m, 0.0)
-                m_raw = jnp.where(valid, m_safe, 1.0)
-                ridx = jax.lax.broadcasted_iota(
-                    jnp.int32, dm_buf[slot, k].shape, 0
-                )
-                dm_tile = jnp.where(
-                    ridx == 0, jnp.broadcast_to(dm, dm_buf[slot, k].shape),
-                    jnp.where(
-                        ridx == 1,
-                        jnp.broadcast_to(m_raw, dm_buf[slot, k].shape),
-                        0.0,
-                    ),
-                )
                 p_scr[:, :] = new_p
                 out_buf[slot, k] = new_p
-                dm_buf[slot, k] = dm_tile
+                if emit_dm:
+                    # row 0: loglik increment log(m) + o_m; row 1: raw
+                    # m (consumed by the stats kernel's z identity)
+                    dm = jnp.where(valid, jnp.log(m_safe) + o_m, 0.0)
+                    m_raw = jnp.where(valid, m_safe, 1.0)
+                    ridx = jax.lax.broadcasted_iota(
+                        jnp.int32, dm_buf[slot, k].shape, 0
+                    )
+                    dm_buf[slot, k] = jnp.where(
+                        ridx == 0,
+                        jnp.broadcast_to(dm, dm_buf[slot, k].shape),
+                        jnp.where(
+                            ridx == 1,
+                            jnp.broadcast_to(
+                                m_raw, dm_buf[slot, k].shape
+                            ),
+                            0.0,
+                        ),
+                    )
             out_dma(slot, blk).start()
-            dm_dma(slot, blk).start()
+            if emit_dm:
+                dm_dma(slot, blk).start()
             return 0
 
         jax.lax.fori_loop(0, NB, body, 0)
@@ -1868,9 +1919,11 @@ def _make_forward_kernel_v4(
         @pl.when(NB >= 2)
         def _():
             out_dma(jax.lax.rem(NB - 2, 2), NB - 2).wait()
-            dm_dma(jax.lax.rem(NB - 2, 2), NB - 2).wait()
+            if emit_dm:
+                dm_dma(jax.lax.rem(NB - 2, 2), NB - 2).wait()
         out_dma(jax.lax.rem(NB - 1, 2), NB - 1).wait()
-        dm_dma(jax.lax.rem(NB - 1, 2), NB - 1).wait()
+        if emit_dm:
+            dm_dma(jax.lax.rem(NB - 1, 2), NB - 1).wait()
 
     return kernel
 
@@ -2139,41 +2192,11 @@ def em_counts_fused_pallas_v4(
     )
 
     weighted = obs_weights is not None
-    w_args = []
-    w_in_spec = []
-    w_scratch = []
-    if weighted:
-        # weights -> [G, NB, K, 8, Bg] f32, row 0 = weight (pad rows 0)
-        w_t = jnp.pad(
-            jnp.moveaxis(obs_weights.astype(jnp.float32), 1, 0),
-            ((0, Lp - L), (0, Bp - B)),
-        )                                                # [Lp, Bp]
-        w_arr = jnp.moveaxis(
-            w_t.reshape(NB, K, 1, G, Bg), 3, 0
-        )
-        w_arr = jnp.concatenate(
-            [w_arr, jnp.zeros((G, NB, K, 7, Bg), jnp.float32)], axis=3
-        )
-        w_args = [w_arr]
-        w_in_spec = [pl.BlockSpec(memory_space=pl.ANY)]
-        w_scratch = [pltpu.VMEM((2, K, 8, Bg), jnp.float32)]
-    w_sem = [pltpu.SemaphoreType.DMA((2,))] if weighted else []
-
-    g_args = []
-    g_in_spec = []
-    g_scratch = []
-    if has_gauss:
-        gf_arr, _ = _gauss_feat_stream(
-            gauss_values, L, Lp, B, Bp, NB, K, G, Bg
-        )
-        gw = _gauss_coeff_matrix(gauss_params, Sp, GFp)
-        g_args = [gf_arr, gw]
-        g_in_spec = [
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((Sp, GFp), lambda g: (0, 0)),
-        ]
-        g_scratch = [pltpu.VMEM((2, K, GFp, Bg), jnp.float32)]
-    g_sem = [pltpu.SemaphoreType.DMA((2,))] if has_gauss else []
+    opt_args, opt_in_spec, opt_scratch, opt_sems = _v4_opt_streams(
+        obs_weights, gauss_params if has_gauss else None,
+        gauss_values if has_gauss else None,
+        L, Lp, B, Bp, NB, K, G, Bg, Sp, GFp,
+    )
 
     alpha_pad, dm_pad = pl.pallas_call(
         _make_forward_kernel_v4(T, V, weighted, has_gauss),
@@ -2184,7 +2207,7 @@ def em_counts_fused_pallas_v4(
             pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
             pl.BlockSpec((Sp, TVp), lambda g: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-        ] + w_in_spec + g_in_spec,
+        ] + opt_in_spec,
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -2195,12 +2218,12 @@ def em_counts_fused_pallas_v4(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, K, Tp, Bg), jnp.int32),
-        ] + w_scratch + g_scratch + [
+        ] + opt_scratch + [
             pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
             pltpu.VMEM((2, K, 8, Bg), jnp.float32),
             pltpu.VMEM((Sp, Bg), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ] + w_sem + g_sem + [
+        ] + opt_sems + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -2208,7 +2231,7 @@ def em_counts_fused_pallas_v4(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(len_g, start_g, trans_t, em_flat, sym_arr, *w_args, *g_args)
+    )(len_g, start_g, trans_t, em_flat, sym_arr, *opt_args)
 
     stats_out_specs = [
         pl.BlockSpec((1, Sp, Sp), lambda g: (g, 0, 0)),
@@ -2237,7 +2260,7 @@ def em_counts_fused_pallas_v4(
             pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
             pl.BlockSpec((Sp, TVp), lambda g: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-        ] + w_in_spec + g_in_spec + [
+        ] + opt_in_spec + [
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -2245,14 +2268,14 @@ def em_counts_fused_pallas_v4(
         out_shape=stats_out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, K, Tp, Bg), jnp.int32),
-        ] + w_scratch + g_scratch + [
+        ] + opt_scratch + [
             pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
             pltpu.VMEM((2, K, 8, Bg), jnp.float32),
             pltpu.VMEM((Sp, Bg), jnp.float32),
             pltpu.VMEM((Sp, Bg), jnp.float32),
             pltpu.VMEM((8, Bg), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ] + w_sem + g_sem + [
+        ] + opt_sems + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -2260,7 +2283,7 @@ def em_counts_fused_pallas_v4(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(len_g, trans_p, trans_t, em_flat, sym_arr, *w_args, *g_args,
+    )(len_g, trans_p, trans_t, em_flat, sym_arr, *opt_args,
       alpha_pad, dm_pad)
     pair_g, emc_g, start_cnt_g = stats[0], stats[1], stats[2]
 
@@ -2631,40 +2654,11 @@ def viterbi_fused_pallas_v4(
     )
 
     weighted = obs_weights is not None
-    w_args = []
-    w_in_spec = []
-    w_scratch = []
-    if weighted:
-        w_t = jnp.pad(
-            jnp.moveaxis(obs_weights.astype(jnp.float32), 1, 0),
-            ((0, Lp - L), (0, Bp - B)),
-        )                                                # [Lp, Bp]
-        w_arr = jnp.moveaxis(
-            w_t.reshape(NB, K, 1, G, Bg), 3, 0
-        )
-        w_arr = jnp.concatenate(
-            [w_arr, jnp.zeros((G, NB, K, 7, Bg), jnp.float32)], axis=3
-        )
-        w_args = [w_arr]
-        w_in_spec = [pl.BlockSpec(memory_space=pl.ANY)]
-        w_scratch = [pltpu.VMEM((2, K, 8, Bg), jnp.float32)]
-    w_sem = [pltpu.SemaphoreType.DMA((2,))] if weighted else []
-
-    g_args = []
-    g_in_spec = []
-    g_scratch = []
-    if has_gauss:
-        gf_arr, _ = _gauss_feat_stream(
-            gauss_values, L, Lp, B, Bp, NB, K, G, Bg
-        )
-        gw = _gauss_coeff_matrix(gauss_params, Sp, GFp)
-        g_args = [gf_arr, gw]
-        g_in_spec = [
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((Sp, GFp), lambda g: (0, 0)),
-        ]
-        g_scratch = [pltpu.VMEM((2, K, GFp, Bg), jnp.float32)]
-    g_sem = [pltpu.SemaphoreType.DMA((2,))] if has_gauss else []
+    opt_args, opt_in_spec, opt_scratch, opt_sems = _v4_opt_streams(
+        obs_weights, gauss_params if has_gauss else None,
+        gauss_values if has_gauss else None,
+        L, Lp, B, Bp, NB, K, G, Bg, Sp, GFp,
+    )
 
     v_pad, dm_pad = pl.pallas_call(
         _make_viterbi_fwd_kernel_v4(T, V, weighted, has_gauss),
@@ -2675,7 +2669,7 @@ def viterbi_fused_pallas_v4(
             pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
             pl.BlockSpec((Sp, TVp), lambda g: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-        ] + w_in_spec + g_in_spec,
+        ] + opt_in_spec,
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -2686,12 +2680,12 @@ def viterbi_fused_pallas_v4(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, K, Tp, Bg), jnp.int32),
-        ] + w_scratch + g_scratch + [
+        ] + opt_scratch + [
             pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
             pltpu.VMEM((2, K, 8, Bg), jnp.float32),
             pltpu.VMEM((Sp, Bg), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ] + w_sem + g_sem + [
+        ] + opt_sems + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -2699,7 +2693,7 @@ def viterbi_fused_pallas_v4(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(len_g, start_g, trans_p, em_flat, sym_arr, *w_args, *g_args)
+    )(len_g, start_g, trans_p, em_flat, sym_arr, *opt_args)
 
     path_pad = pl.pallas_call(
         _viterbi_backtrace_kernel_v4,
@@ -2970,43 +2964,16 @@ def posterior_decode_fused_pallas_v4(
     )
 
     weighted = obs_weights is not None
-    w_args = []
-    w_in_spec = []
-    w_scratch = []
-    if weighted:
-        w_t = jnp.pad(
-            jnp.moveaxis(obs_weights.astype(jnp.float32), 1, 0),
-            ((0, Lp - L), (0, Bp - B)),
-        )                                                # [Lp, Bp]
-        w_arr = jnp.moveaxis(
-            w_t.reshape(NB, K, 1, G, Bg), 3, 0
-        )
-        w_arr = jnp.concatenate(
-            [w_arr, jnp.zeros((G, NB, K, 7, Bg), jnp.float32)], axis=3
-        )
-        w_args = [w_arr]
-        w_in_spec = [pl.BlockSpec(memory_space=pl.ANY)]
-        w_scratch = [pltpu.VMEM((2, K, 8, Bg), jnp.float32)]
-    w_sem = [pltpu.SemaphoreType.DMA((2,))] if weighted else []
+    opt_args, opt_in_spec, opt_scratch, opt_sems = _v4_opt_streams(
+        obs_weights, gauss_params if has_gauss else None,
+        gauss_values if has_gauss else None,
+        L, Lp, B, Bp, NB, K, G, Bg, Sp, GFp,
+    )
 
-    g_args = []
-    g_in_spec = []
-    g_scratch = []
-    if has_gauss:
-        gf_arr, _ = _gauss_feat_stream(
-            gauss_values, L, Lp, B, Bp, NB, K, G, Bg
-        )
-        gw = _gauss_coeff_matrix(gauss_params, Sp, GFp)
-        g_args = [gf_arr, gw]
-        g_in_spec = [
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((Sp, GFp), lambda g: (0, 0)),
-        ]
-        g_scratch = [pltpu.VMEM((2, K, GFp, Bg), jnp.float32)]
-    g_sem = [pltpu.SemaphoreType.DMA((2,))] if has_gauss else []
-
-    alpha_pad, _dm_pad = pl.pallas_call(
-        _make_forward_kernel_v4(T, V, weighted, has_gauss),
+    alpha_pad = pl.pallas_call(
+        _make_forward_kernel_v4(
+            T, V, weighted, has_gauss, emit_dm=False
+        ),
         grid=(G,),
         in_specs=[
             pl.BlockSpec((1, 1, Bg), lambda g: (g, 0, 0)),
@@ -3014,31 +2981,25 @@ def posterior_decode_fused_pallas_v4(
             pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
             pl.BlockSpec((Sp, TVp), lambda g: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-        ] + w_in_spec + g_in_spec,
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((G, NB, K, Sp, Bg), jnp.float32),
-            jax.ShapeDtypeStruct((G, NB, K, 8, Bg), jnp.float32),
-        ],
+        ] + opt_in_spec,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(
+            (G, NB, K, Sp, Bg), jnp.float32
+        ),
         scratch_shapes=[
             pltpu.VMEM((2, K, Tp, Bg), jnp.int32),
-        ] + w_scratch + g_scratch + [
+        ] + opt_scratch + [
             pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
-            pltpu.VMEM((2, K, 8, Bg), jnp.float32),
             pltpu.VMEM((Sp, Bg), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ] + w_sem + g_sem + [
-            pltpu.SemaphoreType.DMA((2,)),
+        ] + opt_sems + [
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(len_g, start_g, trans_t, em_flat, sym_arr, *w_args, *g_args)
+    )(len_g, start_g, trans_t, em_flat, sym_arr, *opt_args)
 
     path_pad = pl.pallas_call(
         _make_post_decode_kernel_v4(T, V, weighted, has_gauss),
@@ -3048,19 +3009,19 @@ def posterior_decode_fused_pallas_v4(
             pl.BlockSpec((Sp, Sp), lambda g: (0, 0)),
             pl.BlockSpec((Sp, TVp), lambda g: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-        ] + w_in_spec + g_in_spec + [
+        ] + opt_in_spec + [
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((G, NB, K, 8, Bg), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((2, K, Tp, Bg), jnp.int32),
-        ] + w_scratch + g_scratch + [
+        ] + opt_scratch + [
             pltpu.VMEM((2, K, Sp, Bg), jnp.float32),
             pltpu.VMEM((2, K, 8, Bg), jnp.int32),
             pltpu.VMEM((Sp, Bg), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ] + w_sem + g_sem + [
+        ] + opt_sems + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -3068,7 +3029,7 @@ def posterior_decode_fused_pallas_v4(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(len_g, trans_p, em_flat, sym_arr, *w_args, *g_args, alpha_pad)
+    )(len_g, trans_p, em_flat, sym_arr, *opt_args, alpha_pad)
 
     path = jnp.moveaxis(
         path_pad[:, :, :, 0, :], 0, 2

@@ -43,6 +43,27 @@ class StitchReport:
     boundaries_ok: bool
 
 
+
+def _weight_batch(weight_arrays, chunks):
+    """Per-table f32[L] weights -> the chunk batch's [n, Lc] rows
+    (same planning as the symbols, via a single-column round-trip)."""
+    wb = batch_chunks(
+        [np.asarray(w, np.float32)[:, None] for w in weight_arrays],
+        chunks,
+    )
+    return wb.symbols[..., 0]
+
+
+def _weight_block(wmats, lo, Lc, B):
+    """Ones-padded [B, Lc] weight slice starting at position ``lo``
+    (padding value is inert: padded positions are length-masked)."""
+    wb = np.ones((B, Lc), np.float32)
+    for b, wv in enumerate(wmats):
+        piece = wv[lo : lo + Lc]
+        wb[b, : len(piece)] = piece
+    return wb
+
+
 def _decode_batch(
     params: HmmParams,
     symbols: np.ndarray,
@@ -163,7 +184,10 @@ def viterbi_chunked(
       halo: initial halo width; doubled on disagreement up to max_halo.
       agree_frac: fraction of the halo used as the agreement window.
       rows_per_pass: chunks decoded per device dispatch (fixed shape).
-      strict: raise instead of warn if max_halo still disagrees.
+      strict: accepted for API compatibility; since the exact
+        checkpointed fallback now covers every input (including
+        segment weights), persistent disagreement can no longer
+        produce inexact output, so there is nothing to raise on.
       weight_arrays: optional per-table f32[L] emission weights
         (segment mode --segLen).
       gauss_params: gaussian-track emissions (models/gauss.py); values
@@ -188,12 +212,7 @@ def viterbi_chunked(
         batch = batch_chunks(mats, chunks)
         wbatch = None
         if weight_arrays is not None:
-            wb = batch_chunks(
-                [np.asarray(w, np.float32)[:, None]
-                 for w in weight_arrays],
-                chunks,
-            )
-            wbatch = wb.symbols[..., 0]
+            wbatch = _weight_batch(weight_arrays, chunks)
         vbatch = None
         if value_arrays is not None:
             vbatch = batch_chunks(value_arrays, chunks).symbols
@@ -297,12 +316,7 @@ def posterior_chunked(
             vbatch = batch_chunks(value_arrays, chunks).symbols
         wbatch = None
         if weight_arrays is not None:
-            wb = batch_chunks(
-                [np.asarray(w, np.float32)[:, None]
-                 for w in weight_arrays],
-                chunks,
-            )
-            wbatch = wb.symbols[..., 0]
+            wbatch = _weight_batch(weight_arrays, chunks)
         decoded = _posterior_batch(
             params, batch.symbols, batch.lengths, rows_per_pass,
             gauss_params, vbatch, wbatch,
@@ -486,11 +500,9 @@ def posterior_sweep(
                 gauss_params, jnp.asarray(vb)
             )
         if wmats is not None:
-            wb = np.ones((B, Lc), np.float32)
-            for b, wv in enumerate(wmats):
-                piece = wv[lo : lo + Lc]
-                wb[b, : len(piece)] = piece
-            obs = obs * jnp.asarray(wb)[:, :, None]
+            obs = obs * jnp.asarray(
+                _weight_block(wmats, lo, Lc, B)
+            )[:, :, None]
         lens = jnp.asarray(np.clip(true_lens - lo, 0, Lc))
         return obs, lens
 
@@ -632,11 +644,9 @@ def viterbi_exact(
                 gauss_params, jnp.asarray(vb)
             )
         if wmats is not None:
-            wb = np.ones((B, Lc), np.float32)
-            for b, wv in enumerate(wmats):
-                piece = wv[lo : lo + Lc]
-                wb[b, : len(piece)] = piece
-            obs = obs * jnp.asarray(wb)[:, :, None]
+            obs = obs * jnp.asarray(
+                _weight_block(wmats, lo, Lc, B)
+            )[:, :, None]
         lens = jnp.asarray(np.clip(true_lens - lo, 0, Lc))
         return obs, lens
 
