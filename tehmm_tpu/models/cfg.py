@@ -330,38 +330,50 @@ def fit_match_bonus(
     """Unsupervised fit of a SHARED match bonus: maximize the total
     inside log-likelihood over a coarse grid, then golden-style refine
     around the best point (the likelihood in w is smooth and unimodal in
-    practice; each evaluation is a full inside pass).  This is the
+    practice).  Every round's candidates are evaluated as ONE vmapped
+    inside pass per table (the candidates differ only in the log_match
+    vector), not one dispatch per (candidate, table).  This is the
     trainable counterpart of the reference's user-set match weighting
     (reference: teHmmTrain --cfg [R?])."""
 
-    def total_ll(w: float) -> float:
-        p = CfgParams(
-            hmm=params.hmm,
-            pair_mask=params.pair_mask,
-            log_match=jnp.where(
-                params.pair_mask, jnp.float32(w), 0.0
-            ),
-            log_sa=params.log_sa,
-        )
-        tot = 0.0
-        for obs, sym in zip(obs_list, symbols_list):
-            L = obs.shape[0]
-            tot += float(
-                cfg_inside_loglik(p, obs, sym, min(max_span, L))
-            )
-        return tot
+    def batch_ll(ws: "list[float]") -> "list[float]":
+        lm = jnp.where(
+            params.pair_mask[None, :],
+            jnp.asarray(ws, jnp.float32)[:, None], 0.0
+        )                                                # [W, S]
 
-    scored = {float(w): total_ll(float(w)) for w in candidates}
+        def one(log_match, obs, sym, span):
+            p = CfgParams(
+                hmm=params.hmm,
+                pair_mask=params.pair_mask,
+                log_match=log_match,
+                log_sa=params.log_sa,
+            )
+            return cfg_inside_loglik(p, obs, sym, span)
+
+        tot = np.zeros(len(ws))
+        for obs, sym in zip(obs_list, symbols_list):
+            span = min(max_span, obs.shape[0])
+            tot += np.asarray(jax.vmap(
+                one, in_axes=(0, None, None, None)
+            )(lm, obs, sym, span))
+        return [float(t) for t in tot]
+
+    ws0 = [float(w) for w in candidates]
+    scored = dict(zip(ws0, batch_ll(ws0)))
     for _ in range(refine_rounds):
         ws = sorted(scored)
         best = max(ws, key=lambda w: scored[w])
         i = ws.index(best)
         lo = ws[max(i - 1, 0)]
         hi = ws[min(i + 1, len(ws) - 1)]
-        for w in ((lo + best) / 2, (best + hi) / 2):
-            w = round(float(w), 6)
-            if w not in scored:
-                scored[w] = total_ll(w)
+        new = [
+            w for w in (
+                round((lo + best) / 2, 6), round((best + hi) / 2, 6)
+            ) if w not in scored
+        ]
+        if new:
+            scored.update(zip(new, batch_ll(new)))
     return max(scored, key=lambda w: scored[w])
 
 
