@@ -54,6 +54,31 @@ from tehmm_tpu.utils.common import EPSILON, JsonlMetrics, logger
 _MAX_PASS_POSITIONS = 4 << 20
 
 
+def _make_passes(symbols, lengths, obs_weights, gauss_values,
+                 rows_per_pass):
+    """Split the staged observation batch into fixed-shape pass blocks
+    of ``rows_per_pass`` rows (zero-padded; padded rows have length 0).
+    Returns (sym[P,r,...], len[P,r], w[P,r,L]|None, gv[P,r,L,G]|None) or
+    None when one pass suffices."""
+    n_rows = symbols.shape[0]
+    if n_rows <= rows_per_pass:
+        return None
+    P = -(-n_rows // rows_per_pass)
+    pad = P * rows_per_pass - n_rows
+    sym_p = jnp.pad(symbols, ((0, pad), (0, 0), (0, 0)))
+    len_p = jnp.pad(lengths, (0, pad))
+    return (
+        sym_p.reshape(P, rows_per_pass, *symbols.shape[1:]),
+        len_p.reshape(P, rows_per_pass),
+        None if obs_weights is None else jnp.pad(
+            obs_weights, ((0, pad), (0, 0))
+        ).reshape(P, rows_per_pass, -1),
+        None if gauss_values is None else jnp.pad(
+            gauss_values, ((0, pad), (0, 0), (0, 0))
+        ).reshape(P, rows_per_pass, *gauss_values.shape[1:]),
+    )
+
+
 @dataclasses.dataclass
 class FitResult:
     logliks: list[float]
@@ -297,26 +322,18 @@ class MultitrackHmm:
         # XLA buffer donation intact (a lax.scan over passes — see
         # em_epoch_scan — loses donation and pays copies per pass).
         passes = None
-        max_pass_positions = _MAX_PASS_POSITIONS
-        n_rows, Lr = symbols.shape[0], symbols.shape[1]
-        rows_per_pass = max(1, max_pass_positions // max(Lr, 1))
-        if mesh is None and n_rows > rows_per_pass:
-            P = -(-n_rows // rows_per_pass)
-            pad = P * rows_per_pass - n_rows
-            sym_p = jnp.pad(symbols, ((0, pad), (0, 0), (0, 0)))
-            len_p = jnp.pad(lengths, (0, pad))
-            passes = (
-                sym_p.reshape(P, rows_per_pass, *symbols.shape[1:]),
-                len_p.reshape(P, rows_per_pass),
-                None if obs_weights is None else jnp.pad(
-                    obs_weights, ((0, pad), (0, 0))
-                ).reshape(P, rows_per_pass, -1),
-                None if gauss_values is None else jnp.pad(
-                    gauss_values, ((0, pad), (0, 0), (0, 0))
-                ).reshape(
-                    P, rows_per_pass, *gauss_values.shape[1:]
-                ),
+        Lr = symbols.shape[1]
+        rows_per_pass = max(1, _MAX_PASS_POSITIONS // max(Lr, 1))
+        if mesh is None and not device_loop:
+            passes = _make_passes(
+                symbols, lengths, obs_weights, gauss_values,
+                rows_per_pass,
             )
+        if passes is not None:
+            # the un-split staged arrays are unreachable below once the
+            # passes exist — drop them so the padded copies don't double
+            # device memory in exactly the memory-bounded path
+            symbols = lengths = obs_weights = gauss_values = None
 
         if device_loop:
             if mesh is not None:
@@ -363,14 +380,18 @@ class MultitrackHmm:
         # convergence check trails by one iteration.
         pending = None  # (iter_idx, device_ll, dispatch_time)
 
-        def _drain(it_t0):
+        def _drain(_now=None):
             nonlocal converged
             if pending is None:
                 return False
-            it, dev_ll, _ = pending
+            # time from the PENDING iteration's own dispatch — not the
+            # caller's current iteration start, which would misattribute
+            # interleaved host work (e.g. checkpoint writes) and report
+            # a near-zero wall for the final post-loop drain
+            it, dev_ll, dispatch_t0 = pending
             ll = float(dev_ll)
             logliks.append(ll)
-            wall = time.time() - it_t0
+            wall = time.time() - dispatch_t0
             logger.info(
                 "EM iter %d: loglik %.4f (%.2fs, %.3g pos/s)",
                 it, ll, wall, n_positions / max(wall, 1e-9),
@@ -426,13 +447,13 @@ class MultitrackHmm:
                 )
             ll = stats.loglik
             self.params = new_params
-            if _drain(it_t0):  # previous iteration's result
+            if _drain():  # previous iteration's result
                 break
             pending = (it, ll, it_t0)
             if checkpoint_path and (it + 1) % checkpoint_every == 0:
                 self.save(checkpoint_path, extra={"iteration": it})
         if not converged:
-            _drain(time.time())
+            _drain()
         return FitResult(
             logliks=logliks,
             iterations=len(logliks),
@@ -541,6 +562,11 @@ class MultitrackHmm:
         mats = [t.symbols for t in tables]
         true_lens = np.asarray([len(m) for m in mats])
         L = int(true_lens.max())
+        if L == 0:
+            # every table empty: the loglik of an empty product is 0
+            # (streaming_loglik would otherwise next() an exhausted
+            # chunk iterator and raise StopIteration)
+            return 0.0
         T = mats[0].shape[1]
         n_chunks = -(-L // chunk_len)
 
@@ -683,24 +709,11 @@ def fit_restarts(
     )
 
     # pass-blocks: the vmapped E-step working set is R x one restart's
-    n_rows, Lr = symbols.shape[0], symbols.shape[1]
+    Lr = symbols.shape[1]
     rows_per_pass = max(1, _MAX_PASS_POSITIONS // max(Lr, 1) // R)
-    passes = None
-    if n_rows > rows_per_pass:
-        P = -(-n_rows // rows_per_pass)
-        pad = P * rows_per_pass - n_rows
-        sym_p = jnp.pad(symbols, ((0, pad), (0, 0), (0, 0)))
-        len_p = jnp.pad(lengths, (0, pad))
-        passes = (
-            sym_p.reshape(P, rows_per_pass, *symbols.shape[1:]),
-            len_p.reshape(P, rows_per_pass),
-            None if obs_weights is None else jnp.pad(
-                obs_weights, ((0, pad), (0, 0))
-            ).reshape(P, rows_per_pass, -1),
-            None if gauss_values is None else jnp.pad(
-                gauss_values, ((0, pad), (0, 0), (0, 0))
-            ).reshape(P, rows_per_pass, *gauss_values.shape[1:]),
-        )
+    passes = _make_passes(
+        symbols, lengths, obs_weights, gauss_values, rows_per_pass
+    )
 
     t0 = time.time()
     hist: list[np.ndarray] = []          # per-iter f32[R]

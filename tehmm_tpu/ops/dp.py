@@ -80,6 +80,72 @@ def _mask_carry(new: jax.Array, old: jax.Array, valid_t: jax.Array):
     return jnp.where(valid_t[:, None], new, old)
 
 
+def _fwd_step(log_trans, trans_exp, lengths, matmul, emit):
+    """The CANONICAL forward step — one op sequence shared by the
+    monolithic scan (forward_scaled) and the chunk continuations
+    (forward_final, forward_chunk_values).  Their documented
+    bit-identity depends on every copy executing identical ops in
+    identical order, so there is exactly one copy.
+
+    emit: "both" -> (new_hat, dm); "dm" -> dm; "hat" -> new_hat."""
+
+    def step(a_hat, xs):
+        obs_row, t = xs
+        new = _logdot(a_hat, log_trans, trans_exp, matmul) + obs_row
+        new_hat, dm = _renorm(new)
+        valid_t = t < lengths
+        new_hat = _mask_carry(new_hat, a_hat, valid_t)
+        if emit == "hat":
+            return new_hat, new_hat
+        dm = jnp.where(valid_t, dm, 0.0)
+        if emit == "dm":
+            return new_hat, dm
+        return new_hat, (new_hat, dm)
+
+    return step
+
+
+def _bwd_step(log_trans_T, trans_exp_T, lengths, matmul, emit):
+    """The canonical backward step shared by backward_scaled and
+    backward_chunk_values (same bit-identity contract as _fwd_step).
+
+    emit: "both" -> (new_hat, dm); "hat" -> new_hat."""
+
+    def step(b_hat, xs):
+        obs_next, t_next = xs                              # position t+1
+        x = obs_next + b_hat                               # [B,S]
+        x_hat, xm = _renorm(x)
+        new = _logdot(x_hat, log_trans_T, trans_exp_T, matmul)
+        new_hat, nm = _renorm(new)
+        valid_t = t_next < lengths
+        new_hat = _mask_carry(new_hat, b_hat, valid_t)
+        if emit == "hat":
+            return new_hat, new_hat
+        dm = jnp.where(valid_t, xm + nm, 0.0)
+        return new_hat, (new_hat, dm)
+
+    return step
+
+
+def _maxplus_step(log_trans, lengths, emit):
+    """The canonical max-plus step shared by viterbi_carry and
+    viterbi_chunk_values (same bit-identity contract as _fwd_step).
+
+    emit: "hat" -> new_hat; "none" -> None."""
+
+    def step(v_hat, xs):
+        obs_row, t = xs
+        best = jnp.max(
+            v_hat[:, :, None] + log_trans[None, :, :], axis=1
+        )
+        new_hat, _ = _renorm(best + obs_row)
+        valid_t = t < lengths
+        new_hat = _mask_carry(new_hat, v_hat, valid_t)
+        return new_hat, (new_hat if emit == "hat" else None)
+
+    return step
+
+
 @partial(jax.jit, static_argnames=("matmul",))
 def forward_scaled(
     log_start: jax.Array,
@@ -108,15 +174,7 @@ def forward_scaled(
     a0 = jnp.where((lengths > 0)[:, None], a0, LOG_ZERO)
     a0_hat, c0 = _renorm(a0)
 
-    def step(a_hat, xs):
-        obs_row, t = xs
-        new = _logdot(a_hat, log_trans, trans_exp, matmul) + obs_row
-        new_hat, dm = _renorm(new)
-        valid_t = t < lengths
-        new_hat = _mask_carry(new_hat, a_hat, valid_t)
-        dm = jnp.where(valid_t, dm, 0.0)
-        return new_hat, (new_hat, dm)
-
+    step = _fwd_step(log_trans, trans_exp, lengths, matmul, "both")
     ts = jnp.arange(1, L)
     _, (a_hats, dms) = jax.lax.scan(step, a0_hat, (obs_t[1:], ts), unroll=_UNROLL)
     alpha_hat = jnp.concatenate([a0_hat[None], a_hats], axis=0)
@@ -162,17 +220,7 @@ def backward_scaled(
     b_last = jnp.zeros_like(obs_t[0])
     d_last = jnp.zeros_like(obs_t[0, :, 0])
 
-    def step(b_hat, xs):
-        obs_next, t_next = xs                              # position t+1
-        x = obs_next + b_hat                               # [B,S]
-        x_hat, xm = _renorm(x)
-        new = _logdot(x_hat, log_trans_T, trans_exp_T, matmul)
-        new_hat, nm = _renorm(new)
-        valid_t = t_next < lengths
-        new_hat = _mask_carry(new_hat, b_hat, valid_t)
-        dm = jnp.where(valid_t, xm + nm, 0.0)
-        return new_hat, (new_hat, dm)
-
+    step = _bwd_step(log_trans_T, trans_exp_T, lengths, matmul, "both")
     ts = jnp.arange(1, L)
     _, (b_hats, dms) = jax.lax.scan(
         step, b_last, (obs_t[1:], ts), reverse=True
@@ -272,6 +320,17 @@ def viterbi(
     v0 = log_start[None, :] + obs_t[0]
     v0_hat, m0 = _renorm(v0)
 
+    if L == 1:
+        # no transitions: the two scans below would disagree on their
+        # leading axis (1 vs 0) and crash — the path is just the best
+        # start-weighted state
+        nonempty = lengths > 0
+        score = jnp.where(nonempty, jnp.max(v0, axis=-1), 0.0)
+        path = jnp.where(
+            nonempty, jnp.argmax(v0, axis=-1).astype(jnp.int32), 0
+        )
+        return path[:, None], score
+
     def step(carry, xs):
         v_hat, m = carry
         obs_row, t = xs
@@ -351,15 +410,7 @@ def forward_final(
     obs_t = jnp.moveaxis(obs, 1, 0)
     trans_exp = jnp.exp(log_trans)
 
-    def step(a_hat, xs):
-        obs_row, t = xs
-        new = _logdot(a_hat, log_trans, trans_exp, matmul) + obs_row
-        new_hat, dm = _renorm(new)
-        valid_t = t < lengths
-        new_hat = _mask_carry(new_hat, a_hat, valid_t)
-        dm = jnp.where(valid_t, dm, 0.0)
-        return new_hat, dm
-
+    step = _fwd_step(log_trans, trans_exp, lengths, matmul, "dm")
     ts = jnp.arange(Lc)
     final_hat, dms = jax.lax.scan(step, alpha_hat_init, (obs_t, ts), unroll=_UNROLL)
     return final_hat, jnp.sum(dms, axis=0)
@@ -384,8 +435,10 @@ def streaming_loglik(
     lens0 = next(lens_it) if lens_it is not None else None
     B, Lc, S = first.shape
     a0 = log_start[None, :] + first[:, 0, :]
+    row_lens = None
     if lens0 is not None:
-        a0 = jnp.where((jnp.asarray(lens0) > 0)[:, None], a0, LOG_ZERO)
+        row_lens = jnp.asarray(lens0)
+        a0 = jnp.where((row_lens > 0)[:, None], a0, LOG_ZERO)
     a_hat, m0 = _renorm(a0)
     rest_lens = None if lens0 is None else jnp.maximum(
         jnp.asarray(lens0) - 1, 0
@@ -394,12 +447,21 @@ def streaming_loglik(
     total = m0 + dm
     for chunk in it:
         lens = next(lens_it) if lens_it is not None else None
+        if lens is not None:
+            row_lens = row_lens + jnp.asarray(lens) \
+                if row_lens is not None else jnp.asarray(lens)
         a_hat, dm = forward_final(
             log_trans, chunk, a_hat,
             None if lens is None else jnp.asarray(lens),
         )
         total = total + dm
-    return total + jnp.log(jnp.sum(jnp.exp(a_hat), axis=-1))
+    total = total + jnp.log(jnp.sum(jnp.exp(a_hat), axis=-1))
+    if row_lens is not None:
+        # zero-length rows: empty product — loglik 0, matching
+        # forward_scaled's lengths>0 guard (the masked a0 would
+        # otherwise leak its -1e30 normalizer into the total)
+        total = jnp.where(row_lens > 0, total, 0.0)
+    return total
 
 
 # ---------------------------------------------------------------------
@@ -433,14 +495,7 @@ def forward_chunk_values(
     obs_t = jnp.moveaxis(obs, 1, 0)
     trans_exp = jnp.exp(log_trans)
 
-    def step(a_hat, xs):
-        obs_row, t = xs
-        new = _logdot(a_hat, log_trans, trans_exp, matmul) + obs_row
-        new_hat, _ = _renorm(new)
-        valid_t = t < lengths
-        new_hat = _mask_carry(new_hat, a_hat, valid_t)
-        return new_hat, new_hat
-
+    step = _fwd_step(log_trans, trans_exp, lengths, matmul, "hat")
     ts = jnp.arange(Lc)
     final, a_hats = jax.lax.scan(
         step, a_hat_init, (obs_t, ts), unroll=_UNROLL
@@ -484,16 +539,7 @@ def backward_chunk_values(
         continuing[:, None], b_cont, jnp.zeros_like(b_cont)
     )
 
-    def step(b_hat, xs):
-        obs_next, t_next = xs
-        x = obs_next + b_hat
-        x_hat, _ = _renorm(x)
-        new = _logdot(x_hat, log_trans_T, trans_exp_T, matmul)
-        new_hat, _ = _renorm(new)
-        valid_t = t_next < lengths
-        new_hat = _mask_carry(new_hat, b_hat, valid_t)
-        return new_hat, new_hat
-
+    step = _bwd_step(log_trans_T, trans_exp_T, lengths, matmul, "hat")
     ts = jnp.arange(1, Lc)
     _, b_hats = jax.lax.scan(
         step, b_init, (obs_t[1:], ts), reverse=True, unroll=_UNROLL
@@ -522,15 +568,7 @@ def viterbi_carry(
     lengths = jnp.full((B,), Lc) if lengths is None else lengths
     obs_t = jnp.moveaxis(obs, 1, 0)
 
-    def step(v_hat, xs):
-        obs_row, t = xs
-        best = jnp.max(
-            v_hat[:, :, None] + log_trans[None, :, :], axis=1
-        )
-        new_hat, _ = _renorm(best + obs_row)
-        valid_t = t < lengths
-        return _mask_carry(new_hat, v_hat, valid_t), None
-
+    step = _maxplus_step(log_trans, lengths, "none")
     ts = jnp.arange(Lc)
     final, _ = jax.lax.scan(step, v_hat_init, (obs_t, ts), unroll=_UNROLL)
     return final
@@ -553,16 +591,7 @@ def viterbi_chunk_values(
     lengths = jnp.full((B,), Lc) if lengths is None else lengths
     obs_t = jnp.moveaxis(obs, 1, 0)
 
-    def step(v_hat, xs):
-        obs_row, t = xs
-        best = jnp.max(
-            v_hat[:, :, None] + log_trans[None, :, :], axis=1
-        )
-        new_hat, _ = _renorm(best + obs_row)
-        valid_t = t < lengths
-        new_hat = _mask_carry(new_hat, v_hat, valid_t)
-        return new_hat, new_hat
-
+    step = _maxplus_step(log_trans, lengths, "hat")
     ts = jnp.arange(Lc)
     _, v_hats = jax.lax.scan(step, v_hat_init, (obs_t, ts), unroll=_UNROLL)
     return jnp.moveaxis(v_hats, 0, 1)

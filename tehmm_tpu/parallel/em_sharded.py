@@ -110,23 +110,50 @@ def sharded_loglik(
     symbols: jax.Array,
     lengths: jax.Array,
     mesh: jax.sharding.Mesh,
+    obs_weights: jax.Array | None = None,
+    gauss_params=None,
+    gauss_values: jax.Array | None = None,
 ) -> jax.Array:
     """Total data log-likelihood across the mesh (for scoring /
-    convergence checks without a parameter update)."""
+    convergence checks without a parameter update).  Accepts the same
+    segment-weight / gaussian-track observations as sharded_em_stats —
+    a gaussian model scored without its values would silently return
+    the categorical-only likelihood."""
     from tehmm_tpu.models.emission import track_log_likelihoods
     from tehmm_tpu.ops import dp
 
-    def local(params, symbols, lengths):
+    has_w = obs_weights is not None
+    has_g = gauss_values is not None
+
+    def local(params, symbols, lengths, *rest):
+        i = 0
+        w = gp = gv = None
+        if has_w:
+            w = rest[i]
+            i += 1
+        if has_g:
+            gp, gv = rest[i], rest[i + 1]
         obs = track_log_likelihoods(params.log_em, symbols)
+        if gv is not None:
+            from tehmm_tpu.models.gauss import gauss_log_likelihoods
+
+            obs = obs + gauss_log_likelihoods(gp, gv)
+        if w is not None:
+            obs = obs * w[:, :, None]
         _, _, ll = dp.forward_scaled(
             params.log_start, params.log_trans, obs, lengths
         )
         return jax.lax.psum(ll.sum(), DATA_AXIS)
 
+    args = [params, symbols, lengths]
+    in_specs = [P(), P(DATA_AXIS), P(DATA_AXIS)]
+    if has_w:
+        args.append(obs_weights)
+        in_specs.append(P(DATA_AXIS))
+    if has_g:
+        args.extend([gauss_params, gauss_values])
+        in_specs.extend([P(), P(DATA_AXIS)])
     fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
-        out_specs=P(),
+        local, mesh=mesh, in_specs=tuple(in_specs), out_specs=P()
     )
-    return fn(params, symbols, lengths)
+    return fn(*args)

@@ -502,3 +502,107 @@ class TestPosteriorExact:
         got = model.posterior_distributions([tab], chunk_len=256)[0]
         mono = self._mono_gamma(params, sym)
         np.testing.assert_array_equal(got, mono.astype(np.float32))
+
+
+class TestRegressions:
+    """Fixes from the round-2 latent-bug review."""
+
+    def test_viterbi_single_position(self, rng, make_hmm):
+        """dp.viterbi on L == 1 inputs (e.g. decoding a single-bp BED
+        interval) must not crash and must pick the best start-weighted
+        state; zero-length rows get path 0 / score 0."""
+        S, T, V = 3, 1, 4
+        params = _params(make_hmm(S, T, V))
+        obs = jnp.asarray(
+            rng.randn(2, 1, S).astype(np.float32)
+        )
+        lens = jnp.asarray([1, 0], jnp.int32)
+        path, score = dp.viterbi(
+            params.log_start, params.log_trans, obs, lens
+        )
+        want = int(jnp.argmax(params.log_start + obs[0, 0]))
+        assert int(path[0, 0]) == want
+        assert int(path[1, 0]) == 0 and float(score[1]) == 0.0
+        np.testing.assert_allclose(
+            float(score[0]),
+            float(params.log_start[want] + obs[0, 0, want]),
+            rtol=1e-6,
+        )
+
+    def test_streaming_loglik_empty_row(self, rng, make_hmm):
+        """streaming_loglik must give empty rows loglik 0 like
+        forward_scaled (an unmasked -1e30 normalizer used to leak into
+        the total and poison MultitrackHmm.score)."""
+        S, T, V, L = 3, 1, 4, 12
+        params = _params(make_hmm(S, T, V))
+        obs = jnp.asarray(rng.randn(2, L, S).astype(np.float32))
+        lens = np.asarray([L, 0])
+        want = np.asarray(dp.forward_scaled(
+            params.log_start, params.log_trans, obs, jnp.asarray(lens)
+        )[2])
+        got = np.asarray(dp.streaming_loglik(
+            params.log_start, params.log_trans,
+            [obs[:, :6], obs[:, 6:]],
+            [np.clip(lens, 0, 6), np.clip(lens - 6, 0, 6)],
+        ))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        assert got[1] == 0.0
+
+    def test_score_all_empty_tables(self, make_hmm):
+        """MultitrackHmm.score of only empty tables returns 0.0 instead
+        of raising StopIteration from an exhausted chunk iterator."""
+        import dataclasses as dc
+
+        from tehmm_tpu.models.hmm import MultitrackHmm
+        from tehmm_tpu.io.trackxml import TrackList
+
+        params = _params(make_hmm(3, 2, 5))
+        model = MultitrackHmm(params, TrackList(), {})
+
+        @dc.dataclass
+        class _Tab:
+            symbols: np.ndarray
+            values = None
+
+            def __len__(self):
+                return len(self.symbols)
+
+        empty = _Tab(np.zeros((0, 2), np.int32))
+        assert model.score([empty, empty]) == 0.0
+
+    def test_sharded_loglik_matches_score(self, rng, make_hmm):
+        """sharded_loglik == the single-device forward loglik, including
+        gaussian tracks and segment weights (it used to silently drop
+        both)."""
+        from tehmm_tpu.models.gauss import (
+            GaussParams, gauss_log_likelihoods,
+        )
+        from tehmm_tpu.parallel.em_sharded import sharded_loglik
+        from tehmm_tpu.parallel.mesh import make_data_mesh
+
+        S, T, V, L, B, Gn = 3, 2, 5, 32, 8, 2
+        params = _params(make_hmm(S, T, V))
+        symbols = jnp.asarray(rng.randint(1, V, size=(B, L, T)))
+        lengths = jnp.asarray(
+            np.r_[np.full(B - 2, L), [10, 0]], jnp.int32
+        )
+        w = jnp.asarray(
+            rng.randint(1, 5, size=(B, L)).astype(np.float32)
+        )
+        vals = rng.randn(B, L, Gn).astype(np.float32)
+        vals[rng.rand(B, L, Gn) < 0.1] = np.nan
+        vals = jnp.asarray(vals)
+        gp = GaussParams(
+            mu=jnp.asarray(rng.randn(S, Gn).astype(np.float32)),
+            log_var=jnp.asarray(np.zeros((S, Gn), np.float32)),
+        )
+        obs = track_log_likelihoods(params.log_em, symbols)
+        obs = (obs + gauss_log_likelihoods(gp, vals)) * w[:, :, None]
+        want = float(np.asarray(dp.forward_scaled(
+            params.log_start, params.log_trans, obs, lengths
+        )[2]).sum())
+        got = float(sharded_loglik(
+            params, symbols, lengths, make_data_mesh(8),
+            obs_weights=w, gauss_params=gp, gauss_values=vals,
+        ))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
