@@ -82,8 +82,11 @@ def main(argv=None) -> int:
         raise SystemExit(
             f"model file not found: {opts.inputModel}"
         )
-    # tracks XML may point at different data paths than training; names
-    # must match the model's tracks
+    # The eval-time XML supplies DATA PATHS only; every semantic
+    # attribute (distribution, scale/logScale/shift, valCol, default)
+    # comes from the MODEL's saved track list — the "symbols match
+    # training" invariant (module header) breaks silently if eval-time
+    # binning diverges from training-time binning
     track_list = TrackList(opts.tracksInfo)
     for t in model.track_list:
         if track_list.get_track_by_name(t.name) is None:
@@ -97,13 +100,20 @@ def main(argv=None) -> int:
         src = track_list.get_track_by_name(t.name)
         import dataclasses as _dc
 
-        clone = _dc.replace(src, number=-1)
+        clone = _dc.replace(t, path=src.path, number=-1)
         eval_list.add(clone)
 
     regions = read_bed_intervals(opts.bedRegions, ncol=3)
+    cfg_meta = model.extra.get("cfg") if model.extra else None
     if opts.segment:
         from tehmm_tpu.io.segments import load_segment_data
 
+        if cfg_meta:
+            raise SystemExit(
+                "--segment with a CFG model is not supported: the "
+                "pair-grammar spans are defined over base positions, "
+                "not segments (decode without --segment)"
+            )
         track_data, seg_tables = load_segment_data(
             eval_list, regions, category_maps=model.category_maps
         )
@@ -112,24 +122,32 @@ def main(argv=None) -> int:
         eval_list, regions, category_maps=model.category_maps
     )
 
-    cfg_meta = model.extra.get("cfg") if model.extra else None
     viterbi_like = not (cfg_meta or opts.maxPost)
     paths = None
-    if opts.bed or not viterbi_like:
+    if opts.bed:
         if cfg_meta:
             paths = _cfg_decode(
                 model, cfg_meta, track_data.tables, opts.maxSpan
             )
+        elif opts.maxPost:
+            if opts.exact:
+                from tehmm_tpu.parallel.stitch import posterior_exact
+
+                paths = posterior_exact(
+                    model.params, track_data.tables,
+                    chunk_len=opts.chunk, gauss_params=model.gauss,
+                )
+            else:
+                paths = model.posterior_decode_tables(
+                    track_data.tables, chunk_len=opts.chunk,
+                    halo=opts.halo,
+                )
         elif opts.exact:
             from tehmm_tpu.parallel.stitch import viterbi_exact
 
             paths = viterbi_exact(
                 model.params, track_data.tables, chunk_len=opts.chunk,
                 gauss_params=model.gauss,
-            )
-        elif opts.maxPost:
-            paths = model.posterior_decode_tables(
-                track_data.tables, chunk_len=opts.chunk
             )
         else:
             paths, report = model.decode_tables(
@@ -176,7 +194,9 @@ def main(argv=None) -> int:
         logger.info("wrote %d intervals to %s", len(out), opts.bed)
 
     if opts.pd:
-        dists = model.posterior_distributions(track_data.tables)
+        dists = model.posterior_distributions(
+            track_data.tables, chunk_len=opts.chunk
+        )
         rows = []
         for tab, pd in zip(track_data.tables, dists):
             for i in range(len(tab)):
@@ -205,7 +225,9 @@ def _eval_segments(opts, model, seg_tables) -> int:
         dists = model.posterior_distributions(
             seg_tables, chunk_len=opts.chunk, weight_arrays=weights,
         )
-    if opts.maxPost:
+    if not opts.bed:
+        pass          # only --pd/score output requested: skip decoding
+    elif opts.maxPost:
         if dists is not None:
             # --pd already computed the exact posteriors; the maxPost
             # path is their argmax — skip the second full pass

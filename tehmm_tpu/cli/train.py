@@ -257,9 +257,17 @@ def _train_unsupervised(
     em_paths = [p for p in (opts.initEmProbs, opts.forceEmProbs) if p]
     state_names = priors_io.collect_state_names(trans_paths, em_paths)
     n_states = max(opts.numStates, len(state_names))
-    state_names += [
-        str(i) for i in range(len(state_names), n_states)
-    ]
+    # auto-fill the remaining states with numeric names, SKIPPING any
+    # number a prior file already used as a state name — a duplicate
+    # would make the priors land on the wrong rows (name -> index maps
+    # keep the last duplicate) and corrupt the saved name table
+    used = set(state_names)
+    next_i = 0
+    while len(state_names) < n_states:
+        if str(next_i) not in used:
+            state_names.append(str(next_i))
+            used.add(str(next_i))
+        next_i += 1
 
     init = "flat" if opts.flatEm else "random"
     rand_range = tuple(float(x) for x in opts.emRandRange.split(","))

@@ -48,7 +48,13 @@ class BedInterval:
 def parse_bed_line(line: str) -> BedInterval | None:
     """Parse one BED line; returns None for comments/headers/blank lines."""
     line = line.rstrip("\n").rstrip("\r")
-    if not line or line.startswith(("#", "track", "browser")):
+    if not line or line.startswith("#"):
+        return None
+    # UCSC header lines are the bare keyword or keyword + settings —
+    # a prefix match alone would silently drop records on contigs
+    # named e.g. "track_15"
+    word = line.split(None, 1)[0]
+    if word in ("track", "browser"):
         return None
     fields = line.split("\t")
     if len(fields) < 3:

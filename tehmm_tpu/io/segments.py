@@ -23,6 +23,7 @@ import numpy as np
 
 from tehmm_tpu.io.trackdata import TrackData, TrackTable, load_track_data
 from tehmm_tpu.io.trackxml import TrackList
+from tehmm_tpu.utils.common import logger
 from tehmm_tpu.io.category import CategoryMap
 
 
@@ -65,6 +66,21 @@ def load_segment_data(
     ivs = sorted(
         (iv[0], int(iv[1]), int(iv[2])) for iv in segment_intervals
     )
+    # zero-length records (start == end) contribute no observation and
+    # would corrupt the per-chain offset math: one ending a chain makes
+    # symbols[offs] index past the region, one mid-chain makes
+    # np.add.reduceat return an element instead of an empty sum
+    n_zero = sum(1 for iv in ivs if iv[2] <= iv[1])
+    if n_zero:
+        logger.warning(
+            "dropping %d zero-length segment record(s)", n_zero
+        )
+        ivs = [iv for iv in ivs if iv[2] > iv[1]]
+    if not ivs:
+        return load_track_data(
+            track_list, [], category_maps=category_maps,
+            update_maps=update_maps,
+        ), []
     # chain book-ended segments
     chains: list[list[tuple[str, int, int]]] = []
     for iv in ivs:

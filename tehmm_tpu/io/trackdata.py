@@ -303,6 +303,10 @@ def _paint_track(
     if isinstance(src, _FastaSource):
         seq = src.fa.fetch(chrom, start, end)
         arr = np.frombuffer(seq.encode(), dtype=np.uint8)
+        if track.distribution == "binary":
+            # covered := "1" regardless of base identity
+            col[: len(arr)] = cm.get_map("1", update=update)
+            return col
         for code in np.unique(arr):
             sym = cm.get_map(chr(int(code)), update=update)
             col[: len(arr)][arr == code] = sym
@@ -339,14 +343,20 @@ def _paint_track(
     vals = src.values(chrom, start, end)  # float array [L], NaN uncovered
     covered = ~np.isnan(vals)
     if covered.any():
-        binned = np.asarray(
-            [track.bin(v) for v in vals[covered]]
-        )
-        syms = np.asarray(
-            [cm.get_map(b, update=update) for b in binned],
+        if track.distribution == "binary":
+            # covered := "1", like the BED branch (the docstring's
+            # two-symbol contract — binning floats would silently grow
+            # an arbitrary alphabet)
+            col[covered] = cm.get_map("1", update=update)
+            return col
+        # bin/map only the UNIQUE values: a per-base Python loop costs
+        # interpreter minutes on genome-scale dense signal tracks
+        u, inv = np.unique(vals[covered], return_inverse=True)
+        u_syms = np.asarray(
+            [cm.get_map(track.bin(v), update=update) for v in u],
             dtype=np.uint16,
         )
-        col[covered] = syms
+        col[covered] = u_syms[inv]
     return col
 
 

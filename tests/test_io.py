@@ -459,3 +459,58 @@ class TestBigWigSpecFixture:
             # untouched region + unknown chrom
             assert np.isnan(bw.values("chr1", 0, 50)).all()
             assert np.isnan(bw.values("chrX", 0, 10)).all()
+
+
+class TestReviewRegressions:
+    """Round-2 I/O review fixes."""
+
+    def test_bed_contig_named_like_header(self, tmp_path):
+        """A record on a contig named 'track_15' is data, not a UCSC
+        header — only the bare keyword (or keyword + settings) is."""
+        from tehmm_tpu.io.bed import read_bed
+
+        p = tmp_path / "t.bed"
+        p.write_text(
+            'track name="x" description="header"\n'
+            "browser position chr1\n"
+            "track_15\t0\t10\tA\n"
+            "browser_region\t5\t9\tB\n"
+        )
+        ivs = read_bed(str(p))
+        assert [iv.chrom for iv in ivs] == ["track_15", "browser_region"]
+
+    def test_binary_bigwig_track_two_symbols(self, tmp_path):
+        """distribution='binary' on a BigWig: covered := '1' regardless
+        of the float values (the docstring's two-symbol contract)."""
+        bw_path = str(tmp_path / "b.bw")
+        write_bigwig(
+            bw_path, {"chr1": 100},
+            [("chr1", 0, 10, 1.25), ("chr1", 10, 20, 7.5)],
+        )
+        tl = TrackList()
+        tl.add(Track(name="b", path=bw_path, distribution="binary"))
+        td = load_track_data(tl, [("chr1", 0, 30)])
+        (tab,) = td.tables
+        cm = td.category_maps["b"]
+        assert len(cm) == 3  # missing + "0" + "1"
+        one = cm.get_map("1")
+        assert np.all(tab.symbols[0:20, 0] == one)
+        assert np.all(tab.symbols[20:30, 0] != one)
+
+    def test_zero_length_segments_dropped(self, tmp_path):
+        """Zero-length segment records are dropped with a warning
+        instead of corrupting the chain offset math."""
+        from tehmm_tpu.io.segments import load_segment_data
+
+        bed = tmp_path / "t.bed"
+        bed.write_text("chr1\t0\t50\tx\n")
+        tl = TrackList()
+        tl.add(Track(name="t", path=str(bed), distribution="binary"))
+        segs = [
+            ("chr1", 0, 20), ("chr1", 20, 20), ("chr1", 20, 50),
+            ("chr1", 50, 50),
+        ]
+        _td, tables = load_segment_data(tl, segs)
+        assert len(tables) == 1
+        assert len(tables[0]) == 2
+        assert list(tables[0].lengths) == [20, 30]

@@ -431,3 +431,93 @@ class TestEmissionPriors:
         np.testing.assert_allclose(
             em[te, 0, 1:sizes[0]].sum(), 1.0, atol=1e-5
         )
+
+
+class TestEvalSemanticsRegressions:
+    """Round-2 CLI review fixes."""
+
+    def test_eval_binning_comes_from_model(self, tmp_path):
+        """Eval must bin with the MODEL's saved track attributes even
+        when the eval-time XML omits them (only data paths come from
+        the eval XML) — divergent binning silently breaks the
+        symbols-match-training invariant."""
+        import numpy as np
+
+        from tehmm_tpu.cli import eval as cli_eval
+        from tehmm_tpu.cli import train as cli_train
+        from tehmm_tpu.io.bed import read_bed_intervals
+
+        rng = np.random.RandomState(0)
+        L = 400
+        truth = (np.arange(L) // 50) % 2
+        val_bed = tmp_path / "vals.bed"
+        with val_bed.open("w") as f:
+            for i in range(L):
+                # state 0 -> values ~10, state 1 -> values ~20
+                v = 10 + 10 * truth[i]
+                f.write(f"chr1\t{i}\t{i + 1}\tx\t{v}\n")
+        truth_bed = tmp_path / "truth.bed"
+        with truth_bed.open("w") as f:
+            s = 0
+            for i in range(1, L + 1):
+                if i == L or truth[i] != truth[s]:
+                    f.write(f"chr1\t{s}\t{i}\tstate{truth[s]}\n")
+                    s = i
+        regions = tmp_path / "regions.bed"
+        regions.write_text(f"chr1\t0\t{L}\n")
+        # training XML scales values by 0.1 -> symbols "1"/"2"
+        train_xml = tmp_path / "train.xml"
+        train_xml.write_text(
+            '<teModelConfig>\n'
+            f'  <track name="v" path="{val_bed}" valCol="4" '
+            'scale="0.1"/>\n'
+            "</teModelConfig>\n"
+        )
+        # eval XML OMITS the scale attribute
+        eval_xml = tmp_path / "eval.xml"
+        eval_xml.write_text(
+            '<teModelConfig>\n'
+            f'  <track name="v" path="{val_bed}" valCol="4"/>\n'
+            "</teModelConfig>\n"
+        )
+        model = tmp_path / "m.npz"
+        assert cli_train.main(
+            [str(train_xml), str(truth_bed), str(model), "--supervised"]
+        ) == 0
+        out = tmp_path / "p.bed"
+        assert cli_eval.main(
+            [str(eval_xml), str(model), str(regions), "--bed", str(out)]
+        ) == 0
+        pred = np.full(L, -1)
+        for _c, s, e, n in read_bed_intervals(str(out), ncol=4):
+            pred[s:e] = int(n.removeprefix("state"))
+        assert (pred == truth).mean() > 0.99
+
+    def test_auto_state_names_skip_prior_numeric_names(self, tmp_path):
+        """Numeric state names from a prior file must not collide with
+        the auto-generated numeric names."""
+        import numpy as np
+
+        from tehmm_tpu.cli import train as cli_train
+        from tehmm_tpu.models.hmm import MultitrackHmm
+
+        bed = tmp_path / "t.bed"
+        bed.write_text("chr1\t0\t200\tx\n")
+        regions = tmp_path / "regions.bed"
+        regions.write_text("chr1\t0\t200\n")
+        xml = tmp_path / "tracks.xml"
+        xml.write_text(
+            '<teModelConfig>\n'
+            f'  <track name="t" path="{bed}" distribution="binary"/>\n'
+            "</teModelConfig>\n"
+        )
+        prior = tmp_path / "trans.txt"
+        prior.write_text("2\t3\t0.9\n")
+        model = tmp_path / "m.npz"
+        assert cli_train.main(
+            [str(xml), str(regions), str(model), "--numStates", "4",
+             "--iter", "2", "--initTransProbs", str(prior)]
+        ) == 0
+        m = MultitrackHmm.load(str(model))
+        assert len(set(m.state_names)) == 4
+        assert {"2", "3"} <= set(m.state_names)
