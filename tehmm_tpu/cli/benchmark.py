@@ -107,8 +107,14 @@ def main(argv=None) -> int:
     set_logging_from_options(opts)
     os.makedirs(opts.outDir, exist_ok=True)
     jobs = []
+    seen = set()
     for spec in opts.config:
         name, _, flag_str = spec.partition(":")
+        if name in seen:
+            # duplicates silently collide: both write out/<name>.* and
+            # the results table reports one config's numbers twice
+            raise SystemExit(f"duplicate --config name {name!r}")
+        seen.add(name)
         jobs.append((name, shlex.split(flag_str)))
 
     if opts.numProcesses > 1:
@@ -140,10 +146,15 @@ def main(argv=None) -> int:
         results = []
         for name, flags in jobs:
             logger.info("benchmark config %s: %s", name, flags)
-            results.append(run_config(
-                name, flags, opts.tracksInfo, opts.truthBed,
-                opts.regionsBed, opts.outDir, opts.slack,
-            ))
+            try:
+                results.append(run_config(
+                    name, flags, opts.tracksInfo, opts.truthBed,
+                    opts.regionsBed, opts.outDir, opts.slack,
+                ))
+            except Exception as e:  # noqa: BLE001 — per-config, like
+                # the parallel path: one failing config must not
+                # discard every completed result
+                results.append({"name": name, "error": str(e)})
 
     with open(os.path.join(opts.outDir, "summary.json"), "w") as fh:
         json.dump(results, fh, indent=1)

@@ -388,6 +388,7 @@ def _learn_pair_params(opts, model, track_data, pair_names, labeled):
         log_match = cfg_mod.estimate_match_bonus(
             track_data.tables, states_per_table, pair_idx,
             np.asarray(model.params.log_em), model.num_states,
+            alphabet_sizes=track_data.alphabet_sizes,
         )
         logger.info(
             "supervised pair-emission fit: log_match=%s",
@@ -495,6 +496,21 @@ def _apply_init_priors(opts, model, track_data, state_names) -> None:
         )
 
 
+def _check_force_mass(table: "np.ndarray", path: str) -> None:
+    """Forced probabilities in any row must not exceed 1: the M-step's
+    renormalization scale for the free entries would go negative and
+    silently clamp every free probability to ~0, training on a
+    non-stochastic table with no signal anything is wrong."""
+    t = np.asarray(table)
+    forced = np.where(t >= 0.0, t, 0.0)
+    mass = forced.sum(axis=-1)
+    if (mass > 1.0 + 1e-4).any():
+        raise SystemExit(
+            f"{path}: forced probabilities sum to "
+            f"{float(mass.max()):.4f} > 1 in at least one row"
+        )
+
+
 def _build_masks(opts, model, track_data, state_names):
     fix_trans = force_trans = fix_em = force_em = None
     S = model.num_states
@@ -503,14 +519,17 @@ def _build_masks(opts, model, track_data, state_names):
     if opts.fixEm:
         fix_em = jnp.ones((S,), dtype=bool)
     if opts.forceTransProbs:
-        force_trans = jnp.asarray(
-            priors_io.read_trans_prior(opts.forceTransProbs, state_names)
+        ft = priors_io.read_trans_prior(
+            opts.forceTransProbs, state_names
         )
+        _check_force_mass(ft, opts.forceTransProbs)
+        force_trans = jnp.asarray(ft)
     if opts.forceEmProbs:
         prior = priors_io.read_em_prior(
             opts.forceEmProbs, state_names, track_data.track_list,
             track_data.category_maps, update_maps=False,
         )
+        _check_force_mass(prior, opts.forceEmProbs)
         V = model.params.max_symbols
         if prior.shape[2] < V:
             prior = np.pad(

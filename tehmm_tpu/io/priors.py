@@ -111,6 +111,16 @@ def read_em_prior(
     for state, track, sym, prob in rows:
         tr = track_list.get_track_by_name(track)
         v = category_maps[track].get_map(tr.bin(sym), update=False)
+        if v == 0 and not update_maps:
+            # the maps are frozen (resume / force after training) and
+            # this value never appeared in the data: get_map returned
+            # the MISSING symbol, and the mask application would then
+            # silently drop the user's constraint
+            raise ValueError(
+                f"{path}: symbol value {sym!r} for track {track!r} "
+                f"never appeared in the training data — the prior row "
+                f"cannot be applied"
+            )
         out[sidx[state], tr.number, v] = float(prob)
     return out
 

@@ -61,6 +61,11 @@ class Track:
     extra_attrs: dict[str, str] = dataclasses.field(default_factory=dict)
     # assigned by TrackList:
     number: int = -1
+    # the path AS WRITTEN in the source XML (load_xml resolves ``path``
+    # against the XML's directory for opening; persistence must write
+    # the original back so users' relative layouts survive round-trips
+    # and model sidecars stay machine-portable)
+    orig_path: str | None = None
 
     def __post_init__(self):
         if self.distribution not in (
@@ -95,7 +100,9 @@ class Track:
         )
 
     def to_xml_element(self) -> ET.Element:
-        a: dict[str, str] = {"name": self.name, "path": self.path}
+        a: dict[str, str] = {
+            "name": self.name, "path": self.orig_path or self.path,
+        }
         if self.distribution != "multinomial":
             a["distribution"] = self.distribution
         if self.val_col != 3:
@@ -133,6 +140,7 @@ class TrackList:
         base = os.path.dirname(os.path.abspath(xml_path))
         for elem in root.findall("track"):
             track = Track.from_xml_element(elem)
+            track.orig_path = track.path
             if not os.path.isabs(track.path):
                 # relative data paths resolve against the XML's directory
                 track.path = os.path.join(base, track.path)

@@ -111,10 +111,19 @@ def _pair_emission(
     i: jax.Array, j: jax.Array,
 ) -> jax.Array:
     """log P(x_i, x_j | pair state) for all states: emission at both ends
-    plus per-track match bonus (broadcast over the diagonal)."""
+    plus per-track match bonus (broadcast over the diagonal).
+
+    Missing symbols (0) never count as a match — mirroring
+    estimate_match_bonus, which masks them when counting agreement.
+    (A sparse track's missing ends — or a gaussian track's all-missing
+    symbols column — would otherwise earn the bonus at every
+    position.)"""
     em_i = obs[i]                                   # [n, S]
     em_j = obs[j]
-    same = (symbols[i] == symbols[j])               # [n, T]
+    same = (
+        (symbols[i] == symbols[j])
+        & (symbols[i] > 0) & (symbols[j] > 0)
+    )                                               # [n, T]
     n_match = jnp.sum(same, axis=-1).astype(jnp.float32)  # [n]
     return em_i + em_j + n_match[:, None] * params.log_match[None, :]
 
@@ -248,6 +257,7 @@ def estimate_match_bonus(
     log_em: np.ndarray,
     num_states: int,
     max_bonus: float = 8.0,
+    alphabet_sizes: "Sequence[int] | None" = None,
 ) -> np.ndarray:
     """Supervised estimation of the per-state match weight from labeled
     paths (reference: PairEmissionModel match/mismatch weighting fit by
@@ -294,6 +304,13 @@ def estimate_match_bonus(
         p_obs = min(max(n_match / n_tot, eps), 1 - eps)
         em_p = np.exp(log_em[p])                          # [T, V]
         em_p[:, 0] = 0.0
+        if alphabet_sizes is not None:
+            # pad columns beyond a track's alphabet are stored as
+            # log-prob 0.0 (= probability 1!) by the params convention;
+            # including them poisons the chance-agreement norm for any
+            # track whose alphabet is smaller than V
+            for t, size in enumerate(alphabet_sizes):
+                em_p[t, int(size):] = 0.0
         norm = em_p.sum(axis=1, keepdims=True)
         em_p = em_p / np.maximum(norm, eps)
         p_chance = float(np.mean(np.sum(em_p**2, axis=1)))

@@ -242,7 +242,11 @@ def em_sufficient_stats(
     if has_gauss:
         from tehmm_tpu.models.gauss import gauss_stats
 
-        gn, gx, gx2 = gauss_stats(gamma, gauss_values)
+        # segment mode: the likelihood raises the gaussian density to
+        # the power w, so the matching Q-function maximizer weights the
+        # moment sums by w as well (a segment stands for w positions) —
+        # unweighted moments would break EM's monotone-loglik guarantee
+        gn, gx, gx2 = gauss_stats(gamma_w, gauss_values)
         gauss_fields = dict(gauss_n=gn, gauss_x=gx, gauss_x2=gx2)
 
     return EmStats(

@@ -2084,10 +2084,13 @@ def _make_bwd_stats_kernel_v4(
                     oh, (((1,), (1,)), ((), ())),
                 )
                 if gauss:
-                    # posterior moment sums gamma @ [mask, x, x2].T
-                    # (models/gauss.gauss_stats uses unweighted gamma)
+                    # posterior moment sums gamma @ [mask, x, x2].T;
+                    # segment weights scale the moments like the
+                    # emission counts (the likelihood raises the
+                    # density to the power w — see ops/em.py)
                     gsc_ref[0] += _v4_dot(
-                        gamma, gf_buf[slot, k],
+                        gamma * wk if weighted else gamma,
+                        gf_buf[slot, k],
                         (((1,), (1,)), ((), ())),
                     )
                 @pl.when(p == 0)

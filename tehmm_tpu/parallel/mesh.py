@@ -12,6 +12,8 @@ from __future__ import annotations
 import jax
 import numpy as np
 
+from tehmm_tpu.utils.common import logger
+
 DATA_AXIS = "data"
 STATE_AXIS = "state"
 
@@ -87,19 +89,27 @@ def initialize_distributed(
 ) -> None:
     """Multi-host entry point (SURVEY.md §2c comm backend row):
     ``jax.distributed.initialize`` + XLA collectives replace any
-    NCCL/MPI-style backend.  No-op when single-process args are absent
-    and env auto-detection finds nothing.
+    NCCL/MPI-style backend.  No-op when no coordinator address is given
+    and no cluster environment is detectable (a bare
+    ``jax.distributed.initialize()`` on a plain machine raises
+    ``ValueError('coordinator_address should be defined.')`` — verified
+    against the installed JAX — rather than no-opping).
 
     Must run before the JAX backend initializes (CLI mains call it
     right after ``setup_jax``).  On the CPU backend cross-process
     collectives need the gloo transport — selecting it is harmless on
     TPU (the option only affects CPU executables), so it is always set."""
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
-    kwargs = {}
     if coordinator_address is not None:
-        kwargs.update(
+        jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    jax.distributed.initialize(**kwargs)
+        return
+    try:
+        jax.distributed.initialize()
+    except ValueError:
+        # no cluster env (TPU pod metadata, SLURM, ...) detected:
+        # single-process run, nothing to initialize
+        logger.debug("no distributed environment detected; single host")
