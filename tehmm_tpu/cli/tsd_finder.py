@@ -41,8 +41,8 @@ def find_tsd(
     if chrom not in fa.names:
         return None
     w_left_start = max(0, start - window)
-    left = fa.fetch(chrom, w_left_start, start).upper()
-    right = fa.fetch(chrom, end, end + window).upper()
+    left = fa.fetch(chrom, w_left_start, start)   # fetch() uppercases
+    right = fa.fetch(chrom, end, end + window)
     if len(left) < min_len or len(right) < min_len:
         return None
     table = KmerTable(left, min_len)
@@ -101,7 +101,8 @@ def main(argv=None) -> int:
         if hit is None:
             continue
         (ls, le), (rs, re) = hit
-        label = opts.name if name is None else f"{opts.name}"
+        # named candidates keep their association: <element>_TSD
+        label = opts.name if name is None else f"{name}_{opts.name}"
         out.append((chrom, ls, le, label))
         out.append((chrom, rs, re, label))
     write_bed_intervals(out, opts.outBed)

@@ -223,6 +223,19 @@ class BigWigFile:
         values = vals if w_type == _WIG_FIXEDSTEP else arr["val"]
         s = np.maximum(starts.astype(np.int64), q_start) - q_start
         e = np.minimum(ends.astype(np.int64), q_end) - q_start
-        for si, ei, v in zip(s, e, values):
-            if si < ei:
-                out[si:ei] = v
+        keep = s < e
+        s, e = s[keep], e[keep]
+        values = np.asarray(values)[keep]
+        # vectorized paint: a per-item Python loop degenerates to a
+        # per-BASE interpreter loop for 1-bp fixedStep/bedGraph signal
+        # tracks (the common conservation/coverage case).  Items within
+        # one WIG section never overlap, so scatter order is moot.
+        lens = e - s
+        if len(lens):
+            total = int(lens.sum())
+            pos = (
+                np.repeat(s, lens)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(lens) - lens, lens)
+            )
+            out[pos] = np.repeat(values, lens)

@@ -96,8 +96,10 @@ def bin_value(
 ) -> Any:
     """Apply the reference's numeric binning (see module docstring).
 
-    With no transform configured the value passes through untouched and is
-    used as a categorical key; with scale/logScale it becomes an int bin.
+    With no scale/logScale the value passes through as a categorical
+    key (shift-only applies the offset WITHOUT flooring — flooring
+    would lossily merge distinct categories just because an offset was
+    configured); with scale/logScale it becomes an int bin.
     """
     if scale is None and log_scale is None and shift is None:
         return val
@@ -108,4 +110,6 @@ def bin_value(
         return math.floor(v * scale)
     if log_scale is not None:
         return math.floor(math.log(max(v, 1e-9)) / math.log(log_scale))
-    return math.floor(v)
+    # shift only: keep the full-precision shifted value as the key
+    # (int-valued floats print without the trailing .0 for stability)
+    return int(v) if v == int(v) else v

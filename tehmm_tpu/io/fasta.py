@@ -46,6 +46,20 @@ class FastaFile:
                     line_full = 0
                     first_line = True
                     pending_short = False
+                elif not line and name is not None:
+                    if seq_len == 0:
+                        # blank line between header and sequence: shift
+                        # the record's data start past it
+                        data_start = offset + ll
+                    else:
+                        # a BLANK line inside a sequence body shifts
+                        # the byte offsets exactly like a ragged line:
+                        # fetch() would silently return wrong bases.
+                        # Mark it like a short line — anything
+                        # following in the same record is an error (a
+                        # trailing blank line before the next header/
+                        # EOF is harmless).
+                        pending_short = True
                 elif line:
                     # offset arithmetic in fetch() assumes every sequence
                     # line except the last has the first line's length —

@@ -51,6 +51,10 @@ def _build() -> ctypes.CDLL | None:
             )
             os.replace(tmp, so_path)
         except (subprocess.SubprocessError, OSError, FileNotFoundError):
+            try:                 # failed compile: drop the partial .so
+                os.unlink(tmp)
+            except OSError:
+                pass
             return None
     try:
         lib = ctypes.CDLL(so_path)
@@ -156,7 +160,11 @@ def fill_intervals(
     lib = _get()
     if lib is None:
         return False
-    col = np.ascontiguousarray(col)
+    if not (col.flags.c_contiguous and col.dtype == np.uint16):
+        # ascontiguousarray would COPY (non-contiguous view or other
+        # dtype): the kernel would paint a discarded temporary while
+        # this function reports success — make the caller fall back
+        return False
     starts = np.ascontiguousarray(starts, np.int64)
     ends = np.ascontiguousarray(ends, np.int64)
     syms = np.ascontiguousarray(syms, np.uint16)

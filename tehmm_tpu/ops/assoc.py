@@ -95,10 +95,18 @@ def viterbi_assoc(
     where η_t[j] = best score from state j at time t to the end, from a
     reverse max-plus scan — no sequential backtrace at all.
 
-    Tie-breaking note: both scans break ties toward the lowest index, and
-    on ties this "forward-score + backward-score" argmax may pick a
-    different (equal-scoring) path than the sequential backtrace; for
-    bit-parity with the reference use ops.dp.viterbi.
+    Tie-breaking caveat (stronger than "a different equal-scoring
+    path"): the position-wise argmax decides each position
+    INDEPENDENTLY, so under exact per-position score ties the returned
+    states need not form a connected optimal path — e.g. with uniform
+    obs and a transition matrix whose optimal paths are (0,1)/(1,0),
+    the lowest-index rule can return (0,0), which traverses a forbidden
+    transition while ``score`` still reports the true optimum.  Exact
+    ties require exactly equal floats (missing-data stretches, degenerate
+    hand-built models).  The production decoders (ops.dp.viterbi and the
+    Pallas kernels) backtrace sequentially and never do this; use them
+    whenever the path itself matters — this engine's argmax output is a
+    research/throughput formulation.
 
     Returns (path int32[B, L], score f32[B]).
     """

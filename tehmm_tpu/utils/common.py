@@ -50,7 +50,15 @@ def add_logging_options(parser: argparse.ArgumentParser) -> None:
 
 
 def set_logging_from_options(options: argparse.Namespace) -> None:
-    level = getattr(logging, str(options.logLevel).upper(), logging.WARNING)
+    name = str(options.logLevel).upper()
+    level = getattr(logging, name, None)
+    if not isinstance(level, int):
+        # a typo like --logLevel=debgu would otherwise silently run at
+        # WARNING with the user wondering where their debug output went
+        raise SystemExit(
+            f"unknown --logLevel {options.logLevel!r} (use debug, "
+            f"info, warning, error, or critical)"
+        )
     handlers: list[logging.Handler] = [logging.StreamHandler(sys.stderr)]
     if getattr(options, "logFile", None):
         handlers.append(logging.FileHandler(options.logFile))
