@@ -17,4 +17,4 @@ Layer map (SURVEY.md §7):
   - ``utils``     — logging, constants, small helpers
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

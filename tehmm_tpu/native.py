@@ -1,12 +1,13 @@
 """ctypes bindings for the native C++ host-side kernels.
 
-Builds ``native/tehmm_native.cpp`` on first use with g++ (cached under
-``~/.cache/tehmm_tpu``, keyed by source hash) and exposes typed wrappers.
+Builds ``tehmm_tpu/tehmm_native.cpp`` on first use with g++ (cached
+under ``~/.cache/tehmm_tpu``, keyed by source hash) and exposes typed
+wrappers.  The source ships inside the package (wheel package-data, see
+pyproject.toml) so installed copies JIT-build exactly like a checkout.
 Everything degrades gracefully: if no compiler is available the callers
 fall back to their NumPy implementations (``native.available()`` tells
-them).  See native/tehmm_native.cpp for what lives here and why
-(SURVEY.md §2a — the reference's equivalents are bedtools/bx-python C
-extensions).
+them).  See tehmm_native.cpp for what lives here and why (SURVEY.md §2a
+— the reference's equivalents are bedtools/bx-python C extensions).
 """
 
 from __future__ import annotations
@@ -20,8 +21,7 @@ import threading
 import numpy as np
 
 _SRC = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "native", "tehmm_native.cpp",
+    os.path.dirname(os.path.abspath(__file__)), "tehmm_native.cpp"
 )
 
 _lock = threading.Lock()

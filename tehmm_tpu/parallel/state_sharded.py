@@ -211,8 +211,10 @@ def _backward_values_local(log_trans_rows, obs_cols, lengths):
     # the zero init is axis-invariant; the scan carry becomes varying
     # over both mesh axes after the first gather/pmax, so the carry
     # types must be aligned up front
-    b_init = jax.lax.pvary(
-        jnp.zeros((B, S_loc), obs_cols.dtype), (STATE_AXIS, DATA_AXIS)
+    b_init = jax.lax.pcast(
+        jnp.zeros((B, S_loc), obs_cols.dtype),
+        (STATE_AXIS, DATA_AXIS),
+        to="varying",
     )
 
     def step(b_hat_loc, xs):
