@@ -2345,7 +2345,15 @@ def _maxplus_rows(v_hat, trans_ref, Sp: int):
     dynamic_slice; lane-dim ref slices must be 128-aligned).  The
     wrappers drop the time unroll K to 1 past Sp=64, and the decode
     engine gates route S > 128 to the XLA decoder
-    (parallel/stitch._use_fused_viterbi)."""
+    (parallel/stitch._use_fused_viterbi).
+
+    Round-2 follow-up (tools/exp_maxplus_s256.py, BASELINE.md "S=256
+    Viterbi serialization experiment"): at Sp=256 the compile crash is
+    triggered by the 256 per-row trans[i, :][:, None] lane→sublane
+    relayouts, not only the value stack; a relayout-free transposed
+    [Bg, Sp] step with scratch-serialized maxes compiles and is exact
+    but runs ~70x off the VPU roofline (1.15-1.33 ms/step) — measured
+    dead end, so the S > 128 XLA fallback stands by design."""
     best = v_hat[0:1, :] + trans_ref[0, :][:, None]
     for i in range(1, Sp):
         best = jnp.maximum(
