@@ -89,6 +89,15 @@ def make_parser() -> argparse.ArgumentParser:
                         "Default: LEARNED — supervised counting of pair-"
                         "end agreement (--supervised) or an inside-"
                         "likelihood fit (EM mode)")
+    p.add_argument("--cfgEm", type=int, default=0, metavar="N",
+                   help="with --cfg + --pairStates: refine the model "
+                        "with N inside-outside EM iterations under the "
+                        "pair grammar itself (start/transitions/"
+                        "emissions and the per-state match bonus are "
+                        "learned from pair-event posteriors; "
+                        "models/cfg_em.py). Tables are windowed to "
+                        "--maxSpan. Default 0: HMM-train then fit pair "
+                        "weights (reference behavior)")
     p.add_argument("--saPrior", type=float, default=None,
                    help="with --cfg: self-alignment prior in (0, 1) — "
                         "probability that a pair state expands with the "
@@ -238,6 +247,22 @@ def main(argv=None) -> int:
             ))
         else:
             cfg_meta["match_bonus"] = 0.0
+        if opts.cfgEm > 0:
+            if not pair_names:
+                logger.info(
+                    "--cfgEm with no --pairStates is plain HMM EM; "
+                    "skipping (already trained)"
+                )
+            elif opts.segment:
+                raise SystemExit(
+                    "--cfgEm does not support --segment (the pair "
+                    "grammar nests base-resolution ends)"
+                )
+            else:
+                cfg_meta = _refine_cfg_em(
+                    opts, model, track_data, pair_names, cfg_meta,
+                    metrics,
+                )
         extra = {"cfg": cfg_meta}
     # multi-host: the EM result is replicated on every process; only
     # process 0 writes the model/metrics files (shared filesystem)
@@ -362,6 +387,69 @@ def _train_unsupervised(
         if best is None or final > best[0]:
             best = (final, rep_model)
     return best[1]
+
+
+def _refine_cfg_em(opts, model, track_data, pair_names, cfg_meta,
+                   metrics) -> dict:
+    """--cfgEm: inside-outside EM under the pair grammar
+    (models/cfg_em.py), refining the HMM- or supervised-trained model
+    in place.  The HMM init + pair weights from cfg_meta seed the run;
+    the learned per-state log_match replaces them."""
+    import jax.numpy as jnp
+
+    from tehmm_tpu.models import cfg_em as cfg_em_mod
+    from tehmm_tpu.models.cfg import make_cfg_params
+
+    pair_idx = [model.state_names.index(n) for n in pair_names]
+    params = make_cfg_params(
+        model.params, pair_idx,
+        match_bonus=cfg_meta.get("match_bonus", 0.0),
+        log_match=(
+            np.asarray(cfg_meta["log_match"], np.float32)
+            if "log_match" in cfg_meta else None
+        ),
+        sa_prior=cfg_meta.get("sa_prior"),
+    )
+    # window tables to the chart budget (O(maxSpan²·S) memory); CFG
+    # decode bounds spans the same way (models/cfg.py)
+    syms, vals = [], []
+    has_gauss = model.gauss is not None
+    for tab in track_data.tables:
+        for w0 in range(0, len(tab.symbols), opts.maxSpan):
+            syms.append(np.asarray(tab.symbols[w0:w0 + opts.maxSpan]))
+            if has_gauss and tab.values is not None:
+                vals.append(np.asarray(
+                    tab.values[w0:w0 + opts.maxSpan]
+                ))
+    masks = _build_masks(opts, model, track_data, model.state_names)
+
+    def log_iter(it, ll):
+        logger.info("cfg-em iter %d: inside loglik %.6f", it, ll)
+        metrics.write(phase="cfg_em", iter=it, loglik=ll)
+
+    result, new_gauss = cfg_em_mod.cfg_em_run(
+        params, syms, model.alphabet_sizes,
+        iterations=opts.cfgEm, masks=masks,
+        update_match=opts.matchBonus is None,
+        threshold=opts.emThresh,
+        gauss_params=model.gauss if has_gauss else None,
+        values_list=vals if has_gauss and vals else None,
+        log_fn=log_iter,
+    )
+    model.params = result.params.hmm
+    if new_gauss is not None:
+        model.gauss = new_gauss
+    lm = np.asarray(result.params.log_match)
+    logger.info(
+        "cfg-em done after %d iters (converged=%s): log_match=%s",
+        result.iterations, result.converged,
+        {n: round(float(lm[i]), 4)
+         for n, i in zip(pair_names, pair_idx)},
+    )
+    out = dict(cfg_meta)
+    out.pop("match_bonus", None)
+    out["log_match"] = [float(x) for x in lm]
+    return out
 
 
 def _learn_pair_params(opts, model, track_data, pair_names, labeled):

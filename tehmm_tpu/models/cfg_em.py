@@ -1,0 +1,390 @@
+"""Inside-outside EM for the restricted pair-grammar CFG.
+
+Unsupervised training of the CFG's parameters — start distribution,
+transition matrix, emission tables, and the per-state pair match bonus —
+by expectation-maximization under the pair grammar itself (reference:
+cfg.py `MultitrackCfg` + emission.py `PairEmissionModel`; SURVEY.md §2a.
+The reference trains its HMM with Baum-Welch; this module is the CFG
+counterpart the rebuild adds so pair-grammar models are trainable end to
+end rather than HMM-trained and decorated with pair weights afterwards).
+
+Grammar (models/cfg.py's documented contract):
+
+  s(i, j) -> x_i  s'(i+1, j)           left emission + transition
+  p(i, j) -> x_i  s'(i+1, j-1)  x_j    pair emission at both ends
+  s(i, i) -> x_i                       terminal
+
+Both rules advance the left edge by one, so every derivation is a linear
+chain of cells (0, L-1) -> (1, ·) -> ...; a position is emitted exactly
+once — either as some cell's left edge or as a pair rule's right end.
+
+E-step = one inside pass (all diagonals kept, O(L²·S) memory) plus one
+outside pass that FUSES the expected-count accumulation: per diagonal d
+the rule posteriors reduce to [S, L-d]·[L-d, S] MXU matmuls against the
+inside chart, so nothing of size [L, S, S] is ever materialized and the
+outside chart itself lives only in the two-diagonal scan carry.  The
+counts land in the same ``EmStats`` pytree as the HMM E-step, so the
+M-step (EPSILON smoothing, fix/force masks, gaussian moments) is the
+shared ``ops/em.em_m_step`` — with no pair states the whole procedure
+provably reduces to HMM Baum-Welch (tested in tests/test_cfg_em.py
+against ops/em.em_sufficient_stats and a brute-force parse enumerator).
+
+Complexity: O(L²·S²) time, O(L²·S) memory — training tables must fit the
+chart (L <= --maxSpan), exactly the bounded-span premise of CFG decode
+(models/cfg.py) and the reference's own region-chunking practice
+(SURVEY.md §5 long-context row).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tehmm_tpu.models.cfg import CfgParams, _pair_emission, make_cfg_params
+from tehmm_tpu.models.emission import (
+    expected_emission_counts,
+    track_log_likelihoods,
+)
+from tehmm_tpu.ops.em import EmStats, em_m_step
+from tehmm_tpu.utils.common import EPSILON, LOG_ZERO
+
+
+def _lse(x: jax.Array, axis: int) -> jax.Array:
+    m = jnp.maximum(jnp.max(x, axis=axis, keepdims=True), LOG_ZERO)
+    out = jnp.log(jnp.sum(jnp.exp(x - m), axis=axis))
+    return out + jnp.squeeze(m, axis)
+
+
+@jax.jit
+def cfg_inside_chart(
+    params: CfgParams, obs: jax.Array, symbols: jax.Array
+) -> jax.Array:
+    """Full inside chart ``in[d, i, s]`` — log P(x_i..x_{i+d} | root s)
+    for every span, all L diagonals kept (cells with i + d >= L are
+    LOG_ZERO).  Same recursion as models/cfg.cfg_inside_loglik, which
+    keeps only a two-diagonal carry; the outside pass needs the chart."""
+    L, S = obs.shape
+    log_trans = params.hmm.log_trans
+    neg = jnp.full((L, S), LOG_ZERO, obs.dtype)
+    idx = jnp.arange(L)
+    sa_left = jnp.where(params.pair_mask, params.log_sa[0], 0.0)
+
+    def step(carry, d):
+        prev, prev2 = carry
+        child = jnp.concatenate([prev[1:], neg[:1]], axis=0)
+        r0 = (_lse(child[:, None, :] + log_trans[None], -1)
+              + obs + sa_left[None, :])
+        child2 = jnp.concatenate([prev2[1:], neg[:1]], axis=0)
+        j_idx = jnp.minimum(idx + d, L - 1)
+        pair_em = _pair_emission(params, obs, symbols, idx, j_idx)
+        r1 = (_lse(child2[:, None, :] + log_trans[None], -1)
+              + pair_em + params.log_sa[1])
+        r1 = jnp.where(params.pair_mask[None, :], r1, LOG_ZERO)
+        r1 = jnp.where(d >= 2, r1, LOG_ZERO)
+        cur = _lse(jnp.stack([r0, r1]), 0)
+        cur = jnp.where((idx + d < L)[:, None], cur, LOG_ZERO)
+        return (cur, prev), cur
+
+    if L == 1:
+        return obs[None]
+    (_, _), diags = jax.lax.scan(step, (obs, neg), jnp.arange(1, L))
+    return jnp.concatenate([obs[None], diags], axis=0)
+
+
+def _xi_matmul(
+    a: jax.Array, c: jax.Array, log_trans: jax.Array, Z: jax.Array
+) -> jax.Array:
+    """xi[s, s'] = sum_i exp(a[i, s] + log_trans[s, s'] + c[i, s'] - Z)
+    via one per-state-max-shifted [S, L] @ [L, S] matmul.  Every term is
+    an event probability (<= 1 in exact math) so the log-space recombine
+    cannot overflow; fully-LOG_ZERO columns come out as exact zeros."""
+    m1 = jnp.maximum(jnp.max(a, axis=0), LOG_ZERO)           # [S]
+    m2 = jnp.maximum(jnp.max(c, axis=0), LOG_ZERO)           # [S]
+    ea = jnp.exp(a - m1[None, :])
+    ec = jnp.exp(c - m2[None, :])
+    E = jnp.einsum(
+        "is,ip->sp", ea, ec,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    logxi = (log_trans + m1[:, None] + m2[None, :] - Z
+             + jnp.log(jnp.maximum(E, 1e-300)))
+    # exact math bounds each count by L; the clip only guards fp noise
+    return jnp.exp(jnp.minimum(logxi, 30.0))
+
+
+@jax.jit
+def cfg_em_stats(
+    params: CfgParams, obs: jax.Array, symbols: jax.Array
+) -> tuple[EmStats, jax.Array, jax.Array, jax.Array]:
+    """Inside-outside expected counts for ONE sequence.
+
+    Returns ``(stats, gamma, e_match, e_tot)``:
+      stats:   EmStats — start/trans/em counts + inside loglik, directly
+               consumable by ops/em.em_m_step (and psum-able).
+      gamma:   f32[L, S] per-position state posterior (for gaussian
+               moment sums; rows sum to 1).
+      e_match: f32[S] expected number of agreeing (track, pair-event)
+               end-symbol comparisons per state.
+      e_tot:   f32[S] expected number of comparable (both ends
+               non-missing) comparisons — the posterior-weighted
+               denominator for the match-bonus log-odds update.
+    """
+    L, S = obs.shape
+    log_trans = params.hmm.log_trans
+    neg = jnp.full((L, S), LOG_ZERO, obs.dtype)
+    idx = jnp.arange(L)
+    sa_left = jnp.where(params.pair_mask, params.log_sa[0], 0.0)
+    w0 = obs + sa_left[None, :]            # left-emit weight at any cell
+
+    inchart = cfg_inside_chart(params, obs, symbols)         # [L, L, S]
+    Z = _lse(inchart[L - 1, 0] + params.hmm.log_start, 0)
+    root_out = jnp.full((L, S), LOG_ZERO).at[0].set(
+        params.hmm.log_start
+    )
+
+    def pair_w(d):
+        """Pair-rule weight at diagonal d (LOG_ZERO where inapplicable)."""
+        j_idx = jnp.minimum(idx + d, L - 1)
+        pe = (_pair_emission(params, obs, symbols, idx, j_idx)
+              + params.log_sa[1])
+        pe = jnp.where(params.pair_mask[None, :], pe, LOG_ZERO)
+        pe = jnp.where(d >= 2, pe, LOG_ZERO)
+        return jnp.where((idx + d < L)[:, None], pe, LOG_ZERO)
+
+    def diag(chart, d):
+        return jax.lax.dynamic_index_in_dim(
+            chart, jnp.clip(d, 0, L - 1), 0, keepdims=False
+        )
+
+    def step(carry, d):
+        out_d1, out_d2, trans_acc, gamma_acc, em_acc, et_acc = carry
+        # ---- outside at diagonal d from parents at d+1 / d+2 ----
+        P = out_d1 + w0                       # rule-0 parent factor
+        Psh = jnp.concatenate([neg[:1], P[:-1]], axis=0)
+        ca = _lse(Psh[:, :, None] + log_trans[None], 1)
+        Q = out_d2 + pair_w(d + 2)            # pair-rule parent factor
+        Qsh = jnp.concatenate([neg[:1], Q[:-1]], axis=0)
+        cb = _lse(Qsh[:, :, None] + log_trans[None], 1)
+        out_d = _lse(jnp.stack([ca, cb]), 0)
+        out_d = jnp.where(d == L - 1, root_out, out_d)
+        out_d = jnp.where((idx + d < L)[:, None], out_d, LOG_ZERO)
+
+        in_d = diag(inchart, d)
+        in_d1 = jnp.where(d >= 1, diag(inchart, d - 1), LOG_ZERO)
+        in_d2 = jnp.where(d >= 2, diag(inchart, d - 2), LOG_ZERO)
+
+        # ---- cell posterior -> left-edge emission responsibility ----
+        mu = jnp.exp(jnp.minimum(out_d + in_d - Z, 0.0))
+        gamma_acc = gamma_acc + mu
+
+        # ---- rule-0 transition counts ----
+        a0 = jnp.where((idx + d < L)[:, None], out_d + w0, LOG_ZERO)
+        c0 = jnp.concatenate([in_d1[1:], neg[:1]], axis=0)   # child i+1
+        xi0 = jnp.where(d >= 1, _xi_matmul(a0, c0, log_trans, Z), 0.0)
+
+        # ---- rule-1 transition counts + pair-event posterior ----
+        a1 = out_d + pair_w(d)
+        c1 = jnp.concatenate([in_d2[1:], neg[:1]], axis=0)
+        xi1 = jnp.where(d >= 2, _xi_matmul(a1, c1, log_trans, Z), 0.0)
+        trans_acc = trans_acc + xi0 + xi1
+
+        r1_in = _lse(c1[:, None, :] + log_trans[None], -1)   # [L, S]
+        p1 = jnp.exp(jnp.minimum(a1 + r1_in - Z, 0.0))
+        p1 = jnp.where(d >= 2, p1, 0.0)
+        # right-end emission responsibility lands at position i + d;
+        # invalid rows of p1 are exact zeros so the roll wraps only zeros
+        gamma_acc = gamma_acc + jnp.roll(p1, d, axis=0)
+
+        j_idx = jnp.minimum(idx + d, L - 1)
+        si, sj = symbols[idx], symbols[j_idx]
+        both = (si > 0) & (sj > 0)
+        nm = jnp.sum((si == sj) & both, -1).astype(jnp.float32)
+        nb = jnp.sum(both, -1).astype(jnp.float32)
+        em_acc = em_acc + jnp.einsum("i,is->s", nm, p1)
+        et_acc = et_acc + jnp.einsum("i,is->s", nb, p1)
+
+        return (out_d, out_d1, trans_acc, gamma_acc, em_acc, et_acc), None
+
+    init = (
+        neg, neg,
+        jnp.zeros((S, S), jnp.float32),
+        jnp.zeros((L, S), jnp.float32),
+        jnp.zeros((S,), jnp.float32),
+        jnp.zeros((S,), jnp.float32),
+    )
+    (_, _, trans, gamma, e_match, e_tot), _ = jax.lax.scan(
+        step, init, jnp.arange(L - 1, -1, -1)
+    )
+
+    em = expected_emission_counts(
+        params.hmm.log_em.shape, symbols, gamma
+    )
+    start = jnp.exp(jnp.minimum(
+        params.hmm.log_start + inchart[L - 1, 0] - Z, 0.0
+    ))
+    stats = EmStats(
+        start=start,
+        trans=trans,
+        em=em,
+        loglik=Z,
+        n_obs=jnp.float32(L),
+    )
+    return stats, gamma, e_match, e_tot
+
+
+def _chance_agreement(
+    log_em: np.ndarray, alphabet_sizes
+) -> np.ndarray:
+    """Per-state chance that two independent draws agree, averaged over
+    tracks (mirrors models/cfg.estimate_match_bonus's chance norm:
+    missing and pad columns excluded)."""
+    em_p = np.exp(np.asarray(log_em, np.float64)).copy()      # [S, T, V]
+    em_p[:, :, 0] = 0.0
+    if alphabet_sizes is not None:
+        for t, size in enumerate(alphabet_sizes):
+            em_p[:, t, int(size):] = 0.0
+    norm = em_p.sum(axis=2, keepdims=True)
+    em_p = em_p / np.maximum(norm, 1e-9)
+    return np.sum(em_p**2, axis=2).mean(axis=1)               # [S]
+
+
+def match_bonus_from_counts(
+    e_match: np.ndarray,
+    e_tot: np.ndarray,
+    log_em: np.ndarray,
+    pair_mask: np.ndarray,
+    alphabet_sizes,
+    max_bonus: float = 8.0,
+    min_events: float = 1.0,
+) -> np.ndarray:
+    """Posterior-weighted log-odds match bonus (the EM counterpart of
+    models/cfg.estimate_match_bonus's supervised count): observed
+    agreement rate under the pair-event posterior vs the chance
+    agreement implied by the current emissions.  States with too little
+    posterior pair mass keep bonus 0."""
+    eps = 1e-9
+    chance = _chance_agreement(log_em, alphabet_sizes)
+    out = np.zeros(len(pair_mask), np.float32)
+    for s in np.nonzero(np.asarray(pair_mask))[0]:
+        if e_tot[s] < min_events:
+            continue
+        p_obs = min(max(float(e_match[s] / e_tot[s]), eps), 1 - eps)
+        p_ch = min(max(float(chance[s]), eps), 1 - eps)
+        bonus = (np.log(p_obs / (1 - p_obs))
+                 - np.log(p_ch / (1 - p_ch)))
+        out[s] = np.clip(bonus, -max_bonus, max_bonus)
+    return out
+
+
+@dataclasses.dataclass
+class CfgEmResult:
+    params: CfgParams
+    logliks: list[float]          # inside loglik per iteration (pre-update)
+    iterations: int
+    converged: bool
+
+
+def cfg_em_run(
+    params: CfgParams,
+    symbols_list,
+    alphabet_sizes,
+    iterations: int = 10,
+    masks=None,
+    epsilon: float = EPSILON,
+    update_match: bool = True,
+    threshold: float = 1e-4,
+    gauss_params=None,
+    values_list=None,
+    log_fn=None,
+) -> tuple[CfgEmResult, "GaussParams | None"]:
+    """Inside-outside EM over a list of sequences.
+
+    Each iteration recomputes obs from the current emissions, sums
+    ``cfg_em_stats`` over the tables, and applies the shared HMM M-step
+    (ops/em.em_m_step — EPSILON smoothing + fix/force masks).  With
+    ``update_match`` the per-state pair bonus is re-estimated each
+    iteration from the posterior pair-event counts (a generalized-EM
+    update; with it off, transitions/emissions/start follow the exact
+    EM monotone-likelihood guarantee).  Gaussian tracks contribute their
+    densities to obs and are refit from posterior moment sums
+    (models/gauss.gauss_stats / gauss_m_step).
+
+    Convergence: relative total-loglik improvement < ``threshold``.
+    """
+    from tehmm_tpu.models.gauss import (
+        gauss_log_likelihoods, gauss_m_step, gauss_stats,
+    )
+
+    sizes = jnp.asarray(list(alphabet_sizes))
+    logliks: list[float] = []
+    converged = False
+    it = 0
+    for it in range(1, iterations + 1):
+        total = None
+        em_sum = tot_sum = None
+        gmoments = None
+        for k, sym in enumerate(symbols_list):
+            sym = jnp.asarray(sym)
+            obs = track_log_likelihoods(
+                params.hmm.log_em, sym[None]
+            )[0]
+            vals = None
+            if gauss_params is not None and values_list is not None:
+                vals = jnp.asarray(values_list[k])
+                obs = obs + gauss_log_likelihoods(
+                    gauss_params, vals[None]
+                )[0]
+            stats, gamma, e_m, e_t = cfg_em_stats(params, obs, sym)
+            total = stats if total is None else total + stats
+            em_sum = e_m if em_sum is None else em_sum + e_m
+            tot_sum = e_t if tot_sum is None else tot_sum + e_t
+            if vals is not None:
+                g = gauss_stats(gamma[None], vals[None])
+                gmoments = g if gmoments is None else tuple(
+                    a + b for a, b in zip(gmoments, g)
+                )
+        ll = float(total.loglik)
+        logliks.append(ll)
+        if log_fn is not None:
+            log_fn(it, ll)
+
+        new_hmm = em_m_step(total, params.hmm, sizes, masks, epsilon)
+        if gmoments is not None:
+            gauss_params = gauss_m_step(*gmoments, gauss_params)
+        log_match = params.log_match
+        if update_match:
+            log_match = jnp.asarray(match_bonus_from_counts(
+                np.asarray(em_sum), np.asarray(tot_sum),
+                np.asarray(new_hmm.log_em),
+                np.asarray(params.pair_mask),
+                list(alphabet_sizes),
+            ))
+        params = CfgParams(
+            hmm=new_hmm,
+            pair_mask=params.pair_mask,
+            log_match=log_match,
+            log_sa=params.log_sa,
+        )
+        if len(logliks) >= 2:
+            prev = logliks[-2]
+            if abs(ll - prev) <= threshold * max(abs(prev), 1.0):
+                converged = True
+                break
+    return CfgEmResult(
+        params=params, logliks=logliks, iterations=it,
+        converged=converged,
+    ), gauss_params
+
+
+__all__ = [
+    "cfg_inside_chart",
+    "cfg_em_stats",
+    "cfg_em_run",
+    "match_bonus_from_counts",
+    "CfgEmResult",
+    "make_cfg_params",
+]

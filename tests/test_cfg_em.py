@@ -1,0 +1,325 @@
+"""Inside-outside EM for the pair-grammar CFG (models/cfg_em.py).
+
+Validation strategy (the reference's own gold pattern, SURVEY.md §4):
+brute-force enumeration over ALL parses for tiny inputs, plus the
+zero-pair-states reduction to HMM Baum-Welch (reference: cfgTest.py
+HMM-equivalence tests [R]).
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from tehmm_tpu.models.cfg import make_cfg_params  # noqa: E402
+from tehmm_tpu.models.cfg_em import (  # noqa: E402
+    cfg_em_run,
+    cfg_em_stats,
+    cfg_inside_chart,
+    match_bonus_from_counts,
+)
+from tehmm_tpu.models.emission import track_log_likelihoods  # noqa: E402
+from tehmm_tpu.models.params import init_random  # noqa: E402
+from tehmm_tpu.ops import em as em_ops  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(7)
+
+
+def _random_problem(rng, S=3, T=2, V=5, L=6, seed=1):
+    params = init_random(S, [V] * T, seed=seed)
+    symbols = rng.randint(1, V, size=(L, T)).astype(np.int32)
+    return params, symbols
+
+
+# ---------------------------------------------------------------------
+# brute-force parse enumeration (exponential; L <= ~7)
+# ---------------------------------------------------------------------
+
+
+def _enumerate_parses(ls, lt, obs, symbols, pair_mask, log_match, log_sa):
+    """All derivations of span (i, j) rooted at s -> list of
+    (logweight, {pos: state}, [(s, s') transitions], n_match_pairs)."""
+    L, S = obs.shape
+    sa_left = np.where(pair_mask, log_sa[0], 0.0)
+
+    def pair_em(i, j, s):
+        both = (symbols[i] > 0) & (symbols[j] > 0)
+        nm = int(((symbols[i] == symbols[j]) & both).sum())
+        return obs[i, s] + obs[j, s] + nm * log_match[s], nm
+
+    memo = {}
+
+    def derive(i, j, s):
+        key = (i, j, s)
+        if key in memo:
+            return memo[key]
+        out = []
+        if i == j:
+            out.append((obs[i, s], {i: s}, [], 0.0))
+        else:
+            for sp in range(S):
+                for w, asg, tr, nm in derive(i + 1, j, s=sp):
+                    out.append((
+                        obs[i, s] + sa_left[s] + lt[s, sp] + w,
+                        {**asg, i: s}, [(s, sp)] + tr, nm,
+                    ))
+            if pair_mask[s] and j - i >= 2:
+                pe, nmatch = pair_em(i, j, s)
+                for sp in range(S):
+                    for w, asg, tr, nm in derive(i + 1, j - 1, sp):
+                        out.append((
+                            pe + log_sa[1] + lt[s, sp] + w,
+                            {**asg, i: s, j: s},
+                            [(s, sp)] + tr, nm + nmatch,
+                        ))
+        memo[key] = out
+        return out
+
+    parses = []
+    for s in range(S):
+        for w, asg, tr, nm in derive(0, L - 1, s):
+            parses.append((ls[s] + w, asg, tr, nm, s))
+    return parses
+
+
+def _brute_counts(params_cfg, obs, symbols):
+    ls = np.asarray(params_cfg.hmm.log_start, np.float64)
+    lt = np.asarray(params_cfg.hmm.log_trans, np.float64)
+    pm = np.asarray(params_cfg.pair_mask)
+    lm = np.asarray(params_cfg.log_match, np.float64)
+    sa = np.asarray(params_cfg.log_sa, np.float64)
+    obs64 = np.asarray(obs, np.float64)
+    L, S = obs64.shape
+    parses = _enumerate_parses(ls, lt, obs64, symbols, pm, lm, sa)
+    ws = np.array([p[0] for p in parses])
+    m = ws.max()
+    Z = m + np.log(np.exp(ws - m).sum())
+    post = np.exp(ws - Z)
+    gamma = np.zeros((L, S))
+    trans = np.zeros((S, S))
+    start = np.zeros(S)
+    e_match = np.zeros(S)
+    for p, (w, asg, tr, nm, root) in zip(post, parses):
+        for pos, s in asg.items():
+            gamma[pos, s] += p
+        for (a, b) in tr:
+            trans[a, b] += p
+        start[root] += p
+    return Z, gamma, trans, start
+
+
+class TestBruteForce:
+    def test_inside_outside_matches_enumeration(self, rng):
+        S, T, V, L = 3, 2, 4, 6
+        params, symbols = _random_problem(rng, S, T, V, L)
+        cfgp = make_cfg_params(
+            params, pair_states=[1], match_bonus=0.7, sa_prior=0.6
+        )
+        obs = track_log_likelihoods(
+            params.log_em, jnp.asarray(symbols)[None]
+        )[0]
+        stats, gamma, e_m, e_t = cfg_em_stats(
+            cfgp, obs, jnp.asarray(symbols)
+        )
+        Z, g_ref, tr_ref, st_ref = _brute_counts(cfgp, obs, symbols)
+        np.testing.assert_allclose(float(stats.loglik), Z, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gamma), g_ref, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(stats.trans), tr_ref,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(stats.start), st_ref,
+                                   atol=1e-5)
+        # every position emitted exactly once
+        np.testing.assert_allclose(
+            np.asarray(gamma).sum(axis=1), 1.0, atol=1e-5
+        )
+
+    def test_missing_symbols_never_match(self, rng):
+        S, T, V, L = 2, 1, 4, 5
+        params, symbols = _random_problem(rng, S, T, V, L)
+        symbols[:] = 0                       # all-missing track
+        cfgp = make_cfg_params(params, pair_states=[0], match_bonus=3.0)
+        obs = track_log_likelihoods(
+            params.log_em, jnp.asarray(symbols)[None]
+        )[0]
+        _, _, e_m, e_t = cfg_em_stats(cfgp, obs, jnp.asarray(symbols))
+        assert float(jnp.sum(e_m)) == 0.0
+        assert float(jnp.sum(e_t)) == 0.0
+
+
+class TestHmmReduction:
+    def test_no_pairs_equals_hmm_estep(self, rng):
+        S, T, V, L = 4, 2, 5, 9
+        params, symbols = _random_problem(rng, S, T, V, L, seed=3)
+        cfgp = make_cfg_params(params, pair_states=[])
+        obs = track_log_likelihoods(
+            params.log_em, jnp.asarray(symbols)[None]
+        )[0]
+        stats, gamma, _, _ = cfg_em_stats(cfgp, obs, jnp.asarray(symbols))
+        ref = em_ops.em_sufficient_stats(
+            params, jnp.asarray(symbols)[None], engine="xla"
+        )
+        np.testing.assert_allclose(
+            float(stats.loglik), float(ref.loglik), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(stats.start), np.asarray(ref.start), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(stats.trans), np.asarray(ref.trans), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(stats.em), np.asarray(ref.em), atol=1e-4
+        )
+
+    def test_inside_chart_root_matches_loglik(self, rng):
+        from tehmm_tpu.models.cfg import cfg_inside_loglik
+
+        params, symbols = _random_problem(rng, 3, 2, 4, 7, seed=5)
+        cfgp = make_cfg_params(params, pair_states=[2], match_bonus=1.0)
+        obs = track_log_likelihoods(
+            params.log_em, jnp.asarray(symbols)[None]
+        )[0]
+        chart = cfg_inside_chart(cfgp, obs, jnp.asarray(symbols))
+        L = obs.shape[0]
+        root = chart[L - 1, 0] + cfgp.hmm.log_start
+        m = float(jnp.max(root))
+        z_chart = m + float(jnp.log(jnp.sum(jnp.exp(root - m))))
+        z_ref = float(cfg_inside_loglik(
+            cfgp, obs, jnp.asarray(symbols), max_span=L
+        ))
+        assert abs(z_chart - z_ref) < 1e-4
+
+
+class TestEmRun:
+    def test_monotone_loglik_without_match_update(self, rng):
+        S, T, V, L = 3, 2, 5, 16
+        params, _ = _random_problem(rng, S, T, V, L, seed=11)
+        syms = [
+            rng.randint(1, V, size=(L, T)).astype(np.int32)
+            for _ in range(3)
+        ]
+        cfgp = make_cfg_params(params, pair_states=[1], match_bonus=0.5)
+        res, _ = cfg_em_run(
+            cfgp, syms, [V] * T, iterations=6, update_match=False,
+            threshold=0.0,
+        )
+        lls = res.logliks
+        assert len(lls) >= 3
+        for a, b in zip(lls, lls[1:]):
+            assert b >= a - 1e-3, lls
+
+    def test_learns_positive_bonus_on_mirrored_data(self, rng):
+        # palindromic sequences: ends agree far above chance
+        S, T, V, L = 2, 1, 5, 12
+        params, _ = _random_problem(rng, S, T, V, L, seed=13)
+        syms = []
+        for _ in range(4):
+            half = rng.randint(1, V, size=(L // 2, T)).astype(np.int32)
+            syms.append(np.concatenate([half, half[::-1]], axis=0))
+        cfgp = make_cfg_params(params, pair_states=[1], match_bonus=0.0,
+                               sa_prior=0.7)
+        res, _ = cfg_em_run(
+            cfgp, syms, [V] * T, iterations=4, update_match=True,
+            threshold=0.0,
+        )
+        assert float(res.params.log_match[1]) > 0.0
+
+    def test_match_bonus_from_counts_zero_without_mass(self):
+        log_em = np.log(np.full((2, 1, 4), 0.25))
+        out = match_bonus_from_counts(
+            np.zeros(2), np.zeros(2), log_em,
+            np.array([False, True]), [4],
+        )
+        np.testing.assert_array_equal(out, 0.0)
+
+    def test_single_position_sequence(self, rng):
+        params, symbols = _random_problem(rng, 2, 1, 4, 1, seed=17)
+        cfgp = make_cfg_params(params, pair_states=[1], match_bonus=1.0)
+        obs = track_log_likelihoods(
+            params.log_em, jnp.asarray(symbols)[None]
+        )[0]
+        stats, gamma, _, _ = cfg_em_stats(cfgp, obs, jnp.asarray(symbols))
+        root = np.asarray(params.log_start) + np.asarray(obs[0])
+        m = root.max()
+        z_ref = m + np.log(np.exp(root - m).sum())
+        np.testing.assert_allclose(float(stats.loglik), z_ref, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(gamma).sum(), 1.0, atol=1e-5
+        )
+
+
+class TestCfgEmCli:
+    def test_train_cfgem_eval_pipeline(self, tmp_path, rng):
+        """--cfg --cfgEm: supervised init -> inside-outside refinement
+        -> decode round trip; learned per-state log_match persisted."""
+        from tehmm_tpu.cli import train as cli_train
+        from tehmm_tpu.cli import eval as cli_eval
+        from tehmm_tpu.io import write_bed_intervals, read_bed_intervals
+        from tehmm_tpu.models.hmm import MultitrackHmm
+
+        L = 200
+        truth = [("chr1", 0, 80, "BG"), ("chr1", 80, 120, "TE"),
+                 ("chr1", 120, 200, "BG")]
+        rows = []
+        for c, s, e, n in truth:
+            for i in range(s, e, 10):
+                val = "X" if n == "TE" else "Y"
+                rows.append((c, i, min(i + 10, e), val))
+        bed = str(tmp_path / "a.bed")
+        write_bed_intervals(rows, bed)
+        xml = tmp_path / "t.xml"
+        xml.write_text(
+            f'<teModelConfig><track name="a" path="{bed}"/>'
+            "</teModelConfig>"
+        )
+        truth_bed = str(tmp_path / "truth.bed")
+        write_bed_intervals(truth, truth_bed)
+        regions = str(tmp_path / "r.bed")
+        write_bed_intervals([("chr1", 0, L)], regions)
+        model = str(tmp_path / "m.npz")
+        rc = cli_train.main(
+            [str(xml), truth_bed, model, "--supervised", "--cfg",
+             "--pairStates", "TE", "--cfgEm", "3", "--maxSpan", "128"]
+        )
+        assert rc == 0
+        loaded = MultitrackHmm.load(model)
+        meta = loaded.extra["cfg"]
+        assert "log_match" in meta
+        assert len(meta["log_match"]) == loaded.num_states
+        out = str(tmp_path / "p.bed")
+        rc = cli_eval.main([str(xml), model, regions, "--bed", out])
+        assert rc == 0
+        pred = read_bed_intervals(out, ncol=4)
+        assert len(pred) >= 1
+        assert {p[3] for p in pred} <= {"BG", "TE"}
+
+    def test_cfgem_rejects_segment(self, tmp_path):
+        from tehmm_tpu.cli import train as cli_train
+        from tehmm_tpu.cli import segment_tracks as seg_cli
+        from tehmm_tpu.io import write_bed_intervals
+        import pytest
+
+        bed = str(tmp_path / "a.bed")
+        write_bed_intervals(
+            [("chr1", i, i + 10, "X" if (i // 10) % 2 else "Y")
+             for i in range(0, 100, 10)], bed
+        )
+        xml = tmp_path / "t.xml"
+        xml.write_text(
+            f'<teModelConfig><track name="a" path="{bed}"/>'
+            "</teModelConfig>"
+        )
+        regions = str(tmp_path / "r.bed")
+        write_bed_intervals([("chr1", 0, 100)], regions)
+        segs = str(tmp_path / "segs.bed")
+        assert seg_cli.main([str(xml), regions, segs]) == 0
+        with pytest.raises(SystemExit, match="segment"):
+            cli_train.main(
+                [str(xml), segs, str(tmp_path / "m.npz"),
+                 "--numStates", "2", "--iter", "2", "--segment",
+                 "--cfg", "--pairStates", "0", "--cfgEm", "2"]
+            )
