@@ -104,6 +104,26 @@ def main(argv=None) -> int:
                 ]
                 print(f"    {s_name}\t" + " ".join(parts))
 
+    cfg_meta = (model.extra or {}).get("cfg")
+    if show_all and cfg_meta:
+        # pair-grammar decoration (reference: teHmmView prints the whole
+        # model; cfg pair weights are part of it)
+        print("\ncfg pair grammar:")
+        pair = cfg_meta.get("pair_states", [])
+        print(f"  pair states: {' '.join(pair) if pair else '(none)'}")
+        print(f"  max span: {cfg_meta.get('max_span')}")
+        if "sa_prior" in cfg_meta:
+            print(f"  self-alignment prior: {cfg_meta['sa_prior']}")
+        if "log_match" in cfg_meta:
+            lm = cfg_meta["log_match"]
+            for n in pair:
+                i = names.index(n)
+                print(f"  log_match[{n}] = "
+                      f"{lm[i]:.{opts.precision}f}")
+        elif "match_bonus" in cfg_meta:
+            print(f"  match bonus (shared): "
+                  f"{cfg_meta['match_bonus']:.{opts.precision}f}")
+
     if opts.plot:
         from tehmm_tpu import analysis
 

@@ -323,3 +323,34 @@ class TestCfgEmCli:
                  "--numStates", "2", "--iter", "2", "--segment",
                  "--cfg", "--pairStates", "0", "--cfgEm", "2"]
             )
+
+    def test_view_shows_cfg_pair_grammar(self, tmp_path, rng, capsys):
+        from tehmm_tpu.cli import train as cli_train
+        from tehmm_tpu.cli import view as cli_view
+        from tehmm_tpu.io import write_bed_intervals
+
+        bed = str(tmp_path / "a.bed")
+        write_bed_intervals(
+            [("chr1", i, i + 10, "X" if 40 <= i < 60 else "Y")
+             for i in range(0, 100, 10)], bed
+        )
+        xml = tmp_path / "t.xml"
+        xml.write_text(
+            f'<teModelConfig><track name="a" path="{bed}"/>'
+            "</teModelConfig>"
+        )
+        truth_bed = str(tmp_path / "truth.bed")
+        write_bed_intervals(
+            [("chr1", 0, 40, "BG"), ("chr1", 40, 60, "TE"),
+             ("chr1", 60, 100, "BG")], truth_bed
+        )
+        model = str(tmp_path / "m.npz")
+        assert cli_train.main(
+            [str(xml), truth_bed, model, "--supervised", "--cfg",
+             "--pairStates", "TE", "--cfgEm", "2", "--maxSpan", "64"]
+        ) == 0
+        capsys.readouterr()
+        assert cli_view.main([model]) == 0
+        out = capsys.readouterr().out
+        assert "cfg pair grammar" in out
+        assert "log_match[TE]" in out
