@@ -288,6 +288,15 @@ class CfgEmResult:
     converged: bool
 
 
+_cfg_em_stats_batched = jax.jit(
+    jax.vmap(cfg_em_stats, in_axes=(None, 0, 0))
+)
+
+# chart budget per vmapped group (the [N, L, L, S] inside charts are the
+# dominant allocation; mirrors models/cfg._cfg_decode_batch's bound)
+_CHART_BYTES = 256 << 20
+
+
 def cfg_em_run(
     params: CfgParams,
     symbols_list,
@@ -320,6 +329,18 @@ def cfg_em_run(
     )
 
     sizes = jnp.asarray(list(alphabet_sizes))
+    S = params.hmm.num_states
+    has_gauss = gauss_params is not None and values_list is not None
+
+    # Group equal-length windows so each group's E-step is ONE vmapped
+    # device dispatch (same lesson as the batched CFG decode: the
+    # per-window Python loop was dispatch-bound).  Group size is bounded
+    # by the vmapped inside-chart memory; at most two compiled shapes
+    # per distinct length (full groups + the remainder).
+    by_len: dict[int, list[int]] = {}
+    for k, sym in enumerate(symbols_list):
+        by_len.setdefault(int(np.shape(sym)[0]), []).append(k)
+
     logliks: list[float] = []
     converged = False
     it = 0
@@ -327,26 +348,37 @@ def cfg_em_run(
         total = None
         em_sum = tot_sum = None
         gmoments = None
-        for k, sym in enumerate(symbols_list):
-            sym = jnp.asarray(sym)
-            obs = track_log_likelihoods(
-                params.hmm.log_em, sym[None]
-            )[0]
-            vals = None
-            if gauss_params is not None and values_list is not None:
-                vals = jnp.asarray(values_list[k])
-                obs = obs + gauss_log_likelihoods(
-                    gauss_params, vals[None]
-                )[0]
-            stats, gamma, e_m, e_t = cfg_em_stats(params, obs, sym)
-            total = stats if total is None else total + stats
-            em_sum = e_m if em_sum is None else em_sum + e_m
-            tot_sum = e_t if tot_sum is None else tot_sum + e_t
-            if vals is not None:
-                g = gauss_stats(gamma[None], vals[None])
-                gmoments = g if gmoments is None else tuple(
-                    a + b for a, b in zip(gmoments, g)
+        for L, idxs in sorted(by_len.items()):
+            group = max(1, _CHART_BYTES // max(L * L * S * 4, 1))
+            for g0 in range(0, len(idxs), group):
+                ids = idxs[g0:g0 + group]
+                sym_b = jnp.stack(
+                    [jnp.asarray(symbols_list[i]) for i in ids]
                 )
+                obs_b = track_log_likelihoods(
+                    params.hmm.log_em, sym_b
+                )
+                vals_b = None
+                if has_gauss:
+                    vals_b = jnp.stack(
+                        [jnp.asarray(values_list[i]) for i in ids]
+                    )
+                    obs_b = obs_b + gauss_log_likelihoods(
+                        gauss_params, vals_b
+                    )
+                stats_b, gamma_b, e_m, e_t = _cfg_em_stats_batched(
+                    params, obs_b, sym_b
+                )
+                stats = jax.tree.map(lambda x: x.sum(0), stats_b)
+                total = stats if total is None else total + stats
+                e_m, e_t = e_m.sum(0), e_t.sum(0)
+                em_sum = e_m if em_sum is None else em_sum + e_m
+                tot_sum = e_t if tot_sum is None else tot_sum + e_t
+                if vals_b is not None:
+                    g = gauss_stats(gamma_b, vals_b)
+                    gmoments = g if gmoments is None else tuple(
+                        a + b for a, b in zip(gmoments, g)
+                    )
         ll = float(total.loglik)
         logliks.append(ll)
         if log_fn is not None:
