@@ -340,6 +340,20 @@ def cfg_em_run(
     by_len: dict[int, list[int]] = {}
     for k, sym in enumerate(symbols_list):
         by_len.setdefault(int(np.shape(sym)[0]), []).append(k)
+    groups = []          # (sym_b, vals_b) — stacked once, reused per iter
+    for L, idxs in sorted(by_len.items()):
+        group = max(1, _CHART_BYTES // max(L * L * S * 4, 1))
+        for g0 in range(0, len(idxs), group):
+            ids = idxs[g0:g0 + group]
+            sym_b = jnp.stack(
+                [jnp.asarray(symbols_list[i]) for i in ids]
+            )
+            vals_b = None
+            if has_gauss:
+                vals_b = jnp.stack(
+                    [jnp.asarray(values_list[i]) for i in ids]
+                )
+            groups.append((sym_b, vals_b))
 
     logliks: list[float] = []
     converged = False
@@ -348,37 +362,25 @@ def cfg_em_run(
         total = None
         em_sum = tot_sum = None
         gmoments = None
-        for L, idxs in sorted(by_len.items()):
-            group = max(1, _CHART_BYTES // max(L * L * S * 4, 1))
-            for g0 in range(0, len(idxs), group):
-                ids = idxs[g0:g0 + group]
-                sym_b = jnp.stack(
-                    [jnp.asarray(symbols_list[i]) for i in ids]
+        for sym_b, vals_b in groups:
+            obs_b = track_log_likelihoods(params.hmm.log_em, sym_b)
+            if vals_b is not None:
+                obs_b = obs_b + gauss_log_likelihoods(
+                    gauss_params, vals_b
                 )
-                obs_b = track_log_likelihoods(
-                    params.hmm.log_em, sym_b
+            stats_b, gamma_b, e_m, e_t = _cfg_em_stats_batched(
+                params, obs_b, sym_b
+            )
+            stats = jax.tree.map(lambda x: x.sum(0), stats_b)
+            total = stats if total is None else total + stats
+            e_m, e_t = e_m.sum(0), e_t.sum(0)
+            em_sum = e_m if em_sum is None else em_sum + e_m
+            tot_sum = e_t if tot_sum is None else tot_sum + e_t
+            if vals_b is not None:
+                g = gauss_stats(gamma_b, vals_b)
+                gmoments = g if gmoments is None else tuple(
+                    a + b for a, b in zip(gmoments, g)
                 )
-                vals_b = None
-                if has_gauss:
-                    vals_b = jnp.stack(
-                        [jnp.asarray(values_list[i]) for i in ids]
-                    )
-                    obs_b = obs_b + gauss_log_likelihoods(
-                        gauss_params, vals_b
-                    )
-                stats_b, gamma_b, e_m, e_t = _cfg_em_stats_batched(
-                    params, obs_b, sym_b
-                )
-                stats = jax.tree.map(lambda x: x.sum(0), stats_b)
-                total = stats if total is None else total + stats
-                e_m, e_t = e_m.sum(0), e_t.sum(0)
-                em_sum = e_m if em_sum is None else em_sum + e_m
-                tot_sum = e_t if tot_sum is None else tot_sum + e_t
-                if vals_b is not None:
-                    g = gauss_stats(gamma_b, vals_b)
-                    gmoments = g if gmoments is None else tuple(
-                        a + b for a, b in zip(gmoments, g)
-                    )
         ll = float(total.loglik)
         logliks.append(ll)
         if log_fn is not None:
