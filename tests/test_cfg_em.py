@@ -354,3 +354,37 @@ class TestCfgEmCli:
         out = capsys.readouterr().out
         assert "cfg pair grammar" in out
         assert "log_match[TE]" in out
+
+
+class TestGaussCfgEm:
+    def test_gaussian_moments_refit_under_pair_grammar(self, rng):
+        """CFG EM refits gaussian means from posterior moments: two
+        states separated purely by a gaussian track converge to the
+        planted means (no categorical signal at all)."""
+        from tehmm_tpu.models.gauss import GaussParams
+
+        S, T, V, L = 2, 1, 3, 20
+        params = init_random(S, [V] * T, seed=21)
+        syms, vals = [], []
+        for _ in range(4):
+            states = (np.arange(L) >= L // 2).astype(int)   # half 0, half 1
+            x = np.where(states == 0,
+                         rng.normal(-2.0, 0.3, L),
+                         rng.normal(2.0, 0.3, L))
+            syms.append(rng.randint(1, V, size=(L, T)).astype(np.int32))
+            vals.append(x.astype(np.float32)[:, None])
+        gp = GaussParams(
+            mu=jnp.asarray([[-0.5], [0.5]]),
+            log_var=jnp.zeros((2, 1)),
+        )
+        cfgp = make_cfg_params(params, pair_states=[1], match_bonus=0.0)
+        res, new_gp = cfg_em_run(
+            cfgp, syms, [V] * T, iterations=10, update_match=False,
+            threshold=0.0, gauss_params=gp, values_list=vals,
+        )
+        mu = np.sort(np.asarray(new_gp.mu).ravel())
+        assert mu[0] < -1.0 and mu[1] > 1.0, mu
+        # loglik still monotone with gaussian refits in the loop
+        lls = res.logliks
+        for a, b in zip(lls, lls[1:]):
+            assert b >= a - 1e-3, lls
