@@ -124,10 +124,12 @@ def main(argv=None) -> int:
 
     viterbi_like = not (cfg_meta or opts.maxPost)
     paths = None
+    cfg_gammas = None
     if opts.bed:
         if cfg_meta:
-            paths = _cfg_decode(
-                model, cfg_meta, track_data.tables, opts.maxSpan
+            paths, cfg_gammas = _cfg_decode(
+                model, cfg_meta, track_data.tables, opts.maxSpan,
+                max_post=opts.maxPost, halo=opts.halo,
             )
         elif opts.maxPost:
             if opts.exact:
@@ -194,9 +196,20 @@ def main(argv=None) -> int:
         logger.info("wrote %d intervals to %s", len(out), opts.bed)
 
     if opts.pd:
-        dists = model.posterior_distributions(
-            track_data.tables, chunk_len=opts.chunk
-        )
+        if cfg_meta:
+            # pair-grammar posteriors (inside-outside gamma), not the
+            # HMM approximation; reuse the decode pass's gammas if
+            # --maxPost already computed them
+            if cfg_gammas is None:
+                _, cfg_gammas = _cfg_decode(
+                    model, cfg_meta, track_data.tables, opts.maxSpan,
+                    max_post=True, halo=opts.halo,
+                )
+            dists = cfg_gammas
+        else:
+            dists = model.posterior_distributions(
+                track_data.tables, chunk_len=opts.chunk
+            )
         rows = []
         for tab, pd in zip(track_data.tables, dists):
             for i in range(len(tab)):
@@ -294,17 +307,24 @@ def _eval_segments(opts, model, seg_tables) -> int:
     return 0
 
 
-def _cfg_decode(model, cfg_meta, tables, max_span=None):
+def _cfg_decode(model, cfg_meta, tables, max_span=None,
+                max_post=False, halo=128):
     """Pair-grammar decode (reference: teHmmEval on a --cfg model).
     Tables longer than the chart budget (``max_span``, from the model's
     training meta or --maxSpan) decode via halo-stitched CYK windows
-    (models/cfg.cfg_viterbi_decode_chunked)."""
+    (models/cfg.cfg_viterbi_decode_chunked).  With ``max_post`` the path
+    is the argmax of the inside-outside posterior instead of the CYK
+    Viterbi parse (models/cfg_em.cfg_posterior_decode) and the per-table
+    gammas are returned for --pd.
+
+    Returns (paths, gammas) — gammas is None unless max_post."""
     import jax.numpy as jnp
     import numpy as np
 
     from tehmm_tpu.models.cfg import (
         cfg_viterbi_decode_chunked, make_cfg_params,
     )
+    from tehmm_tpu.models.cfg_em import cfg_posterior_decode
     from tehmm_tpu.models.emission import track_log_likelihoods
 
     pair_idx = [
@@ -322,6 +342,7 @@ def _cfg_decode(model, cfg_meta, tables, max_span=None):
     if max_span is None:
         max_span = int(cfg_meta.get("max_span", 4096))
     paths = []
+    gammas = [] if max_post else None
     for tab in tables:
         sym = jnp.asarray(tab.symbols)
         obs = track_log_likelihoods(model.params.log_em, sym)
@@ -334,11 +355,17 @@ def _cfg_decode(model, cfg_meta, tables, max_span=None):
             obs = obs + gauss_log_likelihoods(
                 model.gauss, jnp.asarray(tab.values)
             )
-        path, _score = cfg_viterbi_decode_chunked(
-            cfg, obs, sym, max_span
-        )
+        if max_post:
+            path, gamma = cfg_posterior_decode(
+                cfg, obs, sym, max_span, halo=halo
+            )
+            gammas.append(gamma)
+        else:
+            path, _score = cfg_viterbi_decode_chunked(
+                cfg, obs, sym, max_span
+            )
         paths.append(path)
-    return paths
+    return paths, gammas
 
 
 if __name__ == "__main__":

@@ -414,10 +414,81 @@ def cfg_em_run(
     ), gauss_params
 
 
+def cfg_posterior_tables(
+    params: CfgParams,
+    obs: jax.Array,
+    symbols: jax.Array,
+    max_span: int,
+    halo: int = 128,
+) -> np.ndarray:
+    """Per-position state posteriors under the PAIR GRAMMAR (not the
+    HMM approximation) for one sequence — the decode-side consumer of
+    the inside-outside gamma (eval --maxPost / --pd on a CFG model).
+
+    Sequences longer than the chart budget are cut into core windows
+    with ``halo`` overlap; each window's gamma comes from an independent
+    full-span inside-outside pass (bounded-element premise: pair
+    brackets live within a window, exactly as in CFG Viterbi decode,
+    models/cfg.cfg_viterbi_decode_chunked) and only core rows are kept.
+    All windows share one length, so the whole pass is a few vmapped
+    dispatches bounded by the chart memory.
+
+    Returns f32[L, S]; rows sum to 1.
+    """
+    L, S = obs.shape
+    if L <= max_span:
+        _, gamma, _, _ = cfg_em_stats(params, obs, symbols)
+        return np.asarray(gamma)
+
+    halo = min(halo, (max_span - 1) // 2)
+    core = max_span - 2 * halo
+    W = max_span
+    n_win = -(-L // core)
+    los = np.empty(n_win, np.int64)
+    cores = []
+    for k in range(n_win):
+        c_lo, c_hi = k * core, min((k + 1) * core, L)
+        los[k] = min(max(c_lo - halo, 0), L - W)
+        cores.append((c_lo, c_hi))
+    idx = los[:, None] + np.arange(W)[None, :]
+    obs_wins = jnp.asarray(obs)[idx]                       # [N, W, S]
+    sym_wins = jnp.asarray(symbols)[idx]                   # [N, W, T]
+
+    out = np.empty((L, S), np.float32)
+    group = max(1, _CHART_BYTES // max(W * W * S * 4, 1))
+    for g0 in range(0, n_win, group):
+        g1 = min(g0 + group, n_win)
+        _, gamma_b, _, _ = _cfg_em_stats_batched(
+            params, obs_wins[g0:g1], sym_wins[g0:g1]
+        )
+        gamma_np = np.asarray(gamma_b)
+        for k in range(g0, g1):
+            c_lo, c_hi = cores[k]
+            lo = int(los[k])
+            out[c_lo:c_hi] = gamma_np[k - g0, c_lo - lo : c_hi - lo]
+    return out
+
+
+def cfg_posterior_decode(
+    params: CfgParams,
+    obs: jax.Array,
+    symbols: jax.Array,
+    max_span: int,
+    halo: int = 128,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Max-posterior state path under the pair grammar.
+
+    Returns (path int32[L], gamma f32[L, S])."""
+    gamma = cfg_posterior_tables(params, obs, symbols, max_span, halo)
+    return np.argmax(gamma, axis=-1).astype(np.int32), gamma
+
+
 __all__ = [
     "cfg_inside_chart",
     "cfg_em_stats",
     "cfg_em_run",
+    "cfg_posterior_tables",
+    "cfg_posterior_decode",
     "match_bonus_from_counts",
     "CfgEmResult",
     "make_cfg_params",

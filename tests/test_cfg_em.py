@@ -388,3 +388,107 @@ class TestGaussCfgEm:
         lls = res.logliks
         for a, b in zip(lls, lls[1:]):
             assert b >= a - 1e-3, lls
+
+
+class TestCfgPosterior:
+    def test_gamma_equals_hmm_posterior_no_pairs(self, rng):
+        """No pair states + full-span chart: CFG posteriors are exactly
+        the HMM forward-backward posteriors."""
+        from tehmm_tpu.models.cfg_em import cfg_posterior_tables
+        from tehmm_tpu.ops import dp
+
+        S, T, V, L = 3, 2, 5, 24
+        params, symbols = _random_problem(rng, S, T, V, L, seed=31)
+        cfgp = make_cfg_params(params, pair_states=[])
+        obs = track_log_likelihoods(
+            params.log_em, jnp.asarray(symbols)[None]
+        )[0]
+        gamma = cfg_posterior_tables(
+            cfgp, obs, jnp.asarray(symbols), max_span=L
+        )
+        a, _, _ = dp.forward_scaled(
+            params.log_start, params.log_trans, obs[None]
+        )
+        b, _ = dp.backward_scaled(params.log_trans, obs[None])
+        ref = np.asarray(dp.posterior_scaled(a, b))[0]
+        np.testing.assert_allclose(gamma, ref, atol=1e-4)
+
+    def test_windowed_maxpost_path_matches_monolithic(self, rng):
+        """Windowed posterior argmax == monolithic on a decisive model
+        (near-deterministic emissions, so window truncation cannot flip
+        any position's argmax)."""
+        from tehmm_tpu.models.cfg_em import (
+            cfg_posterior_decode, cfg_posterior_tables,
+        )
+        from tehmm_tpu.models.params import HmmParams
+
+        S, V, L = 2, 3, 120
+        log_em = np.full((S, 1, V + 1), np.log(0.02), np.float32)
+        log_em[0, 0, 1] = np.log(0.96)
+        log_em[1, 0, 2] = np.log(0.96)
+        log_em[:, 0, 0] = 0.0
+        params = HmmParams(
+            log_start=jnp.asarray(np.log([0.5, 0.5]).astype(np.float32)),
+            log_trans=jnp.asarray(
+                np.log([[0.9, 0.1], [0.1, 0.9]]).astype(np.float32)
+            ),
+            log_em=jnp.asarray(log_em),
+        )
+        states = (np.arange(L) // 30) % 2
+        symbols = (states + 1).astype(np.int32)[:, None]
+        cfgp = make_cfg_params(params, pair_states=[])
+        obs = track_log_likelihoods(
+            params.log_em, jnp.asarray(symbols)[None]
+        )[0]
+        mono = np.argmax(cfg_posterior_tables(
+            cfgp, obs, jnp.asarray(symbols), max_span=L
+        ), axis=-1)
+        path, gamma = cfg_posterior_decode(
+            cfgp, obs, jnp.asarray(symbols), max_span=48, halo=12
+        )
+        np.testing.assert_array_equal(path, mono)
+        np.testing.assert_allclose(gamma.sum(axis=1), 1.0, atol=1e-4)
+
+    def test_eval_cli_maxpost_and_pd_on_cfg_model(self, tmp_path, rng):
+        from tehmm_tpu.cli import train as cli_train
+        from tehmm_tpu.cli import eval as cli_eval
+        from tehmm_tpu.io import write_bed_intervals, read_bed_intervals
+
+        L = 200
+        truth = [("chr1", 0, 80, "BG"), ("chr1", 80, 120, "TE"),
+                 ("chr1", 120, 200, "BG")]
+        rows = []
+        for c, s, e, n in truth:
+            for i in range(s, e, 10):
+                val = "X" if n == "TE" else "Y"
+                rows.append((c, i, min(i + 10, e), val))
+        bed = str(tmp_path / "a.bed")
+        write_bed_intervals(rows, bed)
+        xml = tmp_path / "t.xml"
+        xml.write_text(
+            f'<teModelConfig><track name="a" path="{bed}"/>'
+            "</teModelConfig>"
+        )
+        truth_bed = str(tmp_path / "truth.bed")
+        write_bed_intervals(truth, truth_bed)
+        regions = str(tmp_path / "r.bed")
+        write_bed_intervals([("chr1", 0, L)], regions)
+        model = str(tmp_path / "m.npz")
+        assert cli_train.main(
+            [str(xml), truth_bed, model, "--supervised", "--cfg",
+             "--pairStates", "TE", "--cfgEm", "2", "--maxSpan", "128"]
+        ) == 0
+        out = str(tmp_path / "p.bed")
+        pd_out = str(tmp_path / "pd.bed")
+        assert cli_eval.main(
+            [str(xml), model, regions, "--bed", out, "--maxPost",
+             "--pd", pd_out]
+        ) == 0
+        pred = read_bed_intervals(out, ncol=4)
+        assert {p[3] for p in pred} <= {"BG", "TE"}
+        pd_rows = read_bed_intervals(pd_out, ncol=4)
+        assert len(pd_rows) == L
+        probs = np.array([
+            [float(x) for x in r[3].split(",")] for r in pd_rows
+        ])
+        np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-3)
