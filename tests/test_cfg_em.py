@@ -24,6 +24,17 @@ from tehmm_tpu.models.params import init_random  # noqa: E402
 from tehmm_tpu.ops import em as em_ops  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _drop_chart_executables():
+    """The vmapped inside-outside charts compile into large CPU
+    executables; holding them for the rest of the session pushes the
+    full suite over the known XLA-CPU compile crash threshold
+    (tests/test_property_sweep.py's cache note).  Drop them when this
+    module is done."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(7)

@@ -12,6 +12,18 @@ from tehmm_tpu.ops import dp, em
 from tests.conftest import random_hmm
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_executable_cache():
+    """Full-suite runs SIGSEGV inside the XLA CPU compiler once enough
+    executables have accumulated from earlier modules (see the in-test
+    note below, and the same clear in tests/test_cfg_em.py).  Start
+    this compile-heavy sweep from a clean slate."""
+    import jax
+
+    jax.clear_caches()
+    yield
+
+
 @pytest.mark.parametrize("seed", range(8))
 def test_dp_invariants_random_model(seed):
     rng = np.random.RandomState(1000 + seed)
