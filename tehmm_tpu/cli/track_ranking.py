@@ -38,6 +38,14 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--trainFlags", default="--supervised")
     p.add_argument("--maxTracks", type=int, default=0,
                    help="stop after ranking this many (0 = all)")
+    p.add_argument("--numProcesses", type=int, default=1,
+                   help="evaluate a step's candidate tracks "
+                        "concurrently in worker processes (candidates "
+                        "within a step are independent, like benchmark "
+                        "configs).  Same single-accelerator caveat as "
+                        "tehmm-benchmark --numProcesses: workers "
+                        "contend for one chip; use TEHMM_PLATFORM=cpu "
+                        "for truly parallel CPU sweeps")
     add_logging_options(p)
     return p
 
@@ -55,7 +63,7 @@ def main(argv=None) -> int:
     limit = opts.maxTracks or len(remaining)
     step = 0
     while remaining and len(chosen) < limit:
-        best = None
+        jobs = []
         for cand in remaining:
             subset = chosen + [cand]
             sub_xml = os.path.join(
@@ -66,11 +74,41 @@ def main(argv=None) -> int:
                 if t.name in subset:
                     tl.add(dataclasses.replace(t, number=-1))
             tl.save_xml(sub_xml)
-            res = run_config(
+            jobs.append((cand, (
                 f"rank{step}_{cand}", flags, sub_xml, opts.truthBed,
                 opts.regionsBed, opts.outDir,
-            )
-            acc = res.get("base_accuracy", -1.0)
+            )))
+
+        accs: dict[str, float] = {}
+        if opts.numProcesses > 1:
+            import concurrent.futures as cf
+            import multiprocessing as mp
+
+            ctx = mp.get_context("spawn")   # fresh JAX per worker
+            with cf.ProcessPoolExecutor(
+                max_workers=opts.numProcesses, mp_context=ctx
+            ) as ex:
+                futs = {
+                    ex.submit(run_config, *args): cand
+                    for cand, args in jobs
+                }
+                for fut in cf.as_completed(futs):
+                    cand = futs[fut]
+                    try:
+                        accs[cand] = fut.result().get(
+                            "base_accuracy", -1.0
+                        )
+                    except Exception as e:  # noqa: BLE001 — per-cand
+                        logger.warning("candidate %s failed: %s", cand, e)
+                        accs[cand] = -1.0
+        else:
+            for cand, args in jobs:
+                res = run_config(*args)
+                accs[cand] = res.get("base_accuracy", -1.0)
+
+        best = None
+        for cand in remaining:   # deterministic tie-break: track order
+            acc = accs[cand]
             logger.info("step %d candidate %s: acc %.4f", step, cand, acc)
             if best is None or acc > best[0]:
                 best = (acc, cand)

@@ -203,3 +203,66 @@ class TestTsdFinder:
         assert t.subject[subject_start:subject_start + length] == \
             "ACGTACG"
         assert length == 7
+
+
+class TestTrackRanking:
+    def _fixture(self, tmp_path):
+        from tehmm_tpu.io import write_bed_intervals
+
+        L = 120
+        truth = [("chr1", 0, 50, "BG"), ("chr1", 50, 80, "TE"),
+                 ("chr1", 80, 120, "BG")]
+        # informative track mirrors the truth; noise track is constant
+        good, noise = [], []
+        for c, s, e, n in truth:
+            for i in range(s, e, 10):
+                good.append((c, i, min(i + 10, e),
+                             "X" if n == "TE" else "Y"))
+                noise.append((c, i, min(i + 10, e), "Z"))
+        gb, nb = str(tmp_path / "good.bed"), str(tmp_path / "noise.bed")
+        write_bed_intervals(good, gb)
+        write_bed_intervals(noise, nb)
+        xml = tmp_path / "t.xml"
+        xml.write_text(
+            "<teModelConfig>"
+            f'<track name="good" path="{gb}"/>'
+            f'<track name="noise" path="{nb}"/>'
+            "</teModelConfig>"
+        )
+        truth_bed = str(tmp_path / "truth.bed")
+        write_bed_intervals(truth, truth_bed)
+        regions = str(tmp_path / "r.bed")
+        write_bed_intervals([("chr1", 0, L)], regions)
+        return str(xml), truth_bed, regions
+
+    def test_ranks_informative_track_first(self, tmp_path):
+        import json
+
+        from tehmm_tpu.cli import track_ranking
+
+        xml, truth_bed, regions = self._fixture(tmp_path)
+        out = str(tmp_path / "out")
+        assert track_ranking.main(
+            [xml, truth_bed, regions, out, "--maxTracks", "1"]
+        ) == 0
+        hist = json.load(open(f"{out}/ranking.json"))
+        assert hist[0]["track"] == "good"
+        assert hist[0]["base_accuracy"] > 0.9
+
+    def test_parallel_candidates_match_sequential(self, tmp_path):
+        import json
+
+        from tehmm_tpu.cli import track_ranking
+
+        xml, truth_bed, regions = self._fixture(tmp_path)
+        seq, par = str(tmp_path / "seq"), str(tmp_path / "par")
+        assert track_ranking.main(
+            [xml, truth_bed, regions, seq, "--maxTracks", "1"]
+        ) == 0
+        assert track_ranking.main(
+            [xml, truth_bed, regions, par, "--maxTracks", "1",
+             "--numProcesses", "2"]
+        ) == 0
+        h_seq = json.load(open(f"{seq}/ranking.json"))
+        h_par = json.load(open(f"{par}/ranking.json"))
+        assert h_seq == h_par
