@@ -415,9 +415,16 @@ def _refine_cfg_em(opts, model, track_data, pair_names, cfg_meta,
     syms, vals = [], []
     has_gauss = model.gauss is not None
     for tab in track_data.tables:
+        if has_gauss and tab.values is None:
+            # vals and syms are indexed in lockstep inside cfg_em_run;
+            # a table missing its values would silently misalign them
+            raise ValueError(
+                "gaussian model but table has no values array "
+                "(load_track_data must populate values for gauss tracks)"
+            )
         for w0 in range(0, len(tab.symbols), opts.maxSpan):
             syms.append(np.asarray(tab.symbols[w0:w0 + opts.maxSpan]))
-            if has_gauss and tab.values is not None:
+            if has_gauss:
                 vals.append(np.asarray(
                     tab.values[w0:w0 + opts.maxSpan]
                 ))

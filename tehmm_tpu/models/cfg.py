@@ -312,8 +312,15 @@ def estimate_match_bonus(
             for t, size in enumerate(alphabet_sizes):
                 em_p[t, int(size):] = 0.0
         norm = em_p.sum(axis=1, keepdims=True)
+        # only tracks with real categorical mass can contribute
+        # comparisons (n_match/n_tot above skip all-missing tracks the
+        # same way); a gaussian track's all-missing column would
+        # otherwise collapse to chance ~0 and inflate the bonus
+        valid = norm[:, 0] > 1e-6
+        if not valid.any():
+            continue
         em_p = em_p / np.maximum(norm, eps)
-        p_chance = float(np.mean(np.sum(em_p**2, axis=1)))
+        p_chance = float(np.mean(np.sum(em_p[valid] ** 2, axis=1)))
         p_chance = min(max(p_chance, eps), 1 - eps)
         bonus = (np.log(p_obs / (1 - p_obs))
                  - np.log(p_chance / (1 - p_chance)))

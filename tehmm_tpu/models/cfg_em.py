@@ -118,9 +118,17 @@ def _xi_matmul(
 
 @jax.jit
 def cfg_em_stats(
-    params: CfgParams, obs: jax.Array, symbols: jax.Array
+    params: CfgParams, obs: jax.Array, symbols: jax.Array,
+    log_root: jax.Array | None = None,
 ) -> tuple[EmStats, jax.Array, jax.Array, jax.Array]:
     """Inside-outside expected counts for ONE sequence.
+
+    ``log_root`` overrides the root-state distribution (default:
+    ``params.hmm.log_start``).  Interior windows of a chunked long
+    sequence pass a flat root here — their left edge is arbitrary
+    sequence context, not a fresh sequence start, and a sharply peaked
+    log_start would otherwise bias posteriors near window edges beyond
+    what the halo absorbs.
 
     Returns ``(stats, gamma, e_match, e_tot)``:
       stats:   EmStats — start/trans/em counts + inside loglik, directly
@@ -140,11 +148,10 @@ def cfg_em_stats(
     sa_left = jnp.where(params.pair_mask, params.log_sa[0], 0.0)
     w0 = obs + sa_left[None, :]            # left-emit weight at any cell
 
+    root = params.hmm.log_start if log_root is None else log_root
     inchart = cfg_inside_chart(params, obs, symbols)         # [L, L, S]
-    Z = _lse(inchart[L - 1, 0] + params.hmm.log_start, 0)
-    root_out = jnp.full((L, S), LOG_ZERO).at[0].set(
-        params.hmm.log_start
-    )
+    Z = _lse(inchart[L - 1, 0] + root, 0)
+    root_out = jnp.full((L, S), LOG_ZERO).at[0].set(root)
 
     def pair_w(d):
         """Pair-rule weight at diagonal d (LOG_ZERO where inapplicable)."""
@@ -223,9 +230,7 @@ def cfg_em_stats(
     em = expected_emission_counts(
         params.hmm.log_em.shape, symbols, gamma
     )
-    start = jnp.exp(jnp.minimum(
-        params.hmm.log_start + inchart[L - 1, 0] - Z, 0.0
-    ))
+    start = jnp.exp(jnp.minimum(root + inchart[L - 1, 0] - Z, 0.0))
     stats = EmStats(
         start=start,
         trans=trans,
@@ -240,16 +245,30 @@ def _chance_agreement(
     log_em: np.ndarray, alphabet_sizes
 ) -> np.ndarray:
     """Per-state chance that two independent draws agree, averaged over
-    tracks (mirrors models/cfg.estimate_match_bonus's chance norm:
-    missing and pad columns excluded)."""
+    tracks that can actually contribute comparisons (mirrors
+    models/cfg.estimate_match_bonus's chance norm: missing and pad
+    columns excluded).  Tracks with ~no categorical mass — e.g. a
+    gaussian track whose symbols column is all-missing — are skipped,
+    matching e_match/e_tot which only count tracks with comparable
+    non-missing ends; including them would deflate p_chance and inflate
+    the learned bonus.  States with no contributing track return NaN
+    (caller keeps bonus 0)."""
     em_p = np.exp(np.asarray(log_em, np.float64)).copy()      # [S, T, V]
     em_p[:, :, 0] = 0.0
     if alphabet_sizes is not None:
         for t, size in enumerate(alphabet_sizes):
             em_p[:, t, int(size):] = 0.0
-    norm = em_p.sum(axis=2, keepdims=True)
+    norm = em_p.sum(axis=2, keepdims=True)                    # [S, T, 1]
+    valid = norm[:, :, 0] > 1e-6                              # [S, T]
     em_p = em_p / np.maximum(norm, 1e-9)
-    return np.sum(em_p**2, axis=2).mean(axis=1)               # [S]
+    per_track = np.sum(em_p**2, axis=2)                       # [S, T]
+    n_valid = valid.sum(axis=1)
+    with np.errstate(invalid="ignore"):
+        return np.where(
+            n_valid > 0,
+            (per_track * valid).sum(axis=1) / np.maximum(n_valid, 1),
+            np.nan,
+        )
 
 
 def match_bonus_from_counts(
@@ -270,7 +289,7 @@ def match_bonus_from_counts(
     chance = _chance_agreement(log_em, alphabet_sizes)
     out = np.zeros(len(pair_mask), np.float32)
     for s in np.nonzero(np.asarray(pair_mask))[0]:
-        if e_tot[s] < min_events:
+        if e_tot[s] < min_events or not np.isfinite(chance[s]):
             continue
         p_obs = min(max(float(e_match[s] / e_tot[s]), eps), 1 - eps)
         p_ch = min(max(float(chance[s]), eps), 1 - eps)
@@ -290,6 +309,13 @@ class CfgEmResult:
 
 _cfg_em_stats_batched = jax.jit(
     jax.vmap(cfg_em_stats, in_axes=(None, 0, 0))
+)
+
+# decode-side variant with a per-window root distribution (first window
+# keeps log_start; interior windows of a chunked sequence get a flat
+# root — their left edge is arbitrary context, not a sequence start)
+_cfg_em_stats_rooted = jax.jit(
+    jax.vmap(cfg_em_stats, in_axes=(None, 0, 0, 0))
 )
 
 # chart budget per vmapped group (the [N, L, L, S] inside charts are the
@@ -430,8 +456,11 @@ def cfg_posterior_tables(
     full-span inside-outside pass (bounded-element premise: pair
     brackets live within a window, exactly as in CFG Viterbi decode,
     models/cfg.cfg_viterbi_decode_chunked) and only core rows are kept.
-    All windows share one length, so the whole pass is a few vmapped
-    dispatches bounded by the chart memory.
+    Only the first window roots with ``log_start``; interior windows use
+    a flat root, since their left edge is arbitrary sequence context —
+    a sharply peaked log_start would otherwise bias edge posteriors
+    beyond what the halo absorbs.  All windows share one length, so the
+    whole pass is a few vmapped dispatches bounded by the chart memory.
 
     Returns f32[L, S]; rows sum to 1.
     """
@@ -454,12 +483,17 @@ def cfg_posterior_tables(
     obs_wins = jnp.asarray(obs)[idx]                       # [N, W, S]
     sym_wins = jnp.asarray(symbols)[idx]                   # [N, W, T]
 
+    roots = np.zeros((n_win, S), np.float32)     # flat (unnormalized)
+    first = np.nonzero(los == 0)[0]
+    roots[first] = np.asarray(params.hmm.log_start, np.float32)
+    roots_j = jnp.asarray(roots)
+
     out = np.empty((L, S), np.float32)
     group = max(1, _CHART_BYTES // max(W * W * S * 4, 1))
     for g0 in range(0, n_win, group):
         g1 = min(g0 + group, n_win)
-        _, gamma_b, _, _ = _cfg_em_stats_batched(
-            params, obs_wins[g0:g1], sym_wins[g0:g1]
+        _, gamma_b, _, _ = _cfg_em_stats_rooted(
+            params, obs_wins[g0:g1], sym_wins[g0:g1], roots_j[g0:g1]
         )
         gamma_np = np.asarray(gamma_b)
         for k in range(g0, g1):

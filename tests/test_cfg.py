@@ -250,6 +250,26 @@ class TestPairTraining:
         bonus = estimate_match_bonus([sym], [states], [1], log_em, S)
         assert abs(bonus[1]) < 0.75, bonus           # ~chance agreement
 
+    def test_estimate_match_bonus_skips_massless_tracks(self, rng):
+        """A track with no categorical mass (e.g. a gaussian track whose
+        symbols column is all-missing) cannot contribute comparisons and
+        must not deflate the chance agreement (round-2 advisor
+        finding — the deflated chance inflated the log-odds bonus)."""
+        from tehmm_tpu.models.cfg import estimate_match_bonus
+
+        S, V, L = 2, 5, 4000
+        sym_cat = rng.randint(1, V, size=(L, 1)).astype(np.int32)
+        sym = np.concatenate(
+            [sym_cat, np.zeros((L, 1), np.int32)], axis=1
+        )
+        states = np.zeros(L, np.int32)
+        states[100:3900] = 1                 # random (chance-level) ends
+        log_em = np.full((S, 2, V), -1e30, np.float32)
+        log_em[:, 0, 1:] = np.log(1 / (V - 1))
+        log_em[:, 1, 0] = 0.0                # gaussian-like: all missing
+        bonus = estimate_match_bonus([sym], [states], [1], log_em, S)
+        assert abs(bonus[1]) < 0.75, bonus   # ~chance -> no inflation
+
     def test_fit_match_bonus_prefers_positive_on_mirrored_data(
         self, rng
     ):

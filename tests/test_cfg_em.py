@@ -460,6 +460,63 @@ class TestCfgPosterior:
         np.testing.assert_array_equal(path, mono)
         np.testing.assert_allclose(gamma.sum(axis=1), 1.0, atol=1e-4)
 
+    def test_interior_windows_ignore_log_start(self, rng):
+        """Interior windows of a chunked sequence root FLAT: their gamma
+        must not depend on log_start at all (a sharply peaked start
+        would otherwise bias posteriors near every window edge — round-2
+        advisor finding).  Only the first window keeps log_start."""
+        import dataclasses
+
+        from tehmm_tpu.models.cfg_em import cfg_posterior_tables
+
+        S, T, V, L = 3, 2, 5, 96
+        params, symbols = _random_problem(rng, S, T, V, L, seed=41)
+        peaked = np.full(S, -40.0, np.float32)
+        peaked[0] = 0.0
+        p_peaked = dataclasses.replace(
+            params, log_start=jnp.asarray(peaked)
+        )
+        obs = track_log_likelihoods(
+            params.log_em, jnp.asarray(symbols)[None]
+        )[0]
+        kw = dict(max_span=48, halo=8)      # core=32: windows 0/32/64
+        g_flat = cfg_posterior_tables(
+            make_cfg_params(params, pair_states=[]), obs,
+            jnp.asarray(symbols), **kw,
+        )
+        g_peak = cfg_posterior_tables(
+            make_cfg_params(p_peaked, pair_states=[]), obs,
+            jnp.asarray(symbols), **kw,
+        )
+        # interior-window cores: bitwise-identical (log_start unused)
+        np.testing.assert_array_equal(g_flat[32:], g_peak[32:])
+        # the true sequence start still honors log_start
+        assert not np.allclose(g_flat[:8], g_peak[:8])
+
+    def test_match_bonus_chance_skips_massless_tracks(self):
+        """Chance agreement averages only over tracks that can
+        contribute comparisons; an all-missing (gaussian-style) track
+        must not deflate it and inflate the learned bonus (round-2
+        advisor finding)."""
+        S, T, V = 2, 2, 5
+        log_em = np.full((S, T, V), -1e30, np.float32)
+        log_em[:, 0, 1:] = np.log(0.25)      # uniform: chance 0.25
+        log_em[:, 1, 0] = 0.0                # all mass on missing
+        e_match = np.array([0.0, 25.0])
+        e_tot = np.array([0.0, 100.0])       # observed rate == chance
+        pair_mask = np.array([False, True])
+        bonus = match_bonus_from_counts(
+            e_match, e_tot, log_em, pair_mask, [V, V]
+        )
+        assert abs(float(bonus[1])) < 1e-5, bonus
+        # no track with categorical mass at all -> bonus stays 0
+        log_em_none = np.full((S, T, V), -1e30, np.float32)
+        log_em_none[:, :, 0] = 0.0
+        bonus2 = match_bonus_from_counts(
+            e_match, e_tot, log_em_none, pair_mask, [V, V]
+        )
+        assert float(bonus2[1]) == 0.0, bonus2
+
     def test_eval_cli_maxpost_and_pd_on_cfg_model(self, tmp_path, rng):
         from tehmm_tpu.cli import train as cli_train
         from tehmm_tpu.cli import eval as cli_eval
