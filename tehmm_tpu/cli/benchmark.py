@@ -79,6 +79,39 @@ def run_config(
     }
 
 
+def worker_platform() -> str | None:
+    """Platform that --numProcesses workers must force, or None.
+
+    Spawned workers re-initialize JAX from scratch, and some TPU plugins
+    force-register themselves and ignore the JAX_PLATFORMS env var — so a
+    parent that runs on CPU (TEHMM_PLATFORM=cpu, or tests forcing the
+    platform through jax.config) would silently hand its workers the
+    accelerator instead.  Two workers then contend for one chip, which
+    can deadlock behind single-client device tunnels (observed: the test
+    suite hung here).  Propagate the parent's explicit choice so workers
+    re-apply it in-process; None means "leave the worker at its default"
+    (accelerator contention is the documented --numProcesses caveat).
+    """
+    plat = os.environ.get("TEHMM_PLATFORM")
+    if plat:
+        return plat
+    if "jax" in sys.modules:
+        import jax
+
+        return jax.config.jax_platforms or None
+    return None
+
+
+def run_config_on(platform: str | None, *args) -> dict:
+    """run_config, forcing the JAX platform first (worker-side entry for
+    the --numProcesses process pools here and in track_ranking)."""
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    return run_config(*args)
+
+
 def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="tehmm-benchmark",
@@ -122,13 +155,14 @@ def main(argv=None) -> int:
         import multiprocessing as mp
 
         ctx = mp.get_context("spawn")   # fresh JAX per worker
+        plat = worker_platform()
         by_name = {}
         with cf.ProcessPoolExecutor(
             max_workers=opts.numProcesses, mp_context=ctx
         ) as ex:
             futs = {
                 ex.submit(
-                    run_config, name, flags, opts.tracksInfo,
+                    run_config_on, plat, name, flags, opts.tracksInfo,
                     opts.truthBed, opts.regionsBed, opts.outDir,
                     opts.slack,
                 ): name

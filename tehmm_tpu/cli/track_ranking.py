@@ -20,7 +20,8 @@ import os
 import shlex
 import sys
 
-from tehmm_tpu.cli.benchmark import run_config
+from tehmm_tpu.cli.benchmark import run_config, run_config_on, \
+    worker_platform
 from tehmm_tpu.io.trackxml import TrackList
 from tehmm_tpu.utils.common import add_logging_options, logger, \
     set_logging_from_options
@@ -85,11 +86,12 @@ def main(argv=None) -> int:
             import multiprocessing as mp
 
             ctx = mp.get_context("spawn")   # fresh JAX per worker
+            plat = worker_platform()
             with cf.ProcessPoolExecutor(
                 max_workers=opts.numProcesses, mp_context=ctx
             ) as ex:
                 futs = {
-                    ex.submit(run_config, *args): cand
+                    ex.submit(run_config_on, plat, *args): cand
                     for cand, args in jobs
                 }
                 for fut in cf.as_completed(futs):
@@ -103,8 +105,24 @@ def main(argv=None) -> int:
                         accs[cand] = -1.0
         else:
             for cand, args in jobs:
-                res = run_config(*args)
-                accs[cand] = res.get("base_accuracy", -1.0)
+                # same per-candidate failure handling as the
+                # --numProcesses>1 branch so both modes behave alike
+                try:
+                    res = run_config(*args)
+                    accs[cand] = res.get("base_accuracy", -1.0)
+                except Exception as e:  # noqa: BLE001 — per-cand
+                    logger.warning("candidate %s failed: %s", cand, e)
+                    accs[cand] = -1.0
+
+        # a failed candidate is recorded as -1.0 (< any real accuracy)
+        # so it can never beat a successful one; if EVERY candidate in
+        # the step failed there is no meaningful winner — error out
+        # instead of silently ranking a failure
+        if accs and max(accs.values()) < 0.0:
+            raise RuntimeError(
+                f"track ranking step {step}: all {len(accs)} candidates "
+                "failed (see warnings above)"
+            )
 
         best = None
         for cand in remaining:   # deterministic tie-break: track order

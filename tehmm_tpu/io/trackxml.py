@@ -99,9 +99,23 @@ class Track:
             extra_attrs=extra,
         )
 
-    def to_xml_element(self) -> ET.Element:
+    def to_xml_element(self, out_dir: str | None = None) -> ET.Element:
+        import os
+
+        written = self.orig_path or self.path
+        if out_dir is not None and not os.path.isabs(written):
+            # Relative data paths resolve against the XML's OWN directory
+            # (load_xml above), so an XML written to a different directory
+            # must re-relativize them or they dangle (observed: tehmm
+            # track-ranking writes per-candidate sub-XMLs into outDir and
+            # every relative track path broke).  Same-directory saves
+            # round-trip byte-identically (relpath of a sibling is the
+            # bare name again).
+            resolved = (self.path if os.path.isabs(self.path)
+                        else os.path.abspath(self.path))
+            written = os.path.relpath(resolved, out_dir)
         a: dict[str, str] = {
-            "name": self.name, "path": self.orig_path or self.path,
+            "name": self.name, "path": written,
         }
         if self.distribution != "multinomial":
             a["distribution"] = self.distribution
@@ -143,7 +157,9 @@ class TrackList:
             track.orig_path = track.path
             if not os.path.isabs(track.path):
                 # relative data paths resolve against the XML's directory
-                track.path = os.path.join(base, track.path)
+                track.path = os.path.normpath(
+                    os.path.join(base, track.path)
+                )
             self.add(track)
 
     def add(self, track: Track) -> None:
@@ -166,9 +182,12 @@ class TrackList:
         return self._tracks[i]
 
     def save_xml(self, path: str) -> None:
+        import os
+
+        out_dir = os.path.dirname(os.path.abspath(path))
         root = ET.Element(CONFIG_ROOT_TAG)
         for t in self._tracks:
-            root.append(t.to_xml_element())
+            root.append(t.to_xml_element(out_dir))
         ET.indent(root)
         ET.ElementTree(root).write(path)
 

@@ -118,6 +118,38 @@ class TestTrackXml:
             "custom": "keepme"
         }
 
+    def test_save_xml_rebases_relative_paths(self, tmp_path):
+        """An XML saved into a DIFFERENT directory must re-relativize
+        relative track paths against the new location — load_xml resolves
+        them against the XML's own directory, so writing the original
+        relative string verbatim dangles (observed: track-ranking's
+        per-candidate sub-XMLs in outDir).  Same-directory saves keep the
+        bare name byte-identically; absolute paths pass through."""
+        import os
+
+        src = tmp_path / "src"
+        src.mkdir()
+        (src / "rep.bed").write_text("chr1\t0\t10\tX\n")
+        xml = src / "tracks.xml"
+        xml.write_text(
+            '<teModelConfig><track name="rep" path="rep.bed"/>'
+            f'<track name="abs" path="{src}/rep.bed"/></teModelConfig>'
+        )
+        tl = TrackList(str(xml))
+
+        # same-directory save: relative path survives verbatim
+        tl.save_xml(str(src / "echo.xml"))
+        assert 'path="rep.bed"' in (src / "echo.xml").read_text()
+
+        # cross-directory save: path re-relativizes and still resolves
+        sub = tmp_path / "out"
+        sub.mkdir()
+        tl.save_xml(str(sub / "sub.xml"))
+        tl2 = TrackList(str(sub / "sub.xml"))
+        assert os.path.exists(tl2.get_track_by_name("rep").path)
+        assert tl2.get_track_by_name("rep").path == str(src / "rep.bed")
+        assert tl2.get_track_by_name("abs").orig_path == f"{src}/rep.bed"
+
     def test_sidecar_roundtrip(self):
         tl = TrackList()
         tl.add(Track(name="a", path="a.bed"))
