@@ -106,6 +106,33 @@ def make_cfg_params(
     )
 
 
+def _logmatmulexp(x: jax.Array, prob_mat: jax.Array) -> jax.Array:
+    """``log(exp(x) @ prob_mat)`` with a per-row max shift.
+
+    The CFG recursions' per-diagonal ``LSE_k(x[i, k] + log_M[k or ·, ·])``
+    contractions are [n, S]·[S, S] log-matmul-exps; materializing the
+    [n, S, S] sum and reducing it on the VPU is the O(S²)-per-cell cost
+    that dominated the inside/outside passes.  Shifting each row by its
+    max turns the contraction into one probability-space MXU matmul
+    (every addend <= 1, so no overflow; same max-shift recipe as the
+    scaled HMM scans in ops/dp.py and the xi recombine below).
+
+    x: [..., n, K] log values; prob_mat: f32[K, M] = exp(log_M) with
+    entries in [0, 1].  Rows that are entirely LOG_ZERO stay ~LOG_ZERO
+    (the shift cancels and the result is LOG_ZERO + log(rowsum)); rows
+    whose image under prob_mat is structurally zero come out exactly
+    LOG_ZERO.
+    """
+    m = jnp.maximum(jnp.max(x, axis=-1, keepdims=True), LOG_ZERO)
+    e = jnp.exp(x - m)
+    y = jnp.einsum(
+        "...nk,km->...nm", e, prob_mat,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.where(y > 0, jnp.log(jnp.maximum(y, 1e-38)) + m, LOG_ZERO)
+
+
 def _pair_emission(
     params: CfgParams, obs: jax.Array, symbols: jax.Array,
     i: jax.Array, j: jax.Array,
@@ -185,7 +212,7 @@ def cfg_viterbi_chart(
 
     ds = jnp.arange(1, D)
     (_, _), (scores, ptr_s, ptr_r) = jax.lax.scan(
-        step, (diag0, neg), ds
+        step, (diag0, neg), ds, unroll=8
     )
     scores = jnp.concatenate([diag0[None], scores], axis=0)
     ptr_s = jnp.concatenate(
@@ -206,39 +233,38 @@ def cfg_inside_loglik(
 ) -> jax.Array:
     """Inside algorithm (LSE instead of max) -> total log-likelihood of
     the whole sequence spanning [0, L-1] from the start distribution.
-    Requires max_span >= L to cover the root span."""
+    Requires max_span >= L to cover the root span.
+
+    The per-diagonal child contractions run as probability-space MXU
+    matmuls (_logmatmulexp), not [L, S, S] VPU reductions."""
     L, S = obs.shape
     D = min(max_span, L)
-    log_trans = params.hmm.log_trans
+    trans_pT = jnp.exp(params.hmm.log_trans).T        # [s', s]
     neg = jnp.full((L, S), LOG_ZERO, obs.dtype)
     idx = jnp.arange(L)
 
-    def lse(x, axis):
-        m = jnp.maximum(jnp.max(x, axis=axis, keepdims=True), LOG_ZERO)
-        out = jnp.log(jnp.sum(jnp.exp(x - m), axis=axis))
-        return out + jnp.squeeze(m, axis)
-
     def step(carry, d):
         prev, prev2 = carry
-        child = jnp.concatenate([prev[1:], neg[:1]], axis=0)
+        # both children shift left one position; one [2L, S] matmul
+        # serves both rules' contractions
+        children = jnp.concatenate(
+            [prev[1:], neg[:1], prev2[1:], neg[:1]], axis=0
+        )
+        z = _logmatmulexp(children, trans_pT)
         sa_left = jnp.where(params.pair_mask, params.log_sa[0], 0.0)
-        r0 = (lse(child[:, None, :] + log_trans[None, :, :], -1)
-              + obs + sa_left[None, :])
-        child2 = jnp.concatenate([prev2[1:], neg[:1]], axis=0)
+        r0 = z[:L] + obs + sa_left[None, :]
         j_idx = jnp.minimum(idx + d, L - 1)
         pair_em = _pair_emission(params, obs, symbols, idx, j_idx)
-        r1 = (lse(child2[:, None, :] + log_trans[None, :, :], -1)
-              + pair_em + params.log_sa[1])
+        r1 = z[L:] + pair_em + params.log_sa[1]
         r1 = jnp.where(params.pair_mask[None, :], r1, LOG_ZERO)
         r1 = jnp.where(d >= 2, r1, LOG_ZERO)
-        both = jnp.stack([r0, r1], axis=0)
-        best = lse(both, 0)
+        best = jnp.logaddexp(r0, r1)
         valid = (idx + d < L)[:, None]
         best = jnp.where(valid, best, LOG_ZERO)
         return (best, prev), None
 
     ds = jnp.arange(1, D)
-    (final, _), _ = jax.lax.scan(step, (obs, neg), ds)
+    (final, _), _ = jax.lax.scan(step, (obs, neg), ds, unroll=8)
     root = final[0] + params.hmm.log_start          # span [0, L-1]
     m = jnp.maximum(jnp.max(root), LOG_ZERO)
     return jnp.log(jnp.sum(jnp.exp(root - m))) + m

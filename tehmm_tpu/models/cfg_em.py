@@ -43,7 +43,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tehmm_tpu.models.cfg import CfgParams, _pair_emission, make_cfg_params
+from tehmm_tpu.models.cfg import (
+    CfgParams, _logmatmulexp, _pair_emission, make_cfg_params,
+)
 from tehmm_tpu.models.emission import (
     expected_emission_counts,
     track_log_likelihoods,
@@ -65,32 +67,38 @@ def cfg_inside_chart(
     """Full inside chart ``in[d, i, s]`` — log P(x_i..x_{i+d} | root s)
     for every span, all L diagonals kept (cells with i + d >= L are
     LOG_ZERO).  Same recursion as models/cfg.cfg_inside_loglik, which
-    keeps only a two-diagonal carry; the outside pass needs the chart."""
+    keeps only a two-diagonal carry; the outside pass needs the chart.
+    Child contractions run as probability-space MXU matmuls
+    (models/cfg._logmatmulexp), not [L, S, S] VPU reductions."""
     L, S = obs.shape
-    log_trans = params.hmm.log_trans
+    trans_pT = jnp.exp(params.hmm.log_trans).T        # [s', s]
     neg = jnp.full((L, S), LOG_ZERO, obs.dtype)
     idx = jnp.arange(L)
     sa_left = jnp.where(params.pair_mask, params.log_sa[0], 0.0)
 
     def step(carry, d):
         prev, prev2 = carry
-        child = jnp.concatenate([prev[1:], neg[:1]], axis=0)
-        r0 = (_lse(child[:, None, :] + log_trans[None], -1)
-              + obs + sa_left[None, :])
-        child2 = jnp.concatenate([prev2[1:], neg[:1]], axis=0)
+        # both children shift left one position; one [2L, S] matmul
+        # serves both rules' contractions
+        children = jnp.concatenate(
+            [prev[1:], neg[:1], prev2[1:], neg[:1]], axis=0
+        )
+        z = _logmatmulexp(children, trans_pT)
+        r0 = z[:L] + obs + sa_left[None, :]
         j_idx = jnp.minimum(idx + d, L - 1)
         pair_em = _pair_emission(params, obs, symbols, idx, j_idx)
-        r1 = (_lse(child2[:, None, :] + log_trans[None], -1)
-              + pair_em + params.log_sa[1])
+        r1 = z[L:] + pair_em + params.log_sa[1]
         r1 = jnp.where(params.pair_mask[None, :], r1, LOG_ZERO)
         r1 = jnp.where(d >= 2, r1, LOG_ZERO)
-        cur = _lse(jnp.stack([r0, r1]), 0)
+        cur = jnp.logaddexp(r0, r1)
         cur = jnp.where((idx + d < L)[:, None], cur, LOG_ZERO)
         return (cur, prev), cur
 
     if L == 1:
         return obs[None]
-    (_, _), diags = jax.lax.scan(step, (obs, neg), jnp.arange(1, L))
+    (_, _), diags = jax.lax.scan(
+        step, (obs, neg), jnp.arange(1, L), unroll=8
+    )
     return jnp.concatenate([obs[None], diags], axis=0)
 
 
@@ -143,6 +151,8 @@ def cfg_em_stats(
     """
     L, S = obs.shape
     log_trans = params.hmm.log_trans
+    trans_p = jnp.exp(log_trans)                      # [s, s']
+    trans_pT = trans_p.T                              # [s', s]
     neg = jnp.full((L, S), LOG_ZERO, obs.dtype)
     idx = jnp.arange(L)
     sa_left = jnp.where(params.pair_mask, params.log_sa[0], 0.0)
@@ -170,13 +180,15 @@ def cfg_em_stats(
     def step(carry, d):
         out_d1, out_d2, trans_acc, gamma_acc, em_acc, et_acc = carry
         # ---- outside at diagonal d from parents at d+1 / d+2 ----
+        # parent-side contractions sum over the PARENT state s, i.e.
+        # x @ P (vs the inside pass's child-side x @ P^T); one [2L, S]
+        # matmul serves both parent rules
         P = out_d1 + w0                       # rule-0 parent factor
-        Psh = jnp.concatenate([neg[:1], P[:-1]], axis=0)
-        ca = _lse(Psh[:, :, None] + log_trans[None], 1)
         Q = out_d2 + pair_w(d + 2)            # pair-rule parent factor
-        Qsh = jnp.concatenate([neg[:1], Q[:-1]], axis=0)
-        cb = _lse(Qsh[:, :, None] + log_trans[None], 1)
-        out_d = _lse(jnp.stack([ca, cb]), 0)
+        z = _logmatmulexp(jnp.concatenate(
+            [neg[:1], P[:-1], neg[:1], Q[:-1]], axis=0
+        ), trans_p)
+        out_d = jnp.logaddexp(z[:L], z[L:])
         out_d = jnp.where(d == L - 1, root_out, out_d)
         out_d = jnp.where((idx + d < L)[:, None], out_d, LOG_ZERO)
 
@@ -188,18 +200,24 @@ def cfg_em_stats(
         mu = jnp.exp(jnp.minimum(out_d + in_d - Z, 0.0))
         gamma_acc = gamma_acc + mu
 
-        # ---- rule-0 transition counts ----
-        a0 = jnp.where((idx + d < L)[:, None], out_d + w0, LOG_ZERO)
+        # ---- transition counts, both rules in ONE contraction ----
+        # xi0 + xi1 = sum_i a0[i,s]·c0[i,s'] + a1[i,s]·c1[i,s'] is a
+        # single [S, 2L]·[2L, S] matmul over the stacked (a, c) pairs;
+        # rule gating moves onto the inputs (a LOG_ZERO row zeroes its
+        # half through the shared max shift)
+        a0 = jnp.where(
+            ((idx + d < L)[:, None]) & (d >= 1), out_d + w0, LOG_ZERO
+        )
         c0 = jnp.concatenate([in_d1[1:], neg[:1]], axis=0)   # child i+1
-        xi0 = jnp.where(d >= 1, _xi_matmul(a0, c0, log_trans, Z), 0.0)
-
-        # ---- rule-1 transition counts + pair-event posterior ----
-        a1 = out_d + pair_w(d)
+        a1 = out_d + pair_w(d)                # pair_w gates d >= 2
         c1 = jnp.concatenate([in_d2[1:], neg[:1]], axis=0)
-        xi1 = jnp.where(d >= 2, _xi_matmul(a1, c1, log_trans, Z), 0.0)
-        trans_acc = trans_acc + xi0 + xi1
+        trans_acc = trans_acc + _xi_matmul(
+            jnp.concatenate([a0, a1], axis=0),
+            jnp.concatenate([c0, c1], axis=0),
+            log_trans, Z,
+        )
 
-        r1_in = _lse(c1[:, None, :] + log_trans[None], -1)   # [L, S]
+        r1_in = _logmatmulexp(c1, trans_pT)                  # [L, S]
         p1 = jnp.exp(jnp.minimum(a1 + r1_in - Z, 0.0))
         p1 = jnp.where(d >= 2, p1, 0.0)
         # right-end emission responsibility lands at position i + d;
@@ -224,7 +242,7 @@ def cfg_em_stats(
         jnp.zeros((S,), jnp.float32),
     )
     (_, _, trans, gamma, e_match, e_tot), _ = jax.lax.scan(
-        step, init, jnp.arange(L - 1, -1, -1)
+        step, init, jnp.arange(L - 1, -1, -1), unroll=8
     )
 
     em = expected_emission_counts(

@@ -228,3 +228,46 @@ def test_gauss_fused_on_chip(rng):
         symbols, lengths, None, gp, vals,
     )
     np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+
+
+def test_cfg_prob_space_engines_on_chip(rng):
+    """The probability-space CFG recursions (models/cfg._logmatmulexp
+    MXU contractions) on the real chip: with no pair states the CFG
+    reduces to the HMM — inside loglik must match the scaled forward
+    scan and the CYK path the HMM Viterbi path; with a pair state the
+    inside-outside gammas stay normalized and the counts finite."""
+    from tehmm_tpu.models.cfg import (
+        cfg_inside_loglik, cfg_viterbi_decode, make_cfg_params,
+    )
+    from tehmm_tpu.models.cfg_em import cfg_em_stats
+    from tehmm_tpu.models.emission import track_log_likelihoods
+
+    S, T, V, L = 6, 2, 5, 96
+    params, symbols, _ = _inputs(rng, S, T, V, 4, L)
+    sym = symbols[0]
+    obs = track_log_likelihoods(params.log_em, symbols)[0]
+
+    plain = make_cfg_params(params, pair_states=[])
+    ll_cfg = float(cfg_inside_loglik(plain, obs, sym, L))
+    _, _, ll_hmm = dp.forward_scaled(
+        params.log_start, params.log_trans, obs[None],
+        jnp.asarray([L]),
+    )
+    assert abs(ll_cfg - float(ll_hmm[0])) < 2e-4 * abs(ll_cfg), (
+        ll_cfg, float(ll_hmm[0]))
+    path_cfg, _ = cfg_viterbi_decode(plain, obs, sym, L)
+    path_hmm, _ = dp.viterbi(
+        params.log_start, params.log_trans, obs[None], jnp.asarray([L])
+    )
+    np.testing.assert_array_equal(path_cfg, np.asarray(path_hmm[0]))
+
+    pair = make_cfg_params(params, pair_states=[1], match_bonus=1.0)
+    stats, gamma, e_m, e_t = cfg_em_stats(pair, obs, sym)
+    gamma = np.asarray(gamma)
+    # measured 3.5e-4 worst-case row-sum drift on v5e (f32 matmul
+    # accumulation order differs from the CPU tier's 1e-5)
+    np.testing.assert_allclose(gamma.sum(axis=1), 1.0, atol=1e-3)
+    assert np.isfinite(float(stats.loglik))
+    tr = np.asarray(stats.trans)
+    assert np.isfinite(tr).all() and (tr >= 0).all()
+    assert np.asarray(e_t).min() >= 0 and np.asarray(e_m).min() >= 0

@@ -1,0 +1,98 @@
+"""Benchmark the CFG inside-outside EM and CYK decode engines.
+
+Measures, on the local accelerator:
+  * cfg_em_stats batched E-step (inside chart + fused outside counts)
+  * cfg_inside_loglik (the match-bonus grid's inner pass)
+  * batched CYK Viterbi decode (chart + in-device traceback)
+
+Usage:  python tools/bench_cfg.py [--windows N] [--span L] [--states S]
+
+Timing protocol: async-chain dispatch, scalar fetch as the only sync
+(BASELINE.md: block_until_ready can return early through the tunnel).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--windows", type=int, default=64)
+    ap.add_argument("--span", type=int, default=256)
+    ap.add_argument("--states", type=int, default=8)
+    ap.add_argument("--tracks", type=int, default=2)
+    ap.add_argument("--vocab", type=int, default=6)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tehmm_tpu.models.cfg import (
+        _cfg_decode_batch, cfg_inside_loglik, make_cfg_params,
+    )
+    from tehmm_tpu.models.cfg_em import _cfg_em_stats_batched
+    from tehmm_tpu.models.emission import track_log_likelihoods
+    from tehmm_tpu.models.params import init_random
+    from tehmm_tpu.utils.platform import setup_jax
+
+    setup_jax()
+    N, L, S, T, V = (args.windows, args.span, args.states,
+                     args.tracks, args.vocab)
+    print(f"device={jax.devices()[0]}  N={N} L={L} S={S} T={T} V={V}",
+          flush=True)
+
+    rng = np.random.RandomState(0)
+    hmm = init_random(S, [V] * T, seed=0)
+    params = make_cfg_params(hmm, pair_states=[1], match_bonus=1.0)
+    sym = jnp.asarray(rng.randint(1, V, size=(N, L, T)), jnp.int32)
+    obs = track_log_likelihoods(hmm.log_em, sym)
+
+    def timed(tag, fn, fetch, iters=args.iters, cells_per_iter=None):
+        fetch(fn())                      # compile + warm
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn()
+        fetch(out)
+        dt = (time.perf_counter() - t0) / iters
+        pos = N * L / dt
+        extra = ""
+        if cells_per_iter:
+            extra = f"  {cells_per_iter / dt / 1e9:8.1f} Gcell/s"
+        print(f"{tag:28s} {dt * 1e3:9.2f} ms  {pos / 1e6:8.2f} Mpos/s"
+              f"{extra}", flush=True)
+        return dt
+
+    # cells: inside chart cell-updates O(L^2/2 * S^2) per window for the
+    # two rules; outside pass doubles it
+    em_cells = N * (L * L // 2) * S * S * 2 * 2
+    timed(
+        "cfg_em_stats (batched)",
+        lambda: _cfg_em_stats_batched(params, obs, sym),
+        lambda o: float(o[0].loglik.sum()),
+        cells_per_iter=em_cells,
+    )
+    v_in = jax.jit(jax.vmap(
+        lambda o, sy: cfg_inside_loglik(params, o, sy, L)
+    ))
+    timed(
+        "cfg_inside_loglik (vmapped)",
+        lambda: v_in(obs, sym),
+        lambda o: float(o.sum()),
+        cells_per_iter=em_cells // 2,
+    )
+    timed(
+        "CYK decode (batched)",
+        lambda: _cfg_decode_batch(params, obs, sym, L),
+        lambda o: float(o[1].sum()),
+        cells_per_iter=em_cells // 2,
+    )
+
+
+if __name__ == "__main__":
+    main()
