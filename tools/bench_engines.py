@@ -57,18 +57,35 @@ def make_inputs(S, T, V, B, L, seed=0):
     return params, symbols
 
 
+def marginal_time(run, sync, iters):
+    """Two-point marginal rate.  The tunneled backend charges a fixed
+    pipeline-fill + scalar-fetch round trip (~25-30 ms measured) to any
+    timed chain regardless of length, so short-chain averages understate
+    device throughput badly (bench.py: 7.4 ms/iter at n=5 vs 2.3 at
+    n=80 for the same program).  (T2 - T1) / (n2 - n1) over two chain
+    lengths isolates the per-iteration device time."""
+    sync(run())                    # warm (compile) + queue drain
+
+    def chain(n):
+        t0 = time.time()
+        out = None
+        for _ in range(n):
+            out = run()
+        sync(out)
+        return time.time() - t0
+
+    t1 = chain(iters)
+    t2 = chain(6 * iters)
+    return (t2 - t1) / (5 * iters)
+
+
 def time_estep(params, symbols, engine, iters):
     def run():
-        st = em_ops.em_sufficient_stats(params, symbols, engine=engine)
-        return st
+        return em_ops.em_sufficient_stats(params, symbols, engine=engine)
 
     st = run()
-    _sync = float(st.loglik)  # warm + queue drain
-    t0 = time.time()
-    for _ in range(iters):
-        st = run()
     _sync = float(st.loglik)
-    dt = (time.time() - t0) / iters
+    dt = marginal_time(run, lambda s: float(s.loglik), iters)
     return dt, _sync
 
 
@@ -92,13 +109,10 @@ def time_decode(params, symbols, engine, iters):
             obs = track_log_likelihoods(params.log_em, symbols)
             return fn(params.log_start, params.log_trans, obs)
 
-    paths, score = run(params, symbols)
-    _sync = float(score.sum())
-    t0 = time.time()
-    for _ in range(iters):
-        paths, score = run(params, symbols)
-    _sync = float(score.sum())
-    dt = (time.time() - t0) / iters
+    paths, _ = run(params, symbols)
+    dt = marginal_time(
+        lambda: run(params, symbols), lambda o: float(o[1].sum()), iters
+    )
     return dt, int(jnp.sum(paths))
 
 
@@ -126,12 +140,9 @@ def time_maxpost(params, symbols, engine, iters):
             return jnp.argmax(dp.posterior_scaled(ah, bh), axis=-1)
 
     path = run(params, symbols)
-    _sync = int(path[0, 0])
-    t0 = time.time()
-    for _ in range(iters):
-        path = run(params, symbols)
-    _sync = int(path[0, 0])
-    dt = (time.time() - t0) / iters
+    dt = marginal_time(
+        lambda: run(params, symbols), lambda p: int(p[0, 0]), iters
+    )
     return dt, float(jnp.sum(path))
 
 
