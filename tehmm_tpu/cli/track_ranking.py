@@ -51,6 +51,18 @@ def make_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _cand_accuracy(cand: str, res: dict) -> float:
+    """Accuracy of one candidate's run_config result.  run_config can
+    fail two ways: raising (handled by the callers) or RETURNING an
+    {'error': ...} dict (train/eval rc != 0) — surface the latter as a
+    warning too, so the all-candidates-failed error's 'see warnings
+    above' always has something to point at."""
+    if "error" in res:
+        logger.warning("candidate %s failed: %s", cand, res["error"])
+        return -1.0
+    return res.get("base_accuracy", -1.0)
+
+
 def main(argv=None) -> int:
     opts = make_parser().parse_args(argv)
     set_logging_from_options(opts)
@@ -97,9 +109,7 @@ def main(argv=None) -> int:
                 for fut in cf.as_completed(futs):
                     cand = futs[fut]
                     try:
-                        accs[cand] = fut.result().get(
-                            "base_accuracy", -1.0
-                        )
+                        accs[cand] = _cand_accuracy(cand, fut.result())
                     except Exception as e:  # noqa: BLE001 — per-cand
                         logger.warning("candidate %s failed: %s", cand, e)
                         accs[cand] = -1.0
@@ -108,8 +118,7 @@ def main(argv=None) -> int:
                 # same per-candidate failure handling as the
                 # --numProcesses>1 branch so both modes behave alike
                 try:
-                    res = run_config(*args)
-                    accs[cand] = res.get("base_accuracy", -1.0)
+                    accs[cand] = _cand_accuracy(cand, run_config(*args))
                 except Exception as e:  # noqa: BLE001 — per-cand
                     logger.warning("candidate %s failed: %s", cand, e)
                     accs[cand] = -1.0

@@ -106,14 +106,19 @@ class Track:
         if out_dir is not None and not os.path.isabs(written):
             # Relative data paths resolve against the XML's OWN directory
             # (load_xml above), so an XML written to a different directory
-            # must re-relativize them or they dangle (observed: tehmm
+            # must rewrite them or they dangle (observed: tehmm
             # track-ranking writes per-candidate sub-XMLs into outDir and
-            # every relative track path broke).  Same-directory saves
-            # round-trip byte-identically (relpath of a sibling is the
-            # bare name again).
+            # every relative track path broke).  A save that preserves
+            # resolution keeps the original string byte-identically;
+            # re-rooted saves write the ABSOLUTE resolved path — a
+            # lexical relpath between the two directories would
+            # mis-resolve through symlinks.  (A track added
+            # programmatically with a relative path is CWD-relative,
+            # like any other CLI path argument.)
             resolved = (self.path if os.path.isabs(self.path)
                         else os.path.abspath(self.path))
-            written = os.path.relpath(resolved, out_dir)
+            if os.path.relpath(resolved, out_dir) != written:
+                written = resolved
         a: dict[str, str] = {
             "name": self.name, "path": written,
         }
@@ -157,9 +162,9 @@ class TrackList:
             track.orig_path = track.path
             if not os.path.isabs(track.path):
                 # relative data paths resolve against the XML's directory
-                track.path = os.path.normpath(
-                    os.path.join(base, track.path)
-                )
+                # (no lexical normpath: collapsing ".." would mis-resolve
+                # through symlinked directories — leave that to the OS)
+                track.path = os.path.join(base, track.path)
             self.add(track)
 
     def add(self, track: Track) -> None:

@@ -122,6 +122,18 @@ def _logmatmulexp(x: jax.Array, prob_mat: jax.Array) -> jax.Array:
     (the shift cancels and the result is LOG_ZERO + log(rowsum)); rows
     whose image under prob_mat is structurally zero come out exactly
     LOG_ZERO.
+
+    Dynamic-range contract (same as the scaled HMM scans in ops/dp.py):
+    the shift is the ROW max of x, so a contribution more than ~87 nats
+    (f32 exp underflow) below its row's max underflows to 0.  If the
+    row-max entry cannot reach an output column at all (structural-zero
+    transitions from fix/force priors or supervised counting) and the
+    only reachable entry is that far down, the column collapses to
+    LOG_ZERO where the old [n, S, S] per-(row, column)-shifted LSE kept
+    it finite.  Such a parse is ~e^-87 of the dominant one; EM counts
+    and posteriors are unaffected at f32, but a model whose ONLY legal
+    parse sits that far down scores -inf — cfg_em_run warns when the
+    total inside loglik collapses.
     """
     m = jnp.maximum(jnp.max(x, axis=-1, keepdims=True), LOG_ZERO)
     e = jnp.exp(x - m)

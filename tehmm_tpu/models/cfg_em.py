@@ -426,6 +426,20 @@ def cfg_em_run(
                     a + b for a, b in zip(gmoments, g)
                 )
         ll = float(total.loglik)
+        if ll <= LOG_ZERO / 2:
+            # every parse scored impossible — either the model truly
+            # forbids the data (structural-zero transitions/emissions)
+            # or the only legal parse fell below _logmatmulexp's f32
+            # dynamic range (models/cfg._logmatmulexp contract); the
+            # counts from this iteration are meaningless either way
+            import logging
+
+            logging.getLogger("tehmm").warning(
+                "cfg EM iteration %d: inside log-likelihood collapsed "
+                "to -inf — the model scores the training windows as "
+                "impossible; check fix/force priors and initial "
+                "emissions", it,
+            )
         logliks.append(ll)
         if log_fn is not None:
             log_fn(it, ll)

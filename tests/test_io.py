@@ -141,13 +141,16 @@ class TestTrackXml:
         tl.save_xml(str(src / "echo.xml"))
         assert 'path="rep.bed"' in (src / "echo.xml").read_text()
 
-        # cross-directory save: path re-relativizes and still resolves
+        # cross-directory save: path rewrites (absolute) and still
+        # resolves to the same file
         sub = tmp_path / "out"
         sub.mkdir()
         tl.save_xml(str(sub / "sub.xml"))
         tl2 = TrackList(str(sub / "sub.xml"))
         assert os.path.exists(tl2.get_track_by_name("rep").path)
-        assert tl2.get_track_by_name("rep").path == str(src / "rep.bed")
+        assert os.path.normpath(
+            tl2.get_track_by_name("rep").path
+        ) == str(src / "rep.bed")
         assert tl2.get_track_by_name("abs").orig_path == f"{src}/rep.bed"
 
     def test_sidecar_roundtrip(self):

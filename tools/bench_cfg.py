@@ -53,13 +53,22 @@ def main() -> None:
     obs = track_log_likelihoods(hmm.log_em, sym)
 
     def timed(tag, fn, fetch, iters=args.iters, cells_per_iter=None):
+        """Two-point marginal rate — the tunneled backend charges a
+        fixed ~25-30 ms pipeline-fill + fetch round trip per timed
+        chain (see tools/bench_engines.marginal_time / bench.py)."""
         fetch(fn())                      # compile + warm
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(iters):
-            out = fn()
-        fetch(out)
-        dt = (time.perf_counter() - t0) / iters
+
+        def chain(n):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n):
+                out = fn()
+            fetch(out)
+            return time.perf_counter() - t0
+
+        t1 = chain(iters)
+        t2 = chain(6 * iters)
+        dt = (t2 - t1) / (5 * iters)
         pos = N * L / dt
         extra = ""
         if cells_per_iter:
