@@ -199,3 +199,82 @@ def test_fused_v4_invariants_random_model(seed):
         np.testing.assert_array_equal(
             got[b, : lens_np[b]], want[b, : lens_np[b]]
         )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_cfg_invariants_random_model(seed):
+    """Pair-grammar inside-outside invariants across random models —
+    including structural-zero transitions and missing symbols, which
+    stress the prob-space _logmatmulexp contractions' LOG_ZERO handling
+    (models/cfg._logmatmulexp dynamic-range contract).  Tiny seeds also
+    cross-check the full chart pipeline against the brute-force parse
+    enumerator."""
+    from tehmm_tpu.models.cfg import cfg_inside_loglik, make_cfg_params
+    from tehmm_tpu.models.cfg_em import cfg_em_stats
+    from tehmm_tpu.models.emission import track_log_likelihoods
+    from tests.test_cfg_em import _brute_counts
+
+    rng = np.random.RandomState(3000 + seed)
+    S = rng.randint(2, 7)
+    T = rng.randint(1, 4)
+    V = rng.randint(3, 7)
+    L = int(rng.choice([6, 7, 24, 48, 96]))
+    zero_frac = float(rng.choice([0.0, 0.3]))
+    log_start, log_trans, log_em = random_hmm(
+        rng, S, T, V, zero_trans_frac=zero_frac
+    )
+    symbols = rng.randint(1, V, size=(L, T))
+    symbols = np.where(rng.rand(L, T) < 0.15, 0, symbols)
+    n_pair = rng.randint(1, S)
+    pair_states = list(rng.choice(S, size=n_pair, replace=False))
+    params = HmmParams(
+        log_start=jnp.asarray(log_start, jnp.float32),
+        log_trans=jnp.asarray(log_trans, jnp.float32),
+        log_em=jnp.asarray(log_em, jnp.float32),
+    )
+    cfgp = make_cfg_params(
+        params, [int(p) for p in pair_states],
+        match_bonus=float(rng.uniform(0, 2)),
+        sa_prior=float(rng.uniform(0.1, 0.9)),
+    )
+    sym_j = jnp.asarray(symbols, jnp.int32)
+    obs = track_log_likelihoods(params.log_em, sym_j[None])[0]
+
+    stats, gamma, e_m, e_t = cfg_em_stats(cfgp, obs, sym_j)
+    gamma = np.asarray(gamma)
+
+    # 1. per-position posteriors normalize; counts are non-negative
+    np.testing.assert_allclose(gamma.sum(axis=1), 1.0, atol=1e-4)
+    assert np.asarray(stats.trans).min() >= 0
+    assert np.asarray(e_m).min() >= 0 and np.asarray(e_t).min() >= 0
+    np.testing.assert_allclose(float(np.asarray(stats.start).sum()),
+                               1.0, atol=1e-4)
+
+    # 2. expected emission counts per track total the non-missing mass
+    em_counts = np.asarray(stats.em)                     # [S, T, V]
+    for t in range(T):
+        want = float((symbols[:, t] > 0).sum())
+        np.testing.assert_allclose(
+            em_counts[:, t, 1:].sum(), want, rtol=1e-4, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            em_counts[:, t, 0].sum(), L - want, rtol=1e-4, atol=1e-3
+        )
+
+    # 3. the chart pipeline's Z equals the carry-only inside loglik
+    #    (independent implementations: cfg_em.cfg_inside_chart vs
+    #    cfg.cfg_inside_loglik)
+    ll_carry = float(cfg_inside_loglik(cfgp, obs, sym_j, L))
+    np.testing.assert_allclose(
+        float(stats.loglik), ll_carry, rtol=1e-4, atol=1e-3
+    )
+
+    # 4. tiny lengths: exact vs the brute-force parse enumerator
+    if L <= 7:
+        Z_ref, g_ref, tr_ref, st_ref = _brute_counts(cfgp, obs, sym_j)
+        np.testing.assert_allclose(float(stats.loglik), Z_ref, rtol=1e-4)
+        np.testing.assert_allclose(gamma, g_ref, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(stats.trans), tr_ref,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(stats.start), st_ref,
+                                   atol=1e-4)
