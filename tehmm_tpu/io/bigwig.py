@@ -162,9 +162,37 @@ class BigWigFile:
         chrom_id, chrom_size = self.chroms[chrom]
         L = end - start
         out = np.full(L, np.nan, dtype=np.float64)
-        for d_off, d_size in self._find_blocks(chrom_id, start, end):
-            self._fh.seek(d_off)
-            raw = self._fh.read(d_size)
+        blocks = self._find_blocks(chrom_id, start, end)
+        if not blocks:
+            return out
+
+        # read the raw section bytes in one pass (blocks of one query
+        # are nearly always file-adjacent, so reads coalesce)
+        raws = []
+        pos = None
+        for d_off, d_size in blocks:
+            if pos != d_off:
+                self._fh.seek(d_off)
+            raws.append(self._fh.read(d_size))
+            pos = d_off + d_size
+
+        # native fast path: one call inflates + paints every section
+        # (the per-block zlib+NumPy loop bounded this at ~10 Mbase/s on
+        # 1-bp signal tracks; reference's reader is C via bx-python)
+        from tehmm_tpu import native
+
+        if native.available():
+            offsets = np.zeros(len(raws) + 1, np.int64)
+            np.cumsum([len(r) for r in raws], out=offsets[1:])
+            if native.bigwig_paint_blocks(
+                b"".join(raws), offsets,
+                self.uncompress_buf_size > 0,
+                max(int(self.uncompress_buf_size), 1),
+                chrom_id, start, end, out,
+            ):
+                return out
+
+        for raw in raws:
             if self.uncompress_buf_size > 0:
                 raw = zlib.decompress(raw)
             self._paint_block(raw, chrom_id, start, end, out)

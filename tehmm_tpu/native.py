@@ -43,7 +43,7 @@ def _build() -> ctypes.CDLL | None:
         tmp = so_path + f".tmp{os.getpid()}"
         cmd = [
             "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-            _SRC, "-o", tmp,
+            _SRC, "-o", tmp, "-lz", "-pthread",
         ]
         try:
             subprocess.run(
@@ -87,6 +87,13 @@ def _build() -> ctypes.CDLL | None:
     lib.runs_encode.argtypes = [
         ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.bigwig_paint_blocks.restype = ctypes.c_int32
+    lib.bigwig_paint_blocks.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_uint32,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int32,
     ]
     return lib
 
@@ -221,3 +228,41 @@ def runs_encode(path: np.ndarray):
         starts.ctypes.data, ends.ctypes.data, states.ctypes.data,
     )
     return starts[:m], ends[:m], states[:m]
+
+
+def bigwig_paint_blocks(
+    blob: bytes,
+    offsets: np.ndarray,
+    compressed: bool,
+    uncompress_buf_size: int,
+    chrom_id: int,
+    q_start: int,
+    q_end: int,
+    out: np.ndarray,
+    n_threads: int | None = None,
+) -> bool:
+    """Inflate + paint BigWig data sections into ``out`` (f64, NaN
+    pre-filled, c-contiguous, len q_end - q_start) in place.  ``blob``
+    holds the raw section bytes back to back; ``offsets`` (i64,
+    n_blocks + 1) delimits them.  False -> caller must fall back to the
+    NumPy per-block path (library unavailable, bad layout, or a zlib
+    error)."""
+    lib = _get()
+    if lib is None:
+        return False
+    if not (out.flags.c_contiguous and out.dtype == np.float64):
+        return False  # a copy would discard the paint (see fill_intervals)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    n_blocks = len(offsets) - 1
+    if n_blocks <= 0:
+        return True
+    if n_threads is None:
+        # inflate scales ~linearly to the core count (measured 116 ->
+        # 34 ms at 4 cores for 12.5 MB of sections)
+        n_threads = max(1, min(8, os.cpu_count() or 1))
+    rc = lib.bigwig_paint_blocks(
+        blob, offsets.ctypes.data, n_blocks,
+        1 if compressed else 0, uncompress_buf_size, chrom_id,
+        q_start, q_end, out.ctypes.data, n_threads,
+    )
+    return rc == 0

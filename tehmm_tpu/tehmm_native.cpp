@@ -17,13 +17,17 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC (driven by tehmm_tpu/native.py).
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
+
+#include <zlib.h>
 
 extern "C" {
 
@@ -203,6 +207,122 @@ int64_t runs_encode(const int32_t* path, int64_t n,
         }
     }
     return m;
+}
+
+// ---------------------------------------------------------------------
+// BigWig data-section decode (reference: bx-python's C BigWig reader,
+// SURVEY.md §2a trackIO row).  The Python layer walks the R-tree and
+// hands over the concatenated raw section bytes; this kernel inflates
+// and paints them — the per-block zlib+parse loop is what bounded the
+// pure-Python reader at ~10 Mbase/s on 1-bp signal tracks.
+// ---------------------------------------------------------------------
+
+static inline uint16_t rd_u16(const uint8_t* p) {
+    uint16_t v;
+    memcpy(&v, p, 2);
+    return v;
+}
+static inline uint32_t rd_u32(const uint8_t* p) {
+    uint32_t v;
+    memcpy(&v, p, 4);
+    return v;
+}
+static inline float rd_f32(const uint8_t* p) {
+    float v;
+    memcpy(&v, p, 4);
+    return v;
+}
+
+// Paint one UNCOMPRESSED section into out[0..q_end-q_start).
+static void paint_section(const uint8_t* sec, int64_t sec_len,
+                          uint32_t chrom_id, int64_t q_start,
+                          int64_t q_end, double* out) {
+    if (sec_len < 24) return;
+    uint32_t b_chrom = rd_u32(sec + 0);
+    uint32_t b_start = rd_u32(sec + 4);
+    uint32_t item_step = rd_u32(sec + 12);
+    uint32_t item_span = rd_u32(sec + 16);
+    uint8_t w_type = sec[20];
+    uint16_t item_count = rd_u16(sec + 22);
+    if (b_chrom != chrom_id) return;
+    const uint8_t* body = sec + 24;
+    int64_t body_len = sec_len - 24;
+    int64_t L = q_end - q_start;
+    for (uint16_t k = 0; k < item_count; ++k) {
+        int64_t s, e;
+        double v;
+        if (w_type == 1) {                      // bedGraph
+            if ((int64_t)(k + 1) * 12 > body_len) break;
+            const uint8_t* it = body + (int64_t)k * 12;
+            s = rd_u32(it);
+            e = rd_u32(it + 4);
+            v = rd_f32(it + 8);
+        } else if (w_type == 2) {               // varStep
+            if ((int64_t)(k + 1) * 8 > body_len) break;
+            const uint8_t* it = body + (int64_t)k * 8;
+            s = rd_u32(it);
+            e = s + item_span;
+            v = rd_f32(it + 4);
+        } else if (w_type == 3) {               // fixedStep
+            if ((int64_t)(k + 1) * 4 > body_len) break;
+            s = (int64_t)b_start + (int64_t)item_step * k;
+            e = s + item_span;
+            v = rd_f32(body + (int64_t)k * 4);
+        } else {
+            return;
+        }
+        int64_t cs = s - q_start, ce = e - q_start;
+        if (cs < 0) cs = 0;
+        if (ce > L) ce = L;
+        for (int64_t i = cs; i < ce; ++i) out[i] = v;
+    }
+}
+
+// blob: concatenated raw (possibly zlib-compressed) sections;
+// offs[n_blocks+1]: byte ranges into blob.  Sections of a well-formed
+// BigWig never overlap in genome coordinates, so threads paint their
+// own blocks without synchronization.  Returns 0, or -1 on a zlib
+// error / undersized uncompress buffer.
+int bigwig_paint_blocks(const uint8_t* blob, const int64_t* offs,
+                        int64_t n_blocks, int32_t compressed,
+                        int64_t ubuf_size, uint32_t chrom_id,
+                        int64_t q_start, int64_t q_end, double* out,
+                        int32_t n_threads) {
+    if (n_blocks <= 0) return 0;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > n_blocks) n_threads = (int32_t)n_blocks;
+    std::vector<int> errs(n_threads, 0);
+    auto work = [&](int tid) {
+        std::vector<uint8_t> ubuf(compressed ? (size_t)ubuf_size : 0);
+        for (int64_t b = tid; b < n_blocks; b += n_threads) {
+            const uint8_t* raw = blob + offs[b];
+            int64_t raw_len = offs[b + 1] - offs[b];
+            const uint8_t* sec = raw;
+            int64_t sec_len = raw_len;
+            if (compressed) {
+                uLongf dlen = (uLongf)ubuf_size;
+                int rc = uncompress(ubuf.data(), &dlen, raw,
+                                    (uLong)raw_len);
+                if (rc != Z_OK) {
+                    errs[tid] = 1;
+                    return;
+                }
+                sec = ubuf.data();
+                sec_len = (int64_t)dlen;
+            }
+            paint_section(sec, sec_len, chrom_id, q_start, q_end, out);
+        }
+    };
+    if (n_threads == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> threads;
+        for (int t = 0; t < n_threads; ++t) threads.emplace_back(work, t);
+        for (auto& th : threads) th.join();
+    }
+    for (int e : errs)
+        if (e) return -1;
+    return 0;
 }
 
 }  // extern "C"

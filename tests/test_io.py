@@ -496,6 +496,51 @@ class TestBigWigSpecFixture:
             assert np.isnan(bw.values("chrX", 0, 10)).all()
 
 
+    def test_native_paint_matches_python(self, tmp_path, monkeypatch):
+        """The native C++ section decoder (round-3: zlib inflate +
+        paint in one call) must agree bit-for-bit with the pure-Python
+        per-block path on every WIG section type, compressed and
+        uncompressed, including NaN gaps."""
+        import pytest
+
+        from tehmm_tpu import native
+        from tehmm_tpu.io.bigwig import BigWigFile
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+
+        spec = str(tmp_path / "spec.bw")     # uncompressed, all types
+        self._build(spec)
+        comp = str(tmp_path / "comp.bw")     # compressed bedGraph
+        rng = np.random.RandomState(3)
+        entries = []
+        pos = 0
+        for _ in range(4000):
+            pos += int(rng.randint(1, 4))
+            entries.append(
+                ("chr1", pos, pos + int(rng.randint(1, 3)),
+                 float(rng.randn()))
+            )
+            pos = entries[-1][2]
+        write_bigwig(comp, {"chr1": pos + 10}, entries)
+
+        queries = [
+            (spec, "chr1", 0, 1000), (spec, "chr1", 95, 135),
+            (comp, "chr1", 0, pos + 10), (comp, "chr1", 37, 911),
+        ]
+        got_native, got_python = [], []
+        for path, c, s, e in queries:
+            with BigWigFile(path) as bw:
+                got_native.append(bw.values(c, s, e))
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_tried", True)
+        for path, c, s, e in queries:
+            with BigWigFile(path) as bw:
+                got_python.append(bw.values(c, s, e))
+        for a, b in zip(got_native, got_python):
+            np.testing.assert_array_equal(a, b)
+
+
 class TestReviewRegressions:
     """Round-2 I/O review fixes."""
 
