@@ -3,9 +3,17 @@
 Per-base nucleotide symbols become a categorical track.  Sequences are
 scanned once and offsets indexed, so fetching an interval of a large
 genome does not hold every chromosome in memory at once.
+
+Index reuse: a samtools-compatible ``.fai`` sidecar is read when
+present and fresh (so existing ``samtools faidx`` output works
+verbatim) and written after a scan when the directory is writable;
+the scan itself runs in the native C++ indexer when available
+(io/fasta.py's Python loop indexes ~12 MB/s — minutes for a genome).
 """
 
 from __future__ import annotations
+
+import os
 
 
 class FastaFile:
@@ -15,7 +23,66 @@ class FastaFile:
         self.path = path
         # name -> (data_start_offset, seq_len, line_base_len, line_full_len)
         self._index: dict[str, tuple[int, int, int, int]] = {}
-        self._build_index()
+        if not self._load_fai():
+            if not self._build_index_native():
+                self._build_index()
+            self._write_fai()
+
+    # ------------------------------------------------------------------
+    # .fai sidecar (samtools faidx format:
+    #   name \t length \t offset \t linebases \t linewidth)
+    # ------------------------------------------------------------------
+
+    def _load_fai(self) -> bool:
+        fai = self.path + ".fai"
+        try:
+            # strict ns comparison: a FASTA rewritten in the same
+            # second as the index counts as newer (ties -> rescan)
+            if (os.stat(fai).st_mtime_ns
+                    <= os.stat(self.path).st_mtime_ns):
+                return False         # stale: FASTA edited after index
+            with open(fai) as fh:
+                idx = {}
+                for line in fh:
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) < 5:
+                        return False
+                    name, ln, off, lb, lf = parts[:5]
+                    idx[name] = (int(off), int(ln), int(lb), int(lf))
+        except (OSError, ValueError):
+            return False
+        self._index = idx
+        return True
+
+    def _write_fai(self) -> None:
+        fai = self.path + ".fai"
+        tmp = fai + f".tmp{os.getpid()}"
+        try:
+            with open(tmp, "w") as fh:
+                for name, (off, ln, lb, lf) in self._index.items():
+                    fh.write(f"{name}\t{ln}\t{off}\t{lb}\t{lf}\n")
+            os.replace(tmp, fai)
+        except OSError:              # read-only dir etc: scan next time
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+    def _build_index_native(self) -> bool:
+        from tehmm_tpu import native
+
+        if not native.available():
+            return False
+        res = native.fasta_index(self.path)   # raises on ragged FASTA
+        if res is None:
+            return False
+        names, data_start, seq_len, line_base, line_full = res
+        self._index = {
+            n: (int(data_start[i]), int(seq_len[i]),
+                int(line_base[i]), int(line_full[i]))
+            for i, n in enumerate(names)
+        }
+        return True
 
     def _build_index(self) -> None:
         with open(self.path, "rb") as fh:

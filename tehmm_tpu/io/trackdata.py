@@ -307,9 +307,14 @@ def _paint_track(
             # covered := "1" regardless of base identity
             col[: len(arr)] = cm.get_map("1", update=update)
             return col
-        for code in np.unique(arr):
-            sym = cm.get_map(chr(int(code)), update=update)
-            col[: len(arr)][arr == code] = sym
+        # one 256-entry LUT gather instead of a compare+scatter pass per
+        # distinct base; distinct codes via bincount, not np.unique
+        # (unique SORTS the 20 Mb window — 0.4 s where bincount is 20 ms)
+        lut = np.empty(256, col.dtype)
+        codes = np.nonzero(np.bincount(arr, minlength=256))[0]
+        for code in codes:
+            lut[code] = cm.get_map(chr(int(code)), update=update)
+        col[: len(arr)] = lut[arr]
         return col
 
     if isinstance(src, _BedSource):

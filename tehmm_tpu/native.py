@@ -88,6 +88,17 @@ def _build() -> ctypes.CDLL | None:
         ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.fasta_index.restype = ctypes.c_void_p
+    lib.fasta_index.argtypes = [ctypes.c_char_p]
+    lib.fasta_index_num.restype = ctypes.c_int64
+    lib.fasta_index_num.argtypes = [ctypes.c_void_p]
+    lib.fasta_index_names_len.restype = ctypes.c_int64
+    lib.fasta_index_names_len.argtypes = [ctypes.c_void_p]
+    lib.fasta_index_error.restype = ctypes.c_int64
+    lib.fasta_index_error.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.fasta_index_copy.argtypes = [ctypes.c_void_p] + \
+        [ctypes.c_void_p] * 5
+    lib.fasta_index_free.argtypes = [ctypes.c_void_p]
     lib.bigwig_paint_blocks.restype = ctypes.c_int32
     lib.bigwig_paint_blocks.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -266,3 +277,47 @@ def bigwig_paint_blocks(
         q_start, q_end, out.ctypes.data, n_threads,
     )
     return rc == 0
+
+
+def fasta_index(path: str):
+    """Scan a FASTA and return its faidx-style index:
+    (names list[str], data_start i64[n], seq_len i64[n],
+    line_base i64[n], line_full i64[n]).  None when the native library
+    is unavailable.  Raises ValueError on ragged sequence lines with
+    the same semantics as io/fasta.py's Python scanner (kind 1 =
+    interior line shorter than the record's first line, kind 2 =
+    longer)."""
+    lib = _get()
+    if lib is None:
+        return None
+    h = lib.fasta_index(path.encode())
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        kind = np.zeros(1, np.int32)
+        err_line = lib.fasta_index_error(h, kind.ctypes.data)
+        if err_line:
+            what = ("has an interior line shorter than its first line"
+                    if kind[0] == 1 else
+                    "line is longer than the record's first line")
+            raise ValueError(
+                f"{path}:{err_line}: ragged FASTA — sequence {what}; "
+                f"re-wrap the file to fixed-width lines"
+            )
+        n = lib.fasta_index_num(h)
+        data_start = np.empty(n, np.int64)
+        seq_len = np.empty(n, np.int64)
+        line_base = np.empty(n, np.int64)
+        line_full = np.empty(n, np.int64)
+        nbuf = ctypes.create_string_buffer(
+            max(1, lib.fasta_index_names_len(h))
+        )
+        lib.fasta_index_copy(
+            h, data_start.ctypes.data, seq_len.ctypes.data,
+            line_base.ctypes.data, line_full.ctypes.data, nbuf,
+        )
+        joined = nbuf.raw.decode() if n else ""
+        names = joined.split("\n") if joined else []
+        return names, data_start, seq_len, line_base, line_full
+    finally:
+        lib.fasta_index_free(h)

@@ -210,6 +210,121 @@ int64_t runs_encode(const int32_t* path, int64_t n,
 }
 
 // ---------------------------------------------------------------------
+// FASTA indexing (reference: bx-python / samtools-faidx style random
+// access; SURVEY.md §2a trackIO row).  Mirrors io/fasta.py's Python
+// scanner exactly — same ragged-line validation, same blank-line
+// semantics — at C getline speed (the Python loop indexed ~12 MB/s,
+// i.e. minutes for a whole genome).
+// ---------------------------------------------------------------------
+
+struct FaIndex {
+    std::string names;                // '\n'-joined record names
+    std::vector<int64_t> data_start;
+    std::vector<int64_t> seq_len;
+    std::vector<int64_t> line_base;
+    std::vector<int64_t> line_full;
+    int64_t error_line = 0;           // >0: ragged line detected there
+    int32_t error_kind = 0;           // 1 = interior short, 2 = longer
+};
+
+void* fasta_index(const char* path) {
+    FILE* fh = fopen(path, "rb");
+    if (!fh) return nullptr;
+    auto* fx = new FaIndex();
+
+    bool have_rec = false;
+    int64_t data_start = 0, seq_len = 0, line_base = 0, line_full = 0;
+    bool first_line = true, pending_short = false;
+
+    auto commit = [&]() {
+        if (have_rec) {
+            fx->data_start.push_back(data_start);
+            fx->seq_len.push_back(seq_len);
+            fx->line_base.push_back(line_base);
+            fx->line_full.push_back(line_full);
+        }
+    };
+
+    char* line = nullptr;
+    size_t cap = 0;
+    ssize_t ll;
+    int64_t offset = 0, lineno = 0;
+    while ((ll = getline(&line, &cap, fh)) != -1) {
+        ++lineno;
+        int64_t blen = ll;            // length without trailing \r\n
+        while (blen > 0 &&
+               (line[blen - 1] == '\n' || line[blen - 1] == '\r'))
+            --blen;
+        if (blen > 0 && line[0] == '>') {
+            commit();
+            int64_t e = 1;
+            while (e < blen && line[e] != ' ' && line[e] != '\t') ++e;
+            if (!fx->names.empty()) fx->names.push_back('\n');
+            fx->names.append(line + 1, (size_t)(e - 1));
+            have_rec = true;
+            data_start = offset + ll;
+            seq_len = 0;
+            line_base = 0;
+            line_full = 0;
+            first_line = true;
+            pending_short = false;
+        } else if (blen == 0 && have_rec) {
+            if (seq_len == 0) {
+                data_start = offset + ll;   // blank after header
+            } else {
+                pending_short = true;       // blank inside a body
+            }
+        } else if (blen > 0) {
+            if (pending_short) {
+                fx->error_line = lineno;
+                fx->error_kind = 1;
+                break;
+            }
+            if (first_line) {
+                line_base = blen;
+                line_full = ll;
+                first_line = false;
+            } else if (blen < line_base) {
+                pending_short = true;
+            } else if (blen > line_base) {
+                fx->error_line = lineno;
+                fx->error_kind = 2;
+                break;
+            }
+            seq_len += blen;
+        }
+        offset += ll;
+    }
+    free(line);
+    fclose(fh);
+    commit();
+    return fx;
+}
+
+int64_t fasta_index_num(void* h) {
+    return (int64_t)((FaIndex*)h)->data_start.size();
+}
+int64_t fasta_index_names_len(void* h) {
+    return (int64_t)((FaIndex*)h)->names.size();
+}
+int64_t fasta_index_error(void* h, int32_t* kind) {
+    *kind = ((FaIndex*)h)->error_kind;
+    return ((FaIndex*)h)->error_line;
+}
+void fasta_index_copy(void* h, int64_t* data_start, int64_t* seq_len,
+                      int64_t* line_base, int64_t* line_full,
+                      char* names) {
+    auto* fx = (FaIndex*)h;
+    size_t n = fx->data_start.size();
+    memcpy(data_start, fx->data_start.data(), n * sizeof(int64_t));
+    memcpy(seq_len, fx->seq_len.data(), n * sizeof(int64_t));
+    memcpy(line_base, fx->line_base.data(), n * sizeof(int64_t));
+    memcpy(line_full, fx->line_full.data(), n * sizeof(int64_t));
+    memcpy(names, fx->names.data(), fx->names.size());
+}
+void fasta_index_free(void* h) { delete (FaIndex*)h; }
+
+// ---------------------------------------------------------------------
 // BigWig data-section decode (reference: bx-python's C BigWig reader,
 // SURVEY.md §2a trackIO row).  The Python layer walks the R-tree and
 // hands over the concatenated raw section bytes; this kernel inflates
