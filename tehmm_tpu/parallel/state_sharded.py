@@ -47,36 +47,32 @@ from tehmm_tpu.parallel.mesh import DATA_AXIS, STATE_AXIS
 from tehmm_tpu.utils.common import LOG_ZERO
 
 
-def _fwd_local(log_start, log_trans_cols, obs_cols, lengths):
-    """Per-device forward: owns obs/trans column block [.., S_loc].
-
-    alpha is reassembled to full S each step via all_gather over the
-    state axis; the per-step normalizer uses the global max (psum-style
-    max over the axis).
-    """
-    B, L, S_loc = obs_cols.shape
-    obs_t = jnp.moveaxis(obs_cols, 1, 0)
-    trans_exp_cols = jnp.exp(log_trans_cols)        # [S, S_loc]
-
-    # log_start arrives replicated (full [S]); take this shard's block
+def _fwd_init(log_start, obs_t0):
+    """Shared sharded-forward init: this shard's start block + global
+    per-row max renorm.  log_start arrives replicated (full [S])."""
+    S_loc = obs_t0.shape[-1]
     idx = jax.lax.axis_index(STATE_AXIS)
     s0 = jax.lax.dynamic_slice_in_dim(
         log_start, idx * S_loc, S_loc, axis=0
     )
-    a0 = s0[None, :] + obs_t[0]                     # [B, S_loc]
+    a0 = s0[None, :] + obs_t0                       # [B, S_loc]
     m0 = jax.lax.pmax(
         jnp.maximum(jnp.max(a0, axis=-1), LOG_ZERO), STATE_AXIS
     )
-    a0_hat = a0 - m0[:, None]
+    return a0 - m0[:, None], m0
 
-    def step(carry, xs):
-        a_hat_loc = carry                           # [B, S_loc]
+
+def _make_fwd_step(trans_exp_cols, lengths, with_values):
+    """ONE canonical sharded forward step (bit-identity between the
+    loglik-only and value-storing scans depends on both executing the
+    identical op sequence — same rule as ops/dp._fwd_step; the drift
+    risk is real: a duplicated copy here once lost the empty-row
+    guard)."""
+
+    def step(a_hat_loc, xs):
         obs_row, t = xs
-        a_full = jax.lax.all_gather(
-            a_hat_loc, STATE_AXIS, axis=1, tiled=True
-        )                                           # [B, S]
-        p = jnp.exp(a_full)
-        s = jnp.dot(p, trans_exp_cols,
+        a_full = _gather_states(a_hat_loc)          # [B, S]
+        s = jnp.dot(jnp.exp(a_full), trans_exp_cols,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
         new = jnp.where(s > 0, jnp.log(s), LOG_ZERO) + obs_row
@@ -87,16 +83,36 @@ def _fwd_local(log_start, log_trans_cols, obs_cols, lengths):
         valid = t < lengths
         new_hat = jnp.where(valid[:, None], new_hat, a_hat_loc)
         dm = jnp.where(valid, m, 0.0)
-        return new_hat, dm
+        return new_hat, ((new_hat, dm) if with_values else dm)
 
-    ts = jnp.arange(1, L)
-    final_hat, dms = jax.lax.scan(step, a0_hat, (obs_t[1:], ts))
-    # loglik: global LSE over the final alpha
+    return step
+
+
+def _fwd_loglik(final_hat, m0, dms, lengths):
+    """Global LSE over the final sharded alpha; zero-length rows (mesh
+    row padding) return exactly 0.0, matching dp.forward_scaled."""
     loc = jnp.sum(jnp.exp(final_hat), axis=-1)
     tot = jax.lax.psum(loc, STATE_AXIS)
     loglik = jnp.log(tot) + m0 + jnp.sum(dms, axis=0)
+    return jnp.where(lengths > 0, loglik, 0.0)
+
+
+def _fwd_local(log_start, log_trans_cols, obs_cols, lengths):
+    """Per-device forward: owns obs/trans column block [.., S_loc].
+
+    alpha is reassembled to full S each step via all_gather over the
+    state axis; the per-step normalizer uses the global max (psum-style
+    max over the axis).
+    """
+    B, L, S_loc = obs_cols.shape
+    obs_t = jnp.moveaxis(obs_cols, 1, 0)
+    trans_exp_cols = jnp.exp(log_trans_cols)        # [S, S_loc]
+    a0_hat, m0 = _fwd_init(log_start, obs_t[0])
+    step = _make_fwd_step(trans_exp_cols, lengths, with_values=False)
+    ts = jnp.arange(1, L)
+    final_hat, dms = jax.lax.scan(step, a0_hat, (obs_t[1:], ts))
     # reduce over data axis handled by caller
-    return loglik
+    return _fwd_loglik(final_hat, m0, dms, lengths)
 
 
 @partial(jax.jit, static_argnames=("mesh",))
@@ -155,43 +171,14 @@ def _forward_values_local(log_start, log_trans_cols, obs_cols, lengths):
     B, L, S_loc = obs_cols.shape
     obs_t = jnp.moveaxis(obs_cols, 1, 0)
     trans_exp_cols = jnp.exp(log_trans_cols)          # [S, S_loc]
-
-    idx = jax.lax.axis_index(STATE_AXIS)
-    s0 = jax.lax.dynamic_slice_in_dim(
-        log_start, idx * S_loc, S_loc, axis=0
-    )
-    a0 = s0[None, :] + obs_t[0]
-    m0 = jax.lax.pmax(
-        jnp.maximum(jnp.max(a0, axis=-1), LOG_ZERO), STATE_AXIS
-    )
-    a0_hat = a0 - m0[:, None]
-
-    def step(carry, xs):
-        a_hat_loc = carry
-        obs_row, t = xs
-        a_full = _gather_states(a_hat_loc)            # [B, S]
-        s = jnp.dot(jnp.exp(a_full), trans_exp_cols,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-        new = jnp.where(s > 0, jnp.log(s), LOG_ZERO) + obs_row
-        m = jax.lax.pmax(
-            jnp.maximum(jnp.max(new, axis=-1), LOG_ZERO), STATE_AXIS
-        )
-        new_hat = new - m[:, None]
-        valid = t < lengths
-        new_hat = jnp.where(valid[:, None], new_hat, a_hat_loc)
-        dm = jnp.where(valid, m, 0.0)
-        return new_hat, (new_hat, dm)
-
+    a0_hat, m0 = _fwd_init(log_start, obs_t[0])
+    step = _make_fwd_step(trans_exp_cols, lengths, with_values=True)
     ts = jnp.arange(1, L)
     final_hat, (a_hats, dms) = jax.lax.scan(
         step, a0_hat, (obs_t[1:], ts)
     )
     alpha = jnp.concatenate([a0_hat[None], a_hats], axis=0)
-    loc = jnp.sum(jnp.exp(final_hat), axis=-1)
-    tot = jax.lax.psum(loc, STATE_AXIS)
-    loglik = jnp.log(tot) + m0 + jnp.sum(dms, axis=0)
-    loglik = jnp.where(lengths > 0, loglik, 0.0)
+    loglik = _fwd_loglik(final_hat, m0, dms, lengths)
     return jnp.moveaxis(alpha, 0, 1), loglik
 
 
@@ -390,6 +377,20 @@ def _viterbi_local(log_start, log_trans, log_trans_cols, log_em_rows,
     )
     v0_hat = v0 - m0[:, None]
 
+    if L == 1:
+        # no transitions: the two scans below would disagree on their
+        # leading axis (1 vs 0) and crash — mirror dp.viterbi's guard
+        v_full0 = _gather_states(v0_hat)
+        nonempty = lengths > 0
+        score = jnp.where(
+            nonempty, jnp.max(v_full0, axis=-1) + m0, 0.0
+        )
+        path = jnp.where(
+            nonempty,
+            jnp.argmax(v_full0, axis=-1).astype(jnp.int32), 0,
+        )
+        return path[:, None], score
+
     def step(carry, xs):
         v_hat_loc, m = carry
         obs_row, t = xs
@@ -432,6 +433,11 @@ def _viterbi_local(log_start, log_trans, log_trans_cols, log_em_rows,
         back, last_state, (v_prev_rows, ts_back), reverse=True
     )
     path = jnp.concatenate([rev_path, last_state[None]], axis=0)
+    # zero-length rows (mesh row padding): path 0 / score 0, matching
+    # dp.viterbi's empty-product convention
+    nonempty = lengths > 0
+    score = jnp.where(nonempty, score, 0.0)
+    path = jnp.where(nonempty[None, :], path, 0)
     return jnp.moveaxis(path, 0, 1), score
 
 

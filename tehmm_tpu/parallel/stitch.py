@@ -1,16 +1,19 @@
-"""Boundary-exact chunked Viterbi decoding with halo stitching.
+"""Chunked Viterbi / max-posterior decoding with halo stitching.
 
 SURVEY.md §5 "Long-context" and §7 layer 5 / hard part #2: a chromosome is
 decoded as parallel fixed-size chunks, each extended by a halo on both
-sides.  Each chunk's Viterbi path is computed independently (massively
-parallel on the device); only the core span of each chunk is kept.  Two
-neighboring chunks overlap by 2·halo around every boundary, and their
-independent decodes are compared on a window centered on the boundary: if
-they agree, the local path has "forgotten" the boundary conditions and
-the stitched output equals the monolithic decode (tests assert equality
-against monolithic Viterbi on every fixture); if any boundary disagrees,
-the halo is doubled and the affected decode is retried, up to
-``max_halo`` (adaptive widening).
+sides.  Each chunk's path is computed independently (massively parallel
+on the device); only the core span of each chunk is kept.  Two
+neighboring chunks overlap around every boundary, and their independent
+decodes are compared on a window centered on the boundary: agreement
+means both decodes have "forgotten" their load edges there — a strong
+heuristic that the stitched output equals the monolithic decode (tests
+assert that equality on every fixture; see _stitched_decode for why it
+is a heuristic, not a proof).  Any disagreeing boundary doubles ONLY its
+adjacent chunks' halos and re-decodes them (targeted widening), up to
+``max_halo``; persistent disagreement falls back to the checkpointed
+EXACT decoders (viterbi_exact / posterior_exact), which are bit-equal to
+monolithic unconditionally and also available directly (eval --exact).
 
 The reference has no stitching — its chunk boundaries are hard interval
 boundaries with fresh start probabilities (SURVEY.md §5), which is also
@@ -164,6 +167,147 @@ def _viterbi_engine(num_states: int):
     return dp.viterbi
 
 
+def _stitched_decode(
+    params: HmmParams,
+    tables: Sequence,
+    chunk_len: int,
+    halo: int,
+    max_halo: int,
+    agree_frac: float,
+    decode_rows,          # (symbols, lengths) chunk batch -> int32 rows
+    exact_fn,             # exact whole-input fallback
+    name: str,
+    weight_arrays,
+    gauss_params,
+) -> tuple[list[np.ndarray], StitchReport]:
+    """Shared halo-stitching driver for Viterbi and max-posterior decode.
+
+    Chunk CORES are fixed by ``chunk_len`` (plan_chunks: halo only widens
+    the loads), so widening is TARGETED: after the initial full decode,
+    every internal boundary is checked, and each retry re-decodes ONLY
+    the chunks adjacent to still-disagreeing boundaries at their doubled
+    halo — one genome-scale pass total plus O(halo) work per bad
+    boundary, instead of a whole re-decode per retry.  Boundaries
+    touching a re-decoded chunk are re-checked (a new core can flip a
+    previously-agreeing neighbor).
+
+    Guarantee note (honest contract): boundary agreement is a STRONG
+    HEURISTIC for monolithic equality — two truncated decodes that agree
+    around a boundary have almost certainly forgotten their load edges,
+    but agreement between neighbors does not PROVE either equals the
+    monolithic decode (they share most context and can resolve a near-
+    tie identically yet differently from the full-context decode).
+    Fixtures assert equality against monolithic decodes, disagreement
+    triggers widening, and persistent disagreement falls back to the
+    exact decoder; callers needing the unconditional guarantee use
+    viterbi_exact / posterior_exact (eval --exact) directly.
+    """
+    mats = [getattr(t, "symbols", t) for t in tables]
+    value_arrays = None
+    if gauss_params is not None:
+        value_arrays = [
+            np.asarray(t.values, np.float32) for t in tables
+        ]
+    lengths = [len(m) for m in mats]
+
+    def decode_at(chunk_list):
+        batch = batch_chunks(mats, chunk_list)
+        wb = (None if weight_arrays is None
+              else _weight_batch(weight_arrays, chunk_list))
+        vb = (None if value_arrays is None
+              else batch_chunks(value_arrays, chunk_list).symbols)
+        return decode_rows(batch.symbols, batch.lengths, wb, vb)
+
+    base = plan_chunks(lengths, chunk_len, 0)     # halo-free cores
+    h0 = min(halo, max_halo)
+
+    def with_halo(c, h):
+        L = lengths[c.table_idx]
+        return dataclasses.replace(
+            c,
+            load_start=max(0, c.core_start - h),
+            load_end=min(L, c.core_end + h),
+        )
+
+    chunk_halo = [h0] * len(base)
+    chunks = [with_halo(c, h0) for c in base]
+    rows = list(decode_at(chunks))                # per-chunk decoded row
+
+    # internal boundaries: (left chunk idx, right chunk idx)
+    bounds = [
+        (i, i + 1)
+        for i in range(len(base) - 1)
+        if base[i].table_idx == base[i + 1].table_idx
+    ]
+
+    def agree(i, j):
+        a, b = chunks[i], chunks[j]
+        x = a.core_end                 # == b.core_start
+        w = max(1, int(min(chunk_halo[i], chunk_halo[j]) * agree_frac))
+        lo = max(x - w, a.load_start, b.load_start)
+        hi = min(x + w, a.load_end, b.load_end)
+        if lo >= hi:
+            return True
+        seg_a = rows[i][lo - a.load_start : hi - a.load_start]
+        seg_b = rows[j][lo - b.load_start : hi - b.load_start]
+        return np.array_equal(seg_a, seg_b)
+
+    failing = [bd for bd in bounds if not agree(*bd)]
+    retries = 0
+    while failing and any(
+        min(chunk_halo[i], chunk_halo[j]) < max_halo for i, j in failing
+    ):
+        retries += 1
+        affected = sorted({
+            i for bd in failing for i in bd
+            if chunk_halo[i] < max_halo      # capped: same decode again
+        })
+        for i in affected:
+            chunk_halo[i] = min(chunk_halo[i] * 2, max_halo)
+            chunks[i] = with_halo(base[i], chunk_halo[i])
+        logger.info(
+            "%s: re-decoding %d chunk(s) around %d disagreeing "
+            "boundary(ies) at halo<=%d (retry %d)",
+            name, len(affected), len(failing),
+            max(chunk_halo[i] for i in affected), retries,
+        )
+        fresh = decode_at([chunks[i] for i in affected])
+        for k, i in enumerate(affected):
+            rows[i] = fresh[k]
+        recheck = {
+            bd for bd in bounds
+            if bd[0] in set(affected) or bd[1] in set(affected)
+        }
+        failing = [bd for bd in recheck if not agree(*bd)]
+
+    ok = not failing
+    if ok:
+        paths = [np.zeros(L, dtype=np.int32) for L in lengths]
+        for c, row in zip(chunks, rows):
+            paths[c.table_idx][c.core_start : c.core_end] = \
+                row[c.core_offset : c.core_offset + c.core_len]
+    else:
+        # halo forgetting never kicked in (adversarial/near-tie model):
+        # fall back to the EXACT decoder — sequential over chunks but
+        # guaranteed == monolithic
+        logger.warning(
+            "%s: boundary disagreement persists at max_halo=%d; "
+            "falling back to the exact decoder", name, max_halo,
+        )
+        paths = exact_fn(
+            params, tables, chunk_len,
+            gauss_params=gauss_params,
+            weight_arrays=weight_arrays,
+        )
+    return paths, StitchReport(
+        n_chunks=len(chunks),
+        final_halo=max(chunk_halo, default=h0),
+        retries=retries,
+        boundaries_checked=len(bounds),
+        boundaries_ok=ok,
+    )
+
+
 def viterbi_chunked(
     params: HmmParams,
     tables: Sequence,
@@ -176,18 +320,20 @@ def viterbi_chunked(
     weight_arrays: Sequence[np.ndarray] | None = None,
     gauss_params=None,
 ) -> tuple[list[np.ndarray], StitchReport]:
-    """Decode each table's full span boundary-exactly via halo chunks.
+    """Decode each table's full span via halo chunks (see
+    _stitched_decode for the stitching/widening/guarantee contract).
 
     Args:
       tables: TrackTables (or raw [L, T] symbol arrays).
       chunk_len: core window size per chunk.
-      halo: initial halo width; doubled on disagreement up to max_halo.
+      halo: initial halo width; doubled per disagreeing boundary up to
+        max_halo (targeted: only adjacent chunks re-decode).
       agree_frac: fraction of the halo used as the agreement window.
       rows_per_pass: chunks decoded per device dispatch (fixed shape).
       strict: accepted for API compatibility; since the exact
-        checkpointed fallback now covers every input (including
-        segment weights), persistent disagreement can no longer
-        produce inexact output, so there is nothing to raise on.
+        checkpointed fallback covers every input (including segment
+        weights), persistent disagreement can no longer produce
+        unchecked output, so there is nothing to raise on.
       weight_arrays: optional per-table f32[L] emission weights
         (segment mode --segLen).
       gauss_params: gaussian-track emissions (models/gauss.py); values
@@ -197,88 +343,17 @@ def viterbi_chunked(
     Returns:
       (paths, report): one int32[L] state path per input table.
     """
-    mats = [getattr(t, "symbols", t) for t in tables]
-    value_arrays = None
-    if gauss_params is not None:
-        value_arrays = [
-            np.asarray(t.values, np.float32) for t in tables
-        ]
-    lengths = [len(m) for m in mats]
-    retries = 0
-
-    cur_halo = min(halo, max_halo)
-    while True:
-        chunks = plan_chunks(lengths, chunk_len, cur_halo)
-        batch = batch_chunks(mats, chunks)
-        wbatch = None
-        if weight_arrays is not None:
-            wbatch = _weight_batch(weight_arrays, chunks)
-        vbatch = None
-        if value_arrays is not None:
-            vbatch = batch_chunks(value_arrays, chunks).symbols
-        decoded = _decode_batch(
-            params, batch.symbols, batch.lengths, rows_per_pass, wbatch,
+    def decode_rows(symbols, lens, wbatch, vbatch):
+        return _decode_batch(
+            params, symbols, lens, rows_per_pass, wbatch,
             gauss_params, vbatch,
         )
 
-        # assemble core paths
-        paths = [np.zeros(L, dtype=np.int32) for L in lengths]
-        for row, c in enumerate(chunks):
-            core = decoded[row, c.core_offset : c.core_offset + c.core_len]
-            paths[c.table_idx][c.core_start : c.core_end] = core
-
-        # agreement check at every internal boundary
-        w = max(1, int(cur_halo * agree_frac))
-        n_checked = 0
-        ok = True
-        for (ra, a), (rb, b) in zip(
-            enumerate(chunks[:-1]), list(enumerate(chunks))[1:]
-        ):
-            if a.table_idx != b.table_idx:
-                continue
-            x = a.core_end  # == b.core_start
-            lo = max(x - w, a.load_start, b.load_start)
-            hi = min(x + w, a.load_end, b.load_end)
-            if lo >= hi:
-                continue
-            seg_a = decoded[ra, lo - a.load_start : hi - a.load_start]
-            seg_b = decoded[rb, lo - b.load_start : hi - b.load_start]
-            n_checked += 1
-            if not np.array_equal(seg_a, seg_b):
-                ok = False
-                break
-
-        if ok or cur_halo >= max_halo:
-            if not ok:
-                # halo forgetting never kicked in (adversarial/near-tie
-                # model): fall back to the EXACT checkpointed decoder —
-                # sequential over chunks but guaranteed == monolithic
-                logger.warning(
-                    "viterbi_chunked: boundary disagreement persists at "
-                    "max_halo=%d; falling back to the exact checkpointed "
-                    "decoder", max_halo,
-                )
-                paths = viterbi_exact(
-                    params, tables, chunk_len,
-                    gauss_params=gauss_params,
-                    weight_arrays=weight_arrays,
-                )
-                ok = True
-            report = StitchReport(
-                n_chunks=len(chunks),
-                final_halo=cur_halo,
-                retries=retries,
-                boundaries_checked=n_checked,
-                boundaries_ok=ok,
-            )
-            return paths, report
-
-        retries += 1
-        cur_halo = min(cur_halo * 2, max_halo)
-        logger.info(
-            "viterbi_chunked: widening halo to %d (retry %d)",
-            cur_halo, retries,
-        )
+    return _stitched_decode(
+        params, tables, chunk_len, halo, max_halo, agree_frac,
+        decode_rows, viterbi_exact, "viterbi_chunked",
+        weight_arrays, gauss_params,
+    )
 
 
 def posterior_chunked(
@@ -293,88 +368,23 @@ def posterior_chunked(
     gauss_params=None,
     weight_arrays: Sequence[np.ndarray] | None = None,
 ) -> tuple[list[np.ndarray], StitchReport]:
-    """Max-posterior decoding with the same boundary guarantees as
-    viterbi_chunked: halo chunks, per-boundary agreement check, adaptive
-    halo widening, and an EXACT carried-alpha/beta fallback when
-    agreement cannot be reached (reference: teHmmEval.py --maxPost;
-    SURVEY.md §2b).  Returns one int32[L] argmax-gamma path per table."""
-    mats = [getattr(t, "symbols", t) for t in tables]
-    value_arrays = None
-    if gauss_params is not None:
-        value_arrays = [
-            np.asarray(t.values, np.float32) for t in tables
-        ]
-    lengths = [len(m) for m in mats]
-    retries = 0
-
-    cur_halo = min(halo, max_halo)
-    while True:
-        chunks = plan_chunks(lengths, chunk_len, cur_halo)
-        batch = batch_chunks(mats, chunks)
-        vbatch = None
-        if value_arrays is not None:
-            vbatch = batch_chunks(value_arrays, chunks).symbols
-        wbatch = None
-        if weight_arrays is not None:
-            wbatch = _weight_batch(weight_arrays, chunks)
-        decoded = _posterior_batch(
-            params, batch.symbols, batch.lengths, rows_per_pass,
+    """Max-posterior decoding with the same stitching contract as
+    viterbi_chunked (see _stitched_decode): halo chunks, all-boundary
+    agreement check, targeted halo widening, and an EXACT carried-
+    alpha/beta fallback when agreement cannot be reached (reference:
+    teHmmEval.py --maxPost; SURVEY.md §2b).  Returns one int32[L]
+    argmax-gamma path per table."""
+    def decode_rows(symbols, lens, wbatch, vbatch):
+        return _posterior_batch(
+            params, symbols, lens, rows_per_pass,
             gauss_params, vbatch, wbatch,
         )
 
-        paths = [np.zeros(L, dtype=np.int32) for L in lengths]
-        for row, c in enumerate(chunks):
-            core = decoded[row, c.core_offset : c.core_offset + c.core_len]
-            paths[c.table_idx][c.core_start : c.core_end] = core
-
-        w = max(1, int(cur_halo * agree_frac))
-        n_checked = 0
-        ok = True
-        for (ra, a), (rb, b) in zip(
-            enumerate(chunks[:-1]), list(enumerate(chunks))[1:]
-        ):
-            if a.table_idx != b.table_idx:
-                continue
-            x = a.core_end
-            lo = max(x - w, a.load_start, b.load_start)
-            hi = min(x + w, a.load_end, b.load_end)
-            if lo >= hi:
-                continue
-            seg_a = decoded[ra, lo - a.load_start : hi - a.load_start]
-            seg_b = decoded[rb, lo - b.load_start : hi - b.load_start]
-            n_checked += 1
-            if not np.array_equal(seg_a, seg_b):
-                ok = False
-                break
-
-        if ok or cur_halo >= max_halo:
-            if not ok:
-                logger.warning(
-                    "posterior_chunked: boundary disagreement persists "
-                    "at max_halo=%d; falling back to the exact carried-"
-                    "alpha/beta decoder", max_halo,
-                )
-                paths = posterior_exact(
-                    params, tables, chunk_len,
-                    gauss_params=gauss_params,
-                    weight_arrays=weight_arrays,
-                )
-                ok = True
-            report = StitchReport(
-                n_chunks=len(chunks),
-                final_halo=cur_halo,
-                retries=retries,
-                boundaries_checked=n_checked,
-                boundaries_ok=ok,
-            )
-            return paths, report
-
-        retries += 1
-        cur_halo = min(cur_halo * 2, max_halo)
-        logger.info(
-            "posterior_chunked: widening halo to %d (retry %d)",
-            cur_halo, retries,
-        )
+    return _stitched_decode(
+        params, tables, chunk_len, halo, max_halo, agree_frac,
+        decode_rows, posterior_exact, "posterior_chunked",
+        weight_arrays, gauss_params,
+    )
 
 
 def _posterior_batch(

@@ -150,6 +150,39 @@ class TestViterbiStitch:
         assert report.boundaries_ok
         np.testing.assert_array_equal(paths[0], np.asarray(mono[0]))
 
+    def test_targeted_widening_converges(self, rng):
+        """Starting from a deliberately tiny halo, the TARGETED retry
+        loop (round-3: only chunks adjacent to disagreeing boundaries
+        re-decode at doubled halo; every boundary is checked, not just
+        the first) must converge to the monolithic path without the
+        exact fallback."""
+        S = 3
+        lt = np.full((S, S), 0.06, np.float32)
+        np.fill_diagonal(lt, 0.88)
+        log_em = np.zeros((S, 1, 4), np.float32)
+        log_em[:, 0, 1:] = np.log(np.array(
+            [[0.5, 0.3, 0.2], [0.3, 0.4, 0.3], [0.2, 0.3, 0.5]]
+        ))
+        params = HmmParams(
+            log_start=jnp.asarray(
+                np.log(np.full(S, 1 / 3)).astype(np.float32)
+            ),
+            log_trans=jnp.asarray(np.log(lt)),
+            log_em=jnp.asarray(log_em),
+        )
+        sym = (rng.randint(0, 3, size=(3000, 1)) + 1).astype(np.uint8)
+        paths, report = viterbi_chunked(
+            params, [sym], chunk_len=100, halo=1, max_halo=256,
+            rows_per_pass=8,
+        )
+        obs = track_log_likelihoods(
+            params.log_em, jnp.asarray(sym)
+        )[None]
+        mono, _ = dp.viterbi(params.log_start, params.log_trans, obs)
+        assert report.boundaries_ok and report.retries >= 1
+        assert report.boundaries_checked == 29   # ALL internal bounds
+        np.testing.assert_array_equal(paths[0], np.asarray(mono[0]))
+
 
 class TestShardedEm:
     @pytest.fixture
@@ -303,6 +336,58 @@ class TestStateSharded:
                 np.asarray(path)[b, :n], np.asarray(path_ref)[b, :n],
                 err_msg=f"row {b}",
             )
+
+    def test_zero_length_and_l1_parity(self, rng, make_hmm):
+        """Mesh row padding (length 0) and single-position inputs must
+        match the replicated kernels exactly: path 0 / score 0 /
+        loglik 0 for empty rows, and no leading-axis crash at L == 1
+        (round-3 review findings — the sharded copies had dropped
+        dp.viterbi's L==1 guard and the lengths>0 guards)."""
+        from tehmm_tpu.parallel.mesh import make_data_state_mesh
+        from tehmm_tpu.parallel.state_sharded import (
+            forward_loglik_state_sharded, viterbi_state_sharded,
+        )
+
+        S, T, V, B = 8, 2, 5, 4
+        log_start, log_trans, log_em = make_hmm(S, T, V)
+        params = HmmParams(
+            log_start=jnp.asarray(log_start, jnp.float32),
+            log_trans=jnp.asarray(log_trans, jnp.float32),
+            log_em=jnp.asarray(log_em, jnp.float32),
+        )
+        mesh = make_data_state_mesh(4)
+        for L, lens_np in ((1, [1, 0, 1, 0]), (12, [12, 0, 5, 0])):
+            symbols = jnp.asarray(
+                rng.randint(1, V, size=(B, L, T)), jnp.int32
+            )
+            lens = jnp.asarray(lens_np)
+            obs = track_log_likelihoods(params.log_em, symbols)
+            path_ref, score_ref = dp.viterbi(
+                params.log_start, params.log_trans, obs, lens
+            )
+            path, score = viterbi_state_sharded(
+                params, symbols, lens, mesh
+            )
+            np.testing.assert_allclose(
+                np.asarray(score), np.asarray(score_ref),
+                rtol=1e-5, atol=1e-4, err_msg=f"L={L}",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(path), np.asarray(path_ref),
+                err_msg=f"L={L}",
+            )
+            assert float(np.asarray(score)[1]) == 0.0
+            _, ll_ref = dp.forward(
+                params.log_start, params.log_trans, obs, lens
+            )
+            ll = forward_loglik_state_sharded(
+                params.log_start, params.log_trans, obs, lens, mesh
+            )
+            np.testing.assert_allclose(
+                np.asarray(ll), np.asarray(ll_ref), rtol=1e-5,
+                atol=1e-5, err_msg=f"L={L}",
+            )
+            assert float(np.asarray(ll)[1]) == 0.0
 
 
 class TestChunkedPosterior:
