@@ -106,7 +106,13 @@ class FastaFile:
                 line = raw.rstrip(b"\r\n")
                 if line.startswith(b">"):
                     commit()
-                    name = line[1:].split()[0].decode()
+                    parts = line[1:].split()
+                    if not parts:
+                        raise ValueError(
+                            f"{self.path}:{lineno}: FASTA header "
+                            f"with empty record name"
+                        )
+                    name = parts[0].decode()
                     data_start = offset + ll
                     seq_len = 0
                     line_base = 0

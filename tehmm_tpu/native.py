@@ -297,6 +297,11 @@ def fasta_index(path: str):
         kind = np.zeros(1, np.int32)
         err_line = lib.fasta_index_error(h, kind.ctypes.data)
         if err_line:
+            if kind[0] == 3:
+                raise ValueError(
+                    f"{path}:{err_line}: FASTA header with empty "
+                    f"record name"
+                )
             what = ("has an interior line shorter than its first line"
                     if kind[0] == 1 else
                     "line is longer than the record's first line")

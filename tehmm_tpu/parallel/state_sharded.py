@@ -367,15 +367,7 @@ def _viterbi_local(log_start, log_trans, log_trans_cols, log_em_rows,
     obs_t = jnp.moveaxis(obs_cols, 1, 0)
     S_loc = obs_cols.shape[-1]
 
-    idx = jax.lax.axis_index(STATE_AXIS)
-    s0 = jax.lax.dynamic_slice_in_dim(
-        log_start, idx * S_loc, S_loc, axis=0
-    )
-    v0 = s0[None, :] + obs_t[0]
-    m0 = jax.lax.pmax(
-        jnp.maximum(jnp.max(v0, axis=-1), LOG_ZERO), STATE_AXIS
-    )
-    v0_hat = v0 - m0[:, None]
+    v0_hat, m0 = _fwd_init(log_start, obs_t[0])   # same init as forward
 
     if L == 1:
         # no transitions: the two scans below would disagree on their

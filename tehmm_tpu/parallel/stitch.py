@@ -252,7 +252,7 @@ def _stitched_decode(
         seg_b = rows[j][lo - b.load_start : hi - b.load_start]
         return np.array_equal(seg_a, seg_b)
 
-    failing = [bd for bd in bounds if not agree(*bd)]
+    failing = {bd for bd in bounds if not agree(*bd)}
     retries = 0
     while failing and any(
         min(chunk_halo[i], chunk_halo[j]) < max_halo for i, j in failing
@@ -274,11 +274,19 @@ def _stitched_decode(
         fresh = decode_at([chunks[i] for i in affected])
         for k, i in enumerate(affected):
             rows[i] = fresh[k]
+        # update membership ONLY for boundaries whose rows changed;
+        # untouched failing boundaries (e.g. both chunks capped) must
+        # STAY failing — recomputing `failing` from the recheck set
+        # alone would silently drop them and skip the exact fallback
         recheck = {
             bd for bd in bounds
             if bd[0] in set(affected) or bd[1] in set(affected)
         }
-        failing = [bd for bd in recheck if not agree(*bd)]
+        for bd in recheck:
+            if agree(*bd):
+                failing.discard(bd)
+            else:
+                failing.add(bd)
 
     ok = not failing
     if ok:
@@ -299,6 +307,11 @@ def _stitched_decode(
             gauss_params=gauss_params,
             weight_arrays=weight_arrays,
         )
+        ok = True     # the exact decoder's output is unconditional —
+        # boundaries_ok reports whether the FINAL paths carry the
+        # guarantee, not whether stitching alone sufficed (retries +
+        # final_halo tell that story); consumers (run_milestones,
+        # eval's report line) treat ok=False as a failed decode
     return paths, StitchReport(
         n_chunks=len(chunks),
         final_halo=max(chunk_halo, default=h0),

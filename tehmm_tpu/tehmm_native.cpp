@@ -234,6 +234,7 @@ void* fasta_index(const char* path) {
 
     bool have_rec = false;
     int64_t data_start = 0, seq_len = 0, line_base = 0, line_full = 0;
+    int64_t n_names = 0;
     bool first_line = true, pending_short = false;
 
     auto commit = [&]() {
@@ -257,10 +258,22 @@ void* fasta_index(const char* path) {
             --blen;
         if (blen > 0 && line[0] == '>') {
             commit();
-            int64_t e = 1;
+            // name = first whitespace-separated token after '>'
+            // (Python: line[1:].split()[0] — leading blanks skipped)
+            int64_t st = 1;
+            while (st < blen && (line[st] == ' ' || line[st] == '\t'))
+                ++st;
+            int64_t e = st;
             while (e < blen && line[e] != ' ' && line[e] != '\t') ++e;
-            if (!fx->names.empty()) fx->names.push_back('\n');
-            fx->names.append(line + 1, (size_t)(e - 1));
+            if (e == st) {          // '>' with no name at all
+                fx->error_line = lineno;
+                fx->error_kind = 3;
+                break;
+            }
+            // separator keyed on the record COUNT, not names.empty():
+            // an empty first name must not silently misalign the join
+            if (n_names++) fx->names.push_back('\n');
+            fx->names.append(line + st, (size_t)(e - st));
             have_rec = true;
             data_start = offset + ll;
             seq_len = 0;

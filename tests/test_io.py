@@ -594,3 +594,46 @@ class TestReviewRegressions:
         assert len(tables) == 1
         assert len(tables[0]) == 2
         assert list(tables[0].lengths) == [20, 30]
+
+
+class TestFastaHeaderEdgeCases:
+    def test_empty_record_name_raises_both_paths(self, tmp_path):
+        """A '>' header with no name must raise a clear ValueError in
+        BOTH the native scanner and the Python fallback (round-3
+        review: the native name join misaligned every name after an
+        empty one; Python raised a bare IndexError)."""
+        import pytest
+
+        from tehmm_tpu import native
+        from tehmm_tpu.io.fasta import FastaFile
+
+        for header in (">", ">  "):
+            p = tmp_path / "bad.fa"
+            p.write_text(f"{header}\nACGT\n>chr1\nACGT\n")
+            with pytest.raises(ValueError, match="empty record name"):
+                FastaFile(str(p))
+            (tmp_path / "bad.fa.fai").unlink(missing_ok=True)
+            p.unlink()
+
+    def test_header_with_leading_blank_matches_python(
+        self, tmp_path, monkeypatch
+    ):
+        """'> name desc' parses the first token after the blanks, the
+        same way Python's line[1:].split()[0] does."""
+        import pytest
+
+        from tehmm_tpu import native
+        from tehmm_tpu.io.fasta import FastaFile
+
+        p = tmp_path / "sp.fa"
+        p.write_text("> chrA some desc\nACGTAC\n>chrB\nTTTT\n")
+        fa = FastaFile(str(p))
+        assert fa.names == ["chrA", "chrB"]
+        assert fa.fetch("chrA", 0, 6) == "ACGTAC"
+        assert fa.fetch("chrB", 0, 4) == "TTTT"
+        if native.available():
+            (tmp_path / "sp.fa.fai").unlink()
+            monkeypatch.setattr(native, "_lib", None)
+            monkeypatch.setattr(native, "_tried", True)
+            fa_py = FastaFile(str(p))
+            assert fa_py._index == fa._index

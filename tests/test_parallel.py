@@ -553,6 +553,54 @@ class TestPosteriorExact:
         assert report.boundaries_ok
         np.testing.assert_array_equal(paths[0], mono)
 
+    def test_stitcher_exact_fallback_branch(self, rng):
+        """Drive _stitched_decode with a decoder that NEVER agrees
+        across chunks: the loop must widen failing boundaries to the
+        cap, keep capped-but-still-failing boundaries in the failing
+        set (round-3 review: recomputing `failing` from the recheck set
+        alone silently dropped them), and hand the whole input to the
+        exact decoder — whose output is returned with
+        boundaries_ok=True (the fallback is unconditional)."""
+        from tehmm_tpu.models.params import HmmParams
+        from tehmm_tpu.parallel import stitch
+
+        S = 2
+        params = HmmParams(
+            log_start=jnp.asarray(np.log([0.5, 0.5]).astype(np.float32)),
+            log_trans=jnp.asarray(
+                np.log(np.full((S, S), 0.5, np.float32))
+            ),
+            log_em=jnp.asarray(np.zeros((S, 1, 3), np.float32)),
+        )
+        sym = (rng.randint(0, 2, size=(500, 1)) + 1).astype(np.uint8)
+        counter = [0]
+
+        def decode_rows(symbols, lens, wb, vb):
+            # every chunk gets a distinct constant row: neighbors can
+            # never agree on any window
+            n, L, _ = symbols.shape
+            out = np.empty((n, L), np.int32)
+            for k in range(n):
+                counter[0] += 1
+                out[k] = counter[0] % 7
+            return out
+
+        sentinel = [np.full(500, 3, np.int32)]
+
+        def exact_fn(params, tables, chunk_len, gauss_params=None,
+                     weight_arrays=None):
+            return [p.copy() for p in sentinel]
+
+        paths, report = stitch._stitched_decode(
+            params, [sym], chunk_len=100, halo=4, max_halo=8,
+            agree_frac=0.5, decode_rows=decode_rows,
+            exact_fn=exact_fn, name="test",
+            weight_arrays=None, gauss_params=None,
+        )
+        assert report.retries >= 1 and report.final_halo == 8
+        assert report.boundaries_ok        # exact output: unconditional
+        np.testing.assert_array_equal(paths[0], sentinel[0])
+
     def test_posterior_distributions_stream_bitexact(self, rng):
         """--pd streaming: chunk-recomputed gamma == monolithic gamma
         bitwise (identical op sequences)."""
