@@ -199,27 +199,68 @@ def main(argv=None) -> int:
         if cfg_meta:
             # pair-grammar posteriors (inside-outside gamma), not the
             # HMM approximation; reuse the decode pass's gammas if
-            # --maxPost already computed them
+            # --maxPost already computed them (bounded-span premise
+            # keeps these window-sized — no genome-scale table here)
             if cfg_gammas is None:
                 _, cfg_gammas = _cfg_decode(
                     model, cfg_meta, track_data.tables, opts.maxSpan,
                     max_post=True, halo=opts.halo,
                 )
-            dists = cfg_gammas
+            rows = []
+            for tab, pd in zip(track_data.tables, cfg_gammas):
+                for i in range(len(tab)):
+                    probs = ",".join(f"{p:.6g}" for p in pd[i])
+                    rows.append((
+                        tab.chrom, tab.start + i, tab.start + i + 1,
+                        probs,
+                    ))
+            write_bed_intervals(rows, opts.pd)
         else:
-            dists = model.posterior_distributions(
-                track_data.tables, chunk_len=opts.chunk
-            )
-        rows = []
-        for tab, pd in zip(track_data.tables, dists):
-            for i in range(len(tab)):
-                probs = ",".join(f"{p:.6g}" for p in pd[i])
-                rows.append(
-                    (tab.chrom, tab.start + i, tab.start + i + 1, probs)
-                )
-        write_bed_intervals(rows, opts.pd)
+            _write_pd_streaming(opts, model, track_data.tables)
 
     return 0
+
+
+def _write_pd_streaming(opts, model, tables) -> None:
+    """--pd at base resolution in BOUNDED host memory: gamma chunks
+    stream straight out of the exact carried-alpha/beta sweep (which
+    visits them in REVERSE time order) into per-chunk spool files,
+    concatenated ascending at the end.  The previous implementation
+    materialized every table's full [L, S] float32 gamma PLUS one
+    Python tuple per genomic base before writing — tens of GB for a
+    chromosome-scale --pd."""
+    import os
+    import shutil
+    import tempfile
+
+    from tehmm_tpu.parallel.stitch import posterior_sweep
+
+    tmpdir = tempfile.mkdtemp(prefix="tehmm_pd_")
+    spool: dict[tuple[int, int], str] = {}
+    try:
+        def consume(b, start, gamma):
+            tab = tables[b]
+            fn = os.path.join(tmpdir, f"{b}_{start}.part")
+            base = tab.start + start
+            with open(fn, "w") as fh:
+                for i in range(len(gamma)):
+                    probs = ",".join(f"{p:.6g}" for p in gamma[i])
+                    fh.write(
+                        f"{tab.chrom}\t{base + i}\t{base + i + 1}"
+                        f"\t{probs}\n"
+                    )
+            spool[(b, start)] = fn
+
+        posterior_sweep(
+            model.params, tables, chunk_len=opts.chunk,
+            consume=consume, gauss_params=model.gauss,
+        )
+        with open(opts.pd, "w") as out_fh:
+            for key in sorted(spool):
+                with open(spool[key]) as fh:
+                    shutil.copyfileobj(fh, out_fh)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 def _eval_segments(opts, model, seg_tables) -> int:
@@ -238,6 +279,7 @@ def _eval_segments(opts, model, seg_tables) -> int:
         dists = model.posterior_distributions(
             seg_tables, chunk_len=opts.chunk, weight_arrays=weights,
         )
+    viterbi_like = bool(opts.bed) and not opts.maxPost
     if not opts.bed:
         pass          # only --pd/score output requested: skip decoding
     elif opts.maxPost:
@@ -247,11 +289,27 @@ def _eval_segments(opts, model, seg_tables) -> int:
             paths = [
                 np.argmax(d, axis=-1).astype(np.int32) for d in dists
             ]
+        elif opts.exact:
+            from tehmm_tpu.parallel.stitch import posterior_exact
+
+            paths = posterior_exact(
+                model.params, seg_tables, chunk_len=opts.chunk,
+                gauss_params=model.gauss, weight_arrays=weights,
+            )
         else:
             paths = model.posterior_decode_tables(
                 seg_tables, chunk_len=opts.chunk, halo=opts.halo,
                 weight_arrays=weights,
             )
+    elif opts.exact:
+        # --segment previously ignored --exact and silently used the
+        # heuristic stitcher; honor the unconditional-guarantee request
+        from tehmm_tpu.parallel.stitch import viterbi_exact
+
+        paths = viterbi_exact(
+            model.params, seg_tables, chunk_len=opts.chunk,
+            gauss_params=model.gauss, weight_arrays=weights,
+        )
     else:
         paths, report = viterbi_chunked(
             model.params, seg_tables, chunk_len=opts.chunk,
@@ -280,29 +338,46 @@ def _eval_segments(opts, model, seg_tables) -> int:
             out.extend(expand_path(tab, path, model.state_names))
         write_bed_intervals(out, opts.bed)
         logger.info("wrote %d intervals to %s", len(out), opts.bed)
-    # total loglik over segment observations
-    import jax.numpy as jnp
+    # printed score: same semantics as base-resolution eval (main) —
+    # Viterbi decodes print the PATH's joint log-prob (reference:
+    # hmm.decode's logprob), posterior/score-only modes print the
+    # forward log-likelihood.  (Previously this always printed the
+    # forward total, so --segment runs were incommensurable with
+    # base-resolution runs under the same flags.)
+    if viterbi_like and paths is not None:
+        from tehmm_tpu.models.hmm import path_log_score
 
-    from tehmm_tpu.models.emission import track_log_likelihoods
-    from tehmm_tpu.ops import dp as _dp
-
-    total = 0.0
-    for i, tab in enumerate(seg_tables):
-        obs = track_log_likelihoods(
-            model.params.log_em, jnp.asarray(tab.symbols[None])
-        )
-        if model.gauss is not None and tab.values is not None:
-            from tehmm_tpu.models.gauss import gauss_log_likelihoods
-
-            obs = obs + gauss_log_likelihoods(
-                model.gauss, jnp.asarray(tab.values[None])
+        total = sum(
+            path_log_score(
+                model.params, tab.symbols, p,
+                gauss=model.gauss, values=tab.values,
+                obs_weights=None if weights is None else weights[i],
             )
-        if weights is not None:
-            obs = obs * jnp.asarray(weights[i])[None, :, None]
-        _, _, ll = _dp.forward_scaled(
-            model.params.log_start, model.params.log_trans, obs
+            for i, (tab, p) in enumerate(zip(seg_tables, paths))
         )
-        total += float(ll[0])
+    else:
+        import jax.numpy as jnp
+
+        from tehmm_tpu.models.emission import track_log_likelihoods
+        from tehmm_tpu.ops import dp as _dp
+
+        total = 0.0
+        for i, tab in enumerate(seg_tables):
+            obs = track_log_likelihoods(
+                model.params.log_em, jnp.asarray(tab.symbols[None])
+            )
+            if model.gauss is not None and tab.values is not None:
+                from tehmm_tpu.models.gauss import gauss_log_likelihoods
+
+                obs = obs + gauss_log_likelihoods(
+                    model.gauss, jnp.asarray(tab.values[None])
+                )
+            if weights is not None:
+                obs = obs * jnp.asarray(weights[i])[None, :, None]
+            _, _, ll = _dp.forward_scaled(
+                model.params.log_start, model.params.log_trans, obs
+            )
+            total += float(ll[0])
     print(f"{total}")
     return 0
 

@@ -577,8 +577,19 @@ def _apply_init_priors(opts, model, track_data, state_names) -> None:
         sizes = track_data.alphabet_sizes
         log_em = np.array(model.params.log_em)  # mutable copy
         if log_em.shape[2] < prior.shape[2]:
+            # the prior file grew an alphabet: the new symbol was never
+            # seen by the states the file does NOT name, so their new
+            # column must carry ~zero probability.  (Padding with 0.0 —
+            # log-prob 1 — silently handed every unnamed state a
+            # phantom unit of mass that _apply_force_em then treated
+            # as real, corrupting its trained distribution.)
+            from tehmm_tpu.utils.common import LOG_ZERO
+
             pad = prior.shape[2] - log_em.shape[2]
-            log_em = np.pad(log_em, ((0, 0), (0, 0), (0, pad)))
+            log_em = np.pad(
+                log_em, ((0, 0), (0, 0), (0, pad)),
+                constant_values=LOG_ZERO,
+            )
         log_em = np.asarray(em_ops._apply_force_em(
             jnp.asarray(apply_emission_conventions(log_em, sizes)),
             jnp.asarray(prior[:, :, : log_em.shape[2]]),

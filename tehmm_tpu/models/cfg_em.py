@@ -446,7 +446,11 @@ def cfg_em_run(
 
         new_hmm = em_m_step(total, params.hmm, sizes, masks, epsilon)
         if gmoments is not None:
-            gauss_params = gauss_m_step(*gmoments, gauss_params)
+            gauss_params = gauss_m_step(
+                *gmoments, gauss_params,
+                fix_states=getattr(masks, "fix_em_states", None)
+                if masks is not None else None,
+            )
         log_match = params.log_match
         if update_match:
             log_match = jnp.asarray(match_bonus_from_counts(

@@ -148,9 +148,16 @@ def gauss_stats(gamma: jax.Array, values: jax.Array):
 def gauss_m_step(
     gn: jax.Array, gx: jax.Array, gx2: jax.Array,
     old: GaussParams, min_var: float = MIN_VAR,
+    fix_states: jax.Array | None = None,
 ) -> GaussParams:
     """Moments -> new means/variances; states with (numerically) no
-    posterior mass keep their previous parameters."""
+    posterior mass keep their previous parameters.
+
+    ``fix_states`` (bool[S], from --fixEm) freezes those states'
+    means/variances at their current values — gaussian-track normal
+    parameters ARE emission parameters, so the fix-emissions contract
+    must cover them exactly like the categorical log_em rows
+    (ops/em.em_m_step's fix_em_states handling)."""
     ok = gn > 1e-6
     denom = jnp.maximum(gn, 1e-6)
     mu = jnp.where(ok, gx / denom, old.mu)
@@ -158,6 +165,10 @@ def gauss_m_step(
         ok, gx2 / denom - mu**2, jnp.exp(old.log_var)
     )
     var = jnp.maximum(var, min_var)
+    if fix_states is not None:
+        keep = fix_states[:, None]
+        mu = jnp.where(keep, old.mu, mu)
+        var = jnp.where(keep, jnp.exp(old.log_var), var)
     return GaussParams(mu=mu, log_var=jnp.log(var))
 
 

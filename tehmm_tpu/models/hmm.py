@@ -444,6 +444,8 @@ class MultitrackHmm:
                 self.gauss = gauss_m_step(
                     stats.gauss_n, stats.gauss_x, stats.gauss_x2,
                     self.gauss,
+                    fix_states=getattr(masks, "fix_em_states", None)
+                    if masks is not None else None,
                 )
             ll = stats.loglik
             self.params = new_params
@@ -769,7 +771,13 @@ def fit_restarts(
         if gauss_stack is not None:
             from tehmm_tpu.models.gauss import gauss_m_step
 
-            gauss_stack = jax.vmap(gauss_m_step)(
+            fix = (getattr(masks, "fix_em_states", None)
+                   if masks is not None else None)
+            gauss_stack = jax.vmap(
+                lambda n, x, x2, g: gauss_m_step(
+                    n, x, x2, g, fix_states=fix
+                )
+            )(
                 stats.gauss_n, stats.gauss_x, stats.gauss_x2,
                 gauss_stack,
             )
@@ -802,13 +810,18 @@ def fit_restarts(
 def path_log_score(
     params: HmmParams, symbols: np.ndarray, path: np.ndarray,
     gauss=None, values: np.ndarray | None = None,
+    obs_weights: np.ndarray | None = None,
 ) -> float:
     """Joint log-probability log P(obs, path) of a decoded state path —
     the quantity the reference's ``decode()`` returns (sklearn-style
     Viterbi logprob [R]).  Pure host gathers, O(L·T): no device pass.
 
     ``gauss``/``values``: gaussian-track emissions (models/gauss.py) —
-    adds each position's normal log-density under its path state."""
+    adds each position's normal log-density under its path state.
+    ``obs_weights`` (f32[L], segment mode --segLen): scales every
+    position's EMISSION log-probability (categorical + gaussian) by its
+    weight, exactly like the decode kernels' ``obs * w``; transitions
+    are unweighted."""
     log_em = np.asarray(params.log_em, np.float64)
     log_trans = np.asarray(params.log_trans, np.float64)
     log_start = np.asarray(params.log_start, np.float64)
@@ -818,8 +831,9 @@ def path_log_score(
     s = float(log_start[path[0]])
     if len(path) > 1:
         s += float(log_trans[path[:-1], path[1:]].sum())
+    em_pos = np.zeros(len(path), np.float64)
     for t in range(symbols.shape[1]):
-        s += float(log_em[path, t, symbols[:, t].astype(np.int64)].sum())
+        em_pos += log_em[path, t, symbols[:, t].astype(np.int64)]
     if gauss is not None and values is not None:
         from tehmm_tpu.models.gauss import LOG_2PI
 
@@ -830,8 +844,10 @@ def path_log_score(
         ll = -0.5 * (
             (x - mu) ** 2 / np.exp(lv) + lv + LOG_2PI
         )
-        s += float(ll[fin].sum())
-    return s
+        em_pos += np.where(fin, ll, 0.0).sum(axis=1)
+    if obs_weights is not None:
+        em_pos = em_pos * np.asarray(obs_weights, np.float64)
+    return s + float(em_pos.sum())
 
 
 def path_to_intervals(
@@ -844,6 +860,11 @@ def path_to_intervals(
     from tehmm_tpu import native
 
     path = np.ascontiguousarray(path, np.int32)
+    if len(path) == 0:
+        # zero-length query record: the NumPy fallback's bounds math
+        # below would index into an empty array (the native encoder
+        # already returns no runs)
+        return []
     runs = native.runs_encode(path)
     if runs is None:
         edges = np.flatnonzero(np.diff(path)) + 1

@@ -555,7 +555,9 @@ def em_run(
             from tehmm_tpu.models.gauss import gauss_m_step
 
             out = out + (gauss_m_step(
-                stats.gauss_n, stats.gauss_x, stats.gauss_x2, g
+                stats.gauss_n, stats.gauss_x, stats.gauss_x2, g,
+                fix_states=getattr(masks, "fix_em_states", None)
+                if masks is not None else None,
             ),)
         return out
 

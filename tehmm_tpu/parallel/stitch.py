@@ -467,6 +467,16 @@ def _posterior_batch(
     return out
 
 
+
+def _first_rows(arrays, width, dtype):
+    """Row 0 of every array, with an all-zero stand-in for EMPTY tables
+    (length-0 query records are legal BED; every consumer masks them
+    via true_lens > 0, so the stand-in value never escapes)."""
+    return np.stack([
+        a[0] if len(a) else np.zeros(width, dtype) for a in arrays
+    ])
+
+
 def posterior_sweep(
     params: HmmParams,
     tables: Sequence,
@@ -529,20 +539,23 @@ def posterior_sweep(
         lens = jnp.asarray(np.clip(true_lens - lo, 0, Lc))
         return obs, lens
 
-    # position 0 values
-    block0 = np.stack([m[0] for m in mats])
+    # position 0 values (empty tables get inert zero rows — their
+    # outputs are masked by true_lens > 0 everywhere below)
+    block0 = _first_rows(mats, T, mats[0].dtype)
     obs0 = track_log_likelihoods(
         params.log_em, jnp.asarray(block0[:, None, :])
     )[:, 0, :]
     if vmats is not None:
         from tehmm_tpu.models.gauss import gauss_log_likelihoods
 
-        v0 = np.stack([v[0] for v in vmats])
+        v0 = _first_rows(vmats, vmats[0].shape[1], np.float32)
         obs0 = obs0 + gauss_log_likelihoods(
             gauss_params, jnp.asarray(v0[:, None, :])
         )[:, 0, :]
     if wmats is not None:
-        w0 = np.stack([wv[0] for wv in wmats])
+        w0 = np.stack([
+            wv[0] if len(wv) else np.float32(1.0) for wv in wmats
+        ])
         obs0 = obs0 * jnp.asarray(w0)[:, None]
     a0 = params.log_start[None, :] + obs0
     m0 = jnp.maximum(jnp.max(a0, axis=-1, keepdims=True), -1e30)
@@ -673,20 +686,23 @@ def viterbi_exact(
         lens = jnp.asarray(np.clip(true_lens - lo, 0, Lc))
         return obs, lens
 
-    # position 0 values
-    block0 = np.stack([m[0] for m in mats])
+    # position 0 values (empty tables get inert zero rows — masked by
+    # true_lens > 0 in the assembly below)
+    block0 = _first_rows(mats, T, mats[0].dtype)
     obs0 = track_log_likelihoods(
         params.log_em, jnp.asarray(block0[:, None, :])
     )[:, 0, :]
     if vmats is not None:
         from tehmm_tpu.models.gauss import gauss_log_likelihoods
 
-        v0 = np.stack([v[0] for v in vmats])
+        vv0 = _first_rows(vmats, vmats[0].shape[1], np.float32)
         obs0 = obs0 + gauss_log_likelihoods(
-            gauss_params, jnp.asarray(v0[:, None, :])
+            gauss_params, jnp.asarray(vv0[:, None, :])
         )[:, 0, :]
     if wmats is not None:
-        w0 = np.stack([wv[0] for wv in wmats])
+        w0 = np.stack([
+            wv[0] if len(wv) else np.float32(1.0) for wv in wmats
+        ])
         obs0 = obs0 * jnp.asarray(w0)[:, None]
     v0 = params.log_start[None, :] + obs0
     m0 = jnp.maximum(jnp.max(v0, axis=-1, keepdims=True), -1e30)
@@ -709,7 +725,10 @@ def viterbi_exact(
     else:
         _chunk_values = dp.viterbi_chunk_values
     end_state = jnp.argmax(carry, axis=-1).astype(jnp.int32)
-    paths = np.zeros((B, int(true_lens.max())), np.int32)
+    max_len = int(true_lens.max())
+    if max_len == 0:                  # every table empty
+        return [np.zeros(0, np.int32) for _ in range(B)]
+    paths = np.zeros((B, max_len), np.int32)
     for c in reversed(range(n_chunks)):
         obs, lens = obs_chunk(c)
         v_hats = _chunk_values(
