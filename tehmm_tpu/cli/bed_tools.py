@@ -37,8 +37,16 @@ def add_bed_gaps(
             lo, hi = bounds.get(c, (s, e))
             bounds[c] = (min(lo, s), max(hi, e))
     out = []
-    for chrom in sorted(by_chrom):
-        ivs = sorted(by_chrom[chrom], key=lambda x: x[1])
+    # iterate region chromosomes too: a --regions chromosome with zero
+    # annotation intervals must still fill with the background state
+    # (previously it silently got no coverage at all)
+    for chrom in sorted(set(by_chrom) | set(bounds)):
+        ivs = sorted(by_chrom.get(chrom, ()), key=lambda x: x[1])
+        if not ivs:
+            lo, hi = bounds[chrom]
+            if hi > lo:
+                out.append((chrom, lo, hi, default_state))
+            continue
         lo, hi = bounds.get(chrom, (ivs[0][1], max(x[2] for x in ivs)))
         pos = lo
         for iv in ivs:
@@ -107,6 +115,8 @@ def chunk_bed_regions(
 ) -> list[tuple]:
     """Split regions into <= max_len chunks for tractable DP (reference:
     chunkBedRegions.py [R?])."""
+    if max_len <= 0:
+        raise ValueError(f"--maxLen must be positive, got {max_len}")
     out = []
     for iv in intervals:
         chrom, s, e = iv[0], iv[1], iv[2]
@@ -191,8 +201,17 @@ def main(argv=None) -> int:
     sp.add_argument("inBed")
 
     opts = p.parse_args(argv)
+
+    def read4(path):
+        # BED3 input has no name column; use the BED "." placeholder
+        # instead of the literal string "None" everywhere downstream
+        return [
+            (c, s, e, "." if n is None else n)
+            for c, s, e, n in read_bed_intervals(path, ncol=4)
+        ]
+
     if opts.cmd == "add-gaps":
-        ivs = read_bed_intervals(opts.inBed, ncol=4)
+        ivs = read4(opts.inBed)
         regions = (
             read_bed_intervals(opts.regions, ncol=3)
             if opts.regions else None
@@ -201,22 +220,22 @@ def main(argv=None) -> int:
             add_bed_gaps(ivs, opts.state, regions), opts.outBed
         )
     elif opts.cmd == "remove-overlaps":
-        ivs = read_bed_intervals(opts.inBed, ncol=4)
+        ivs = read4(opts.inBed)
         write_bed_intervals(
             remove_bed_overlaps(ivs, opts.mode), opts.outBed
         )
     elif opts.cmd == "chunk":
-        ivs = read_bed_intervals(opts.inBed, ncol=4)
+        ivs = read4(opts.inBed)
         write_bed_intervals(
             chunk_bed_regions(ivs, opts.maxLen), opts.outBed
         )
     elif opts.cmd == "add-colors":
-        ivs = read_bed_intervals(opts.inBed, ncol=4)
+        ivs = read4(opts.inBed)
         write_bed_intervals(add_bed_colors(ivs), opts.outBed)
     elif opts.cmd == "stats":
         import json
 
-        ivs = read_bed_intervals(opts.inBed, ncol=4)
+        ivs = read4(opts.inBed)
         print(json.dumps(bed_stats(ivs), indent=1))
     return 0
 

@@ -19,41 +19,81 @@ from collections import defaultdict
 from tehmm_tpu.io import read_bed_intervals
 
 
+def _paint(intervals) -> dict[str, list[tuple[int, int, str]]]:
+    """Per-chromosome DISJOINT sorted (start, end, name) runs, later
+    records overwriting earlier ones — the same painting semantics the
+    training loader applies (io/trackdata fill_intervals).  A raw
+    two-pointer sweep over self-overlapping input silently misses
+    overlap pairs, so every consumer flattens first."""
+    by_chrom: dict[str, list] = defaultdict(list)
+    for c, s, e, n in intervals:
+        if e > s:
+            by_chrom[c].append((int(s), int(e), str(n)))
+    out: dict[str, list[tuple[int, int, str]]] = {}
+    for c, recs in by_chrom.items():
+        bounds = sorted({x for s, e, _ in recs for x in (s, e)})
+        idx = {b: i for i, b in enumerate(bounds)}
+        owner = [-1] * max(len(bounds) - 1, 0)
+        for k, (s, e, _) in enumerate(recs):
+            for j in range(idx[s], idx[e]):
+                owner[j] = k
+        runs: list[tuple[int, int, str]] = []
+        for j, own in enumerate(owner):
+            if own < 0:
+                continue
+            name = recs[own][2]
+            if runs and runs[-1][1] == bounds[j] \
+                    and runs[-1][2] == name:
+                runs[-1] = (runs[-1][0], bounds[j + 1], name)
+            else:
+                runs.append((bounds[j], bounds[j + 1], name))
+        out[c] = runs
+    return out
+
+
 def base_level_confusion(
     truth: list[tuple], pred: list[tuple]
-) -> dict[tuple[str, str], int]:
-    """Overlap length between every (truthName, predName) pair via a
-    sorted boundary sweep (no per-base arrays — genome-safe)."""
-    conf: dict[tuple[str, str], int] = defaultdict(int)
-    by_chrom_t: dict[str, list] = defaultdict(list)
-    by_chrom_p: dict[str, list] = defaultdict(list)
-    for c, s, e, n in truth:
-        by_chrom_t[c].append((s, e, str(n)))
-    for c, s, e, n in pred:
-        by_chrom_p[c].append((s, e, str(n)))
-    for chrom in set(by_chrom_t) | set(by_chrom_p):
-        t = sorted(by_chrom_t.get(chrom, []))
-        p = sorted(by_chrom_p.get(chrom, []))
+) -> dict[tuple[str | None, str | None], int]:
+    """Overlap length for every (truthName, predName) pair via a sorted
+    boundary sweep (no per-base arrays — genome-safe).  Bases covered
+    by only ONE side appear under a ``None`` partner — a truth base
+    with no prediction is a real miss and must count against recall
+    (previously such bases silently vanished from every denominator,
+    so predicting 1% of the truth could score recall 1.0).  Inputs are
+    painted to disjoint runs first (see _paint)."""
+    conf: dict[tuple[str | None, str | None], int] = defaultdict(int)
+    tmap, pmap = _paint(truth), _paint(pred)
+    for chrom in set(tmap) | set(pmap):
+        t = tmap.get(chrom, [])
+        p = pmap.get(chrom, [])
+        bounds = sorted(
+            {x for s, e, _ in t for x in (s, e)}
+            | {x for s, e, _ in p for x in (s, e)}
+        )
         ti = pi = 0
-        while ti < len(t) and pi < len(p):
-            ts, te, tn = t[ti]
-            ps, pe, pn = p[pi]
-            lo, hi = max(ts, ps), min(te, pe)
-            if lo < hi:
-                conf[(tn, pn)] += hi - lo
-            if te <= pe:
+        for j in range(len(bounds) - 1):
+            lo, hi = bounds[j], bounds[j + 1]
+            while ti < len(t) and t[ti][1] <= lo:
                 ti += 1
-            else:
+            while pi < len(p) and p[pi][1] <= lo:
                 pi += 1
+            tn = (t[ti][2] if ti < len(t) and t[ti][0] <= lo else None)
+            pn = (p[pi][2] if pi < len(p) and p[pi][0] <= lo else None)
+            if tn is None and pn is None:
+                continue
+            conf[(tn, pn)] += hi - lo
     return dict(conf)
 
 
 def base_level_prf(
     conf: dict[tuple[str, str], int]
 ) -> dict[str, dict[str, float]]:
-    """Per-state precision/recall/F1 from the confusion overlap matrix."""
+    """Per-state precision/recall/F1 from the confusion overlap matrix.
+    ``None`` partners (bases covered by only one file) contribute to
+    fn/fp but are not themselves states."""
     states = sorted(
-        {t for t, _ in conf} | {p for _, p in conf}
+        {t for t, _ in conf if t is not None}
+        | {p for _, p in conf if p is not None}
     )
     out = {}
     for s in states:
@@ -78,11 +118,17 @@ def interval_level_prf(
     compareBedStates boundary-slack tolerance [R?])."""
 
     def matches(a, b) -> bool:
+        # overlap AND both boundaries within slack — uniformly for any
+        # slack, so the metric is monotone in the tolerance.  (The old
+        # split semantics counted ANY overlap at slack=0 and dropped
+        # the overlap requirement at slack>0, so slack=1 was stricter
+        # than slack=0 and two barely-touching intervals could "match"
+        # exactly.)
         if a[0] != b[0] or str(a[3]) != str(b[3]):
             return False
-        if slack > 0:
-            return abs(a[1] - b[1]) <= slack and abs(a[2] - b[2]) <= slack
-        return max(a[1], b[1]) < min(a[2], b[2])
+        if max(a[1], b[1]) >= min(a[2], b[2]):
+            return False
+        return abs(a[1] - b[1]) <= slack and abs(a[2] - b[2]) <= slack
 
     def match_count(src, dst):
         by_chrom: dict[str, list] = defaultdict(list)
@@ -128,13 +174,25 @@ def compare_bed_files(
     truth = read_bed_intervals(truth_path, ncol=4)
     pred = read_bed_intervals(pred_path, ncol=4)
     conf = base_level_confusion(truth, pred)
-    total = sum(conf.values())
+    # accuracy over TRUTH-covered bases: unpredicted truth bases count
+    # as wrong; prediction outside the truth's coverage hits precision
+    # (fp) but not accuracy (the truth simply has no opinion there)
+    total = sum(v for (t, _), v in conf.items() if t is not None)
     correct = sum(v for (t, p), v in conf.items() if t == p)
+    none_key = "(uncovered)"
     return {
         "base_accuracy": correct / total if total else 0.0,
         "base": base_level_prf(conf),
         "interval": interval_level_prf(truth, pred, slack),
-        "confusion": {f"{t}|{p}": v for (t, p), v in sorted(conf.items())},
+        "confusion": {
+            f"{none_key if t is None else t}|"
+            f"{none_key if p is None else p}": v
+            for (t, p), v in sorted(
+                conf.items(), key=lambda kv: (
+                    kv[0][0] or "", kv[0][1] or ""
+                )
+            )
+        },
     }
 
 

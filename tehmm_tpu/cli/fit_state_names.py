@@ -20,16 +20,34 @@ def fit_names(
     truth: list[tuple], pred: list[tuple]
 ) -> dict[str, str]:
     """Greedy 1:1 assignment pred-name -> truth-name by descending base
-    overlap; unassigned prediction names keep themselves."""
+    overlap.  Unassigned prediction names keep themselves UNLESS that
+    would collide with a name already assigned to a different
+    prediction state (two distinct predicted states would silently
+    merge under one label and be scored as one); colliding leftovers
+    get a distinguishing suffix instead."""
     conf = base_level_confusion(truth, pred)
-    pairs = sorted(conf.items(), key=lambda kv: -kv[1])
+    pairs = sorted(
+        (kv for kv in conf.items()
+         if kv[0][0] is not None and kv[0][1] is not None),
+        key=lambda kv: -kv[1],
+    )
     mapping: dict[str, str] = {}
-    used_truth: set[str] = set()
+    used: set[str] = set()
     for (t_name, p_name), _overlap in pairs:
-        if p_name in mapping or t_name in used_truth:
+        if p_name in mapping or t_name in used:
             continue
         mapping[p_name] = t_name
-        used_truth.add(t_name)
+        used.add(t_name)
+    for p_name in sorted({str(n) for _, _, _, n in pred} - set(mapping)):
+        if p_name not in used:
+            continue          # keeps itself implicitly (no map entry)
+        k = 2
+        name = f"{p_name}_unmapped"
+        while name in used:
+            name = f"{p_name}_unmapped{k}"
+            k += 1
+        mapping[p_name] = name
+        used.add(name)
     return mapping
 
 

@@ -48,10 +48,18 @@ def find_tsd(
     table = KmerTable(left, min_len)
     best = None
     for sp, qp, length in table.best_matches(right):
-        # a maximal match LONGER than max_len is not a TSD (it is a
-        # shared repeat/homopolymer), not a truncatable candidate
-        if length < min_len or length > max_len:
+        if length < min_len:
             continue
+        if length > max_len:
+            # a match MUCH longer than max_len is a shared repeat/
+            # homopolymer, not a TSD; but a genuine max_len TSD whose
+            # copies chance-extend by a base or two must clip, not
+            # vanish (the docstring's "clipped at max_len" contract —
+            # rejecting outright lost real TSDs in AT-rich flanks)
+            if length > max_len + 2:
+                continue
+            off = length - max_len     # any offset scores identically:
+            sp, qp, length = sp + off, qp + off, max_len
         # distance of the left copy's end from the element start plus the
         # right copy's start from the element end (smaller = better)
         l_end_off = len(left) - (sp + length)

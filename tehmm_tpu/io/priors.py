@@ -79,6 +79,12 @@ def read_trans_prior(
     idx = {n: i for i, n in enumerate(state_names)}
     out = np.full((S, S), -1.0, dtype=np.float32)
     for frm, to, prob in _read_rows(path, 3):
+        for name in (frm, to):
+            if name not in idx:
+                raise ValueError(
+                    f"{path}: state {name!r} is not one of the "
+                    f"model's states {state_names}"
+                )
         out[idx[frm], idx[to]] = float(prob)
     return out
 
@@ -109,6 +115,11 @@ def read_em_prior(
     V = max(len(category_maps[t.name]) for t in track_list)
     out = np.full((S, T, V), -1.0, dtype=np.float32)
     for state, track, sym, prob in rows:
+        if state not in sidx:
+            raise ValueError(
+                f"{path}: state {state!r} is not one of the model's "
+                f"states {state_names}"
+            )
         tr = track_list.get_track_by_name(track)
         v = category_maps[track].get_map(tr.bin(sym), update=False)
         if v == 0 and not update_maps:
@@ -139,6 +150,14 @@ def prior_to_init(
         row = rows[i]
         spec = row >= 0
         mass = row[spec].sum() if spec.any() else 0.0
+        if mass > 1.0 + 1e-4:
+            # the --force* path rejects over-unit rows loudly
+            # (cli/train._check_force_mass); the init path silently
+            # started EM from a non-stochastic matrix
+            raise ValueError(
+                f"prior row {i}: specified probabilities sum to "
+                f"{float(mass):.4f} > 1"
+            )
         free = int((~spec).sum())
         fill = max(0.0, 1.0 - mass) / free if free else 0.0
         row[~spec] = fill

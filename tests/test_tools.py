@@ -38,18 +38,52 @@ class TestCompareBedStates:
         assert prf["B"]["precision"] == pytest.approx(100 / 110)
 
     def test_interval_level_with_slack(self):
+        """A match requires OVERLAP and both boundaries within slack —
+        uniformly, so the metric is monotone in the tolerance (round-3
+        review: slack=0 used to accept ANY overlap and slack>0 dropped
+        the overlap requirement, so slack=1 was stricter than
+        slack=0)."""
         truth = [("c", 0, 100, "A"), ("c", 200, 300, "A")]
         pred = [("c", 5, 95, "A"), ("c", 400, 500, "A")]
         res_strict = interval_level_prf(truth, pred, slack=0)
-        assert res_strict["A"]["recall"] == 0.5
-        assert res_strict["A"]["precision"] == 0.5
+        assert res_strict["A"]["recall"] == 0.0  # boundaries off by 5
         res_slack = interval_level_prf(truth, pred, slack=5)
         assert res_slack["A"]["recall"] == 0.5  # second truth still missed
-        # slack=0 overlap matching vs slack boundary matching
+        assert res_slack["A"]["precision"] == 0.5
         truth2 = [("c", 0, 100, "A")]
         pred2 = [("c", 3, 97, "A")]
         assert interval_level_prf(truth2, pred2, slack=5)["A"]["f1"] == 1.0
         assert interval_level_prf(truth2, pred2, slack=1)["A"]["f1"] == 0.0
+        # exact match at slack=0
+        assert interval_level_prf(truth2, truth2, slack=0)["A"]["f1"] == 1.0
+        # monotone: widening the tolerance never loses matches
+        prev = 0.0
+        for sl in (0, 1, 3, 5, 50):
+            r = interval_level_prf(truth, pred, slack=sl)["A"]["recall"]
+            assert r >= prev
+            prev = r
+        # slack never excuses a missing overlap
+        assert interval_level_prf(
+            [("c", 100, 103, "A")], [("c", 104, 107, "A")], slack=5
+        )["A"]["f1"] == 0.0
+
+    def test_base_confusion_counts_uncovered_truth(self):
+        """Truth bases with no prediction count against recall and
+        accuracy (they used to vanish from every denominator, so a 1%
+        prediction could score recall 1.0), and self-overlapping input
+        is painted to disjoint runs first."""
+        truth = [("c", 0, 1000, "TE")]
+        pred = [("c", 0, 10, "TE")]
+        conf = base_level_confusion(truth, pred)
+        assert conf == {("TE", "TE"): 10, ("TE", None): 990}
+        prf = base_level_prf(conf)
+        assert prf["TE"]["recall"] == pytest.approx(0.01)
+        # self-overlap: later record overwrites earlier (painting)
+        truth2 = [("c", 0, 100, "A"), ("c", 50, 60, "B")]
+        pred2 = [("c", 50, 60, "X")]
+        conf2 = base_level_confusion(truth2, pred2)
+        assert conf2[("B", "X")] == 10
+        assert ("A", "X") not in conf2
 
     def test_compare_files_end_to_end(self, tmp_path):
         t = str(tmp_path / "t.bed")
