@@ -34,6 +34,15 @@ def make_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     opts = make_parser().parse_args(argv)
+    # validate the XML and the new track name BEFORE the genome-scale
+    # k-mer scan — a duplicate name used to die with a raw ValueError
+    # after all the work, leaving outTracksInfo unwritten
+    tl = TrackList(opts.tracksInfo)
+    if tl.get_track_by_name(opts.name) is not None:
+        raise SystemExit(
+            f"track name {opts.name!r} already exists in "
+            f"{opts.tracksInfo}"
+        )
     rc = tsd_finder.main([
         opts.fastaSequence, opts.inBed, opts.outTsdBed,
         "--min", str(opts.minLen), "--max", str(opts.maxLen),
@@ -41,7 +50,6 @@ def main(argv=None) -> int:
     ])
     if rc:
         return rc
-    tl = TrackList(opts.tracksInfo)
     tl.add(Track(
         name=opts.name, path=opts.outTsdBed, distribution="binary"
     ))

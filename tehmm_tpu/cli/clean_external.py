@@ -57,13 +57,19 @@ def main(argv=None) -> int:
 
     opts = p.parse_args(argv)
     ivs = read_bed_intervals(opts.inBed, ncol=4)
+    # BED3 records have no name to clean: keep the BED "." placeholder
+    # instead of emitting the literal string "None"
     if opts.cmd == "clean-rm":
         out = [
-            (c, s, e, clean_rm_name(str(n), opts.level))
+            (c, s, e,
+             "." if n is None else clean_rm_name(str(n), opts.level))
             for c, s, e, n in ivs
         ]
     else:
-        out = [(c, s, e, clean_ltr_name(str(n))) for c, s, e, n in ivs]
+        out = [
+            (c, s, e, "." if n is None else clean_ltr_name(str(n)))
+            for c, s, e, n in ivs
+        ]
     write_bed_intervals(out, opts.outBed)
     return 0
 

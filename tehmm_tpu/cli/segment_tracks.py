@@ -25,14 +25,25 @@ from tehmm_tpu.utils.common import add_logging_options, set_logging_from_options
 
 
 def segment_table(
-    symbols: np.ndarray, thresh: int = 0
+    symbols: np.ndarray, thresh: int = 0,
+    values: np.ndarray | None = None,
 ) -> list[tuple[int, int]]:
     """[L, T] -> [(start, end)] maximal runs where consecutive columns
-    differ in at most ``thresh`` tracks."""
+    differ in at most ``thresh`` tracks.
+
+    ``values`` ([L, G], NaN = missing): gaussian tracks carry their
+    observations here and their symbols column is all-missing — a
+    changed continuous value must create a boundary too (two NaNs
+    count as equal), or segment-mode training would average wildly
+    different gaussian observations into one segment."""
     L = len(symbols)
     if L == 0:
         return []
     diff_counts = (symbols[1:] != symbols[:-1]).sum(axis=1)
+    if values is not None and values.size:
+        va, vb = values[1:], values[:-1]
+        vdiff = (va != vb) & ~(np.isnan(va) & np.isnan(vb))
+        diff_counts = diff_counts + vdiff.sum(axis=1)
     boundaries = np.flatnonzero(diff_counts > thresh) + 1
     edges = np.concatenate([[0], boundaries, [L]])
     return [(int(s), int(e)) for s, e in zip(edges[:-1], edges[1:])]
@@ -67,7 +78,9 @@ def main(argv=None) -> int:
     out = []
     seg_i = 0
     for tab in td.tables:
-        for s, e in segment_table(tab.symbols, opts.thresh):
+        for s, e in segment_table(
+            tab.symbols, opts.thresh, tab.values,
+        ):
             spans = [(s, e)]
             if opts.maxLen > 0:
                 spans = [

@@ -25,6 +25,11 @@ def collect_numeric_values(track, regions) -> np.ndarray:
     """All raw numeric values of a BED/BigWig track over the regions."""
     p = track.path.lower()
     vals: list[float] = []
+    if p.endswith((".fa", ".fasta", ".fna")):
+        # sequence tracks are categorical, never numeric — feeding a
+        # FASTA to the BED parser crashes (or silently yields nothing,
+        # depending on the parser backend)
+        return np.array([])
     if p.endswith((".bw", ".bigwig")):
         from tehmm_tpu.io.bigwig import BigWigFile
 
@@ -54,13 +59,25 @@ def choose_scaling(
     (reference heuristic [R?]; documented contract of this rebuild).
     Returns attribute dict or None for non-numeric/empty tracks.
     """
+    if num_bins < 2:
+        raise ValueError(
+            f"--numBins must be >= 2, got {num_bins} (one bin cannot "
+            f"distinguish any values)"
+        )
     if len(vals) == 0:
         return None
     vmin, vmax = float(vals.min()), float(vals.max())
     if vmax == vmin:
         return {"scale": 1.0}
-    n_distinct = len(np.unique(np.floor(vals)))
-    if n_distinct <= num_bins and vmin >= 0:
+    # "already binned" only when the values really are a small set of
+    # non-negative INTEGERS — flooring continuous values first made any
+    # track with range < num_bins (e.g. p-values in [0, 1)) pass
+    # unscaled and collapse to one or two symbols
+    distinct = np.unique(vals)
+    if (
+        len(distinct) <= num_bins and vmin >= 0
+        and np.all(distinct == np.floor(distinct))
+    ):
         return {"scale": 1.0}
     # shift so min is 1 (log-safe), then decide linear vs log by range
     shift = 1.0 - vmin

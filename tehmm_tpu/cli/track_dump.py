@@ -31,11 +31,22 @@ def main(argv=None) -> int:
     regions = read_bed_intervals(opts.regionsBed, ncol=3)
     td = load_track_data(track_list, regions)
     names = [t.name for t in track_list]
+    # gaussian tracks keep their continuous values on tab.values (their
+    # symbols column is all-missing by design) — map track index to its
+    # values column so --values shows the real data
+    import numpy as np
+
+    gcol = {t: g for g, t in enumerate(td.gauss_track_indices)}
     print("#chrom\tpos\t" + "\t".join(names))
     for tab in td.tables:
         for i in range(len(tab)):
             row = []
             for t_idx, t in enumerate(track_list):
+                if opts.values and t_idx in gcol \
+                        and tab.values is not None:
+                    v = float(tab.values[i, gcol[t_idx]])
+                    row.append("." if np.isnan(v) else f"{v:g}")
+                    continue
                 sym = int(tab.symbols[i, t_idx])
                 if opts.values:
                     cm = td.category_maps[t.name]

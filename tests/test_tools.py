@@ -300,3 +300,56 @@ class TestTrackRanking:
         h_seq = json.load(open(f"{seq}/ranking.json"))
         h_par = json.load(open(f"{par}/ranking.json"))
         assert h_seq == h_par
+
+
+class TestRound3EvalLayerRegressions:
+    def test_choose_scaling_bins_continuous_small_range(self):
+        """Continuous values in [0, 1) must get a real scale — flooring
+        first made them 'already binned' and collapsed the track to one
+        symbol (round-3 review)."""
+        import numpy as np
+
+        from tehmm_tpu.cli.set_track_scaling import choose_scaling
+
+        rng = np.random.RandomState(0)
+        vals = rng.rand(1000)
+        attrs = choose_scaling(vals, 10)
+        assert attrs and ("logScale" in attrs or attrs["scale"] > 1.0)
+        # binning with the chosen attrs must produce > 2 symbols
+        scale = attrs.get("scale")
+        shift = attrs.get("shift", 0.0)
+        if scale:
+            binned = np.floor((vals + shift) * scale)
+        else:
+            import math
+            binned = np.floor(
+                np.log(vals + shift) / math.log(attrs["logScale"])
+            )
+        assert len(np.unique(binned)) > 2
+        # integers already within budget stay unscaled
+        assert choose_scaling(
+            np.asarray([0.0, 1.0, 3.0]), 10
+        ) == {"scale": 1.0}
+        import pytest
+
+        with pytest.raises(ValueError, match="numBins"):
+            choose_scaling(vals, 1)
+
+    def test_segment_table_splits_on_gaussian_values(self):
+        """Gaussian-track value changes create segment boundaries (their
+        symbols column is all-missing, so segmentation used to merge
+        different observations into one segment)."""
+        import numpy as np
+
+        from tehmm_tpu.cli.segment_tracks import segment_table
+
+        symbols = np.zeros((6, 1), np.int32)       # all-missing column
+        values = np.asarray(
+            [[1.0], [1.0], [2.5], [2.5], [np.nan], [np.nan]],
+            np.float32,
+        )
+        assert segment_table(symbols, 0, values) == [
+            (0, 2), (2, 4), (4, 6)
+        ]
+        # without values: one segment (unchanged behavior)
+        assert segment_table(symbols, 0) == [(0, 6)]
