@@ -48,7 +48,9 @@ class BedInterval:
 def parse_bed_line(line: str) -> BedInterval | None:
     """Parse one BED line; returns None for comments/headers/blank lines."""
     line = line.rstrip("\n").rstrip("\r")
-    if not line or line.startswith("#"):
+    if not line.strip() or line.startswith("#"):
+        # blank / whitespace-only lines (hand-edited files) skip like
+        # comments instead of crashing the field split below
         return None
     # UCSC header lines are the bare keyword or keyword + settings —
     # a prefix match alone would silently drop records on contigs
@@ -163,17 +165,4 @@ def get_merged_bed_intervals(
     return merged
 
 
-def intersect_intervals(
-    a: Sequence, intervals: Iterable[Sequence]
-) -> list[tuple]:
-    """Clip every interval in ``intervals`` to the span of ``a``
-    (reference: common.py interval intersect helpers)."""
-    chrom, start, end = a[0], a[1], a[2]
-    out = []
-    for iv in intervals:
-        if iv[0] != chrom:
-            continue
-        s, e = max(iv[1], start), min(iv[2], end)
-        if s < e:
-            out.append((chrom, s, e) + tuple(iv[3:]))
-    return out
+

@@ -67,7 +67,12 @@ def write_bigwig(
     ]
 
     # ---- chromosome B+ tree ----
-    key_size = max((len(n) for n in chrom_sizes), default=1)
+    # measured in BYTES: a non-ASCII name longer encoded than in
+    # characters would overflow its fixed-size key slot and
+    # misalign every following record
+    key_size = max(
+        (len(n.encode()) for n in chrom_sizes), default=1
+    )
     chrom_tree = bytearray()
     chrom_tree += struct.pack(
         "<IIIIQQ", CHROM_TREE_MAGIC, 256, key_size, 8,
@@ -155,7 +160,6 @@ def write_bigwig(
         [int(e[2]) - int(e[1]) for e in entries], dtype=np.float64
     )
     if len(entries):
-        mean = float((vals * lens).sum() / max(n_bases, 1))
         summary = struct.pack(
             "<Qdddd", n_bases, float(vals.min()), float(vals.max()),
             float((vals * lens).sum()), float(((vals ** 2) * lens).sum()),

@@ -96,8 +96,11 @@ def brute_force_loglik(log_start, log_trans, obs):
 
 
 def brute_force_viterbi(log_start, log_trans, obs):
-    """Best path by enumeration; ties resolved to lexicographically smallest
-    path, which is what lowest-index argmax tie-breaking yields."""
+    """Best path by enumeration.  Ties resolve to the path that is
+    lexicographically smallest read RIGHT-TO-LEFT — exactly what
+    backward backtracking with lowest-index argmax yields (dp.viterbi
+    picks the lowest final state first, then the lowest predecessor at
+    each earlier step), NOT the forward-lex smallest path."""
     L, S = obs.shape
     best, best_path = -np.inf, None
     for path in itertools.product(range(S), repeat=L):
@@ -106,6 +109,10 @@ def brute_force_viterbi(log_start, log_trans, obs):
             s += log_trans[path[t - 1], path[t]] + obs[t, path[t]]
         if s > best + 1e-12:
             best, best_path = s, path
+        elif s > best - 1e-12 and best_path is not None and (
+            tuple(reversed(path)) < tuple(reversed(best_path))
+        ):
+            best_path = path
     return np.array(best_path), best
 
 

@@ -278,3 +278,26 @@ class TestStreamingForward:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-6
         )
+
+
+def test_viterbi_tie_break_matches_brute_force():
+    """On an exactly tied model the DP's backward backtracking picks
+    the path that is lexicographically smallest right-to-left; the
+    brute-force oracle must implement the SAME rule (round-3 review:
+    it kept the forward-lex smallest path, so any tied instance
+    produced a spurious golden mismatch blaming the kernel)."""
+    import jax.numpy as jnp
+
+    log_start = np.log(np.array([0.5, 0.5]))
+    log_trans = np.log(np.array([[0.3, 0.7], [0.7, 0.3]]))
+    obs64 = np.zeros((2, 2))
+    want_path, want_score = oracle.brute_force_viterbi(
+        log_start, log_trans, obs64
+    )
+    path, score = dp.viterbi(
+        jnp.asarray(log_start, jnp.float32),
+        jnp.asarray(log_trans, jnp.float32),
+        jnp.asarray(obs64, jnp.float32)[None],
+    )
+    np.testing.assert_array_equal(np.asarray(path[0]), want_path)
+    np.testing.assert_allclose(float(score[0]), want_score, rtol=1e-6)
