@@ -7,6 +7,9 @@ paths on tiny models).
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 from tehmm_tpu import oracle
 from tehmm_tpu.ops import dp

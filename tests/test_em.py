@@ -2,6 +2,9 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 from tehmm_tpu import oracle
 from tehmm_tpu.models.params import HmmParams

@@ -15,6 +15,8 @@ import shutil
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 DATA = os.path.join(os.path.dirname(__file__), "data")
 GOLD = os.path.join(DATA, "golden")
 

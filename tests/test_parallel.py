@@ -34,6 +34,7 @@ def _params(rng_hmm):
     )
 
 
+@pytest.mark.smoke
 class TestChunkPlanning:
     def test_plan_covers_exactly(self):
         chunks = plan_chunks([1000, 500], chunk_len=300, halo=50)
@@ -68,6 +69,7 @@ class TestChunkPlanning:
         assert padded.lengths[3:].tolist() == [0] * 5
 
 
+@pytest.mark.smoke
 class TestViterbiStitch:
     def _planted(self, rng, L):
         """Sticky 3-state chain so chunks 'forget' boundaries quickly."""
