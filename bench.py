@@ -19,6 +19,7 @@ Workload = BASELINE.md milestone config #3 shape class: 20-state,
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -86,16 +87,31 @@ def main() -> None:
     cells = 2 * positions * S * S          # fwd + bwd updates
     cells_per_sec = cells / dt
 
-    # ---- reference-style NumPy baseline on a slice, scaled ----
-    L_ref = 512
-    sym_ref = np.asarray(symbols[0, :L_ref])
-    ls = np.asarray(params.log_start, np.float64)
-    lt = np.asarray(params.log_trans, np.float64)
-    le = np.asarray(params.log_em, np.float64)
-    t0 = time.perf_counter()
-    obs = oracle.obs_log_likelihoods(le, sym_ref)
-    oracle.baum_welch_counts(ls, lt, obs, sym_ref, V)
-    ref_dt_per_pos = (time.perf_counter() - t0) / L_ref
+    # ---- reference-style NumPy baseline: PINNED measurement ----
+    # Re-measuring the oracle each run made the headline speedup wobble
+    # ±40% across artifacts (round-3 VERDICT).  The denominator is now a
+    # one-time median-of-9 measurement (tools/pin_oracle_baseline.py →
+    # tools/oracle_baseline.json, protocol recorded there); a live
+    # measurement is only taken if the pinned file is missing.
+    pin_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tools", "oracle_baseline.json",
+    )
+    ref_source = "pinned"
+    try:
+        with open(pin_path) as f:
+            ref_dt_per_pos = json.load(f)["value"]
+    except (OSError, KeyError, ValueError):
+        ref_source = "live"
+        L_ref = 512
+        sym_ref = np.asarray(symbols[0, :L_ref])
+        ls = np.asarray(params.log_start, np.float64)
+        lt = np.asarray(params.log_trans, np.float64)
+        le = np.asarray(params.log_em, np.float64)
+        t0 = time.perf_counter()
+        obs = oracle.obs_log_likelihoods(le, sym_ref)
+        oracle.baum_welch_counts(ls, lt, obs, sym_ref, V)
+        ref_dt_per_pos = (time.perf_counter() - t0) / L_ref
     ref_dt = ref_dt_per_pos * positions
     speedup = ref_dt / dt
 
@@ -114,6 +130,7 @@ def main() -> None:
             "positions_per_sec": round(positions / dt, 1),
             "em_iters_per_sec": round(1.0 / dt, 3),
             "numpy_ref_iter_seconds_scaled": round(ref_dt, 3),
+            "numpy_ref_source": ref_source,
         },
     }))
 

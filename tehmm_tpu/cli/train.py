@@ -56,7 +56,10 @@ def make_parser() -> argparse.ArgumentParser:
                    help="random emission init range lo,hi")
     p.add_argument("--seed", type=int, default=0, help="RNG seed")
     p.add_argument("--reps", type=int, default=1,
-                   help="random restarts; best final loglik wins")
+                   help="random restarts; best final loglik wins. "
+                        "Restarts batch into ONE vmapped device program "
+                        "unless --mesh/--deviceLoop is given (those run "
+                        "restarts sequentially, R x wall-clock)")
     p.add_argument("--numThreads", type=int, default=1,
                    help="accepted for reference compatibility; restarts "
                         "run sequentially here (a single accelerator "
@@ -323,6 +326,16 @@ def _train_unsupervised(
     chunk_len = opts.chunk
 
     n_reps = max(1, opts.reps)
+    if n_reps > 1 and (mesh is not None or opts.deviceLoop):
+        # the vmapped fit_restarts program has no sharded/device-loop
+        # variant yet — don't let a pod user pay R× wall-clock unaware
+        logger.warning(
+            "--reps %d with %s runs restarts SEQUENTIALLY (R× wall-clock): "
+            "the batched one-device-program restart path does not compose "
+            "with it yet.  Drop --mesh/--deviceLoop to batch restarts, or "
+            "run reps as separate processes over --processId.",
+            n_reps, "--mesh" if mesh is not None else "--deviceLoop",
+        )
     if n_reps > 1 and mesh is None and not opts.deviceLoop:
         # batched restarts: R parameter sets, ONE vmapped device program
         # per iteration (reference --reps forks processes; --numThreads

@@ -354,6 +354,141 @@ def em_stats_state_sharded(
 
 
 # ---------------------------------------------------------------------
+# state-sharded posterior / max-posterior decode
+# ---------------------------------------------------------------------
+
+
+def _posterior_cols_local(
+    log_start, log_trans_cols, log_trans_rows, log_em_rows,
+    symbols, lengths,
+):
+    """Sharded gamma columns, mirroring dp.posterior_scaled's op order
+    (x = alpha_hat + beta_hat, subtract the per-position max, exp,
+    normalize) with pmax/psum standing in for the full-width reductions.
+
+    Returns (gamma_cols f32[B, L, S_loc], x_loc f32[B, L, S_loc] the
+    max-shifted log-posterior whose argmax IS the maxPost path)."""
+    obs_cols = track_log_likelihoods(log_em_rows, symbols)
+    alpha, _ = _forward_values_local(
+        log_start, log_trans_cols, obs_cols, lengths
+    )
+    beta = _backward_values_local(log_trans_rows, obs_cols, lengths)
+    x = alpha + beta
+    m = jax.lax.pmax(
+        jnp.maximum(jnp.max(x, axis=-1), LOG_ZERO), STATE_AXIS
+    )
+    x = x - m[..., None]
+    p = jnp.exp(x)
+    denom = jax.lax.psum(
+        jnp.sum(p, axis=-1, keepdims=True), STATE_AXIS
+    )
+    return p / denom, x
+
+
+def _global_argmax(x_loc):
+    """argmax over the sharded last axis with the replicated argmax's
+    tie-break (lowest GLOBAL state index): shards report their local
+    best; the winning value's lowest global index wins via pmin."""
+    S_loc = x_loc.shape[-1]
+    S = S_loc * jax.lax.axis_size(STATE_AXIS)
+    offset = jax.lax.axis_index(STATE_AXIS) * S_loc
+    best = jnp.max(x_loc, axis=-1)
+    arg = offset + jnp.argmax(x_loc, axis=-1).astype(jnp.int32)
+    gbest = jax.lax.pmax(best, STATE_AXIS)
+    cand = jnp.where(best == gbest, arg, S)
+    return jax.lax.pmin(cand, STATE_AXIS)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def posterior_state_sharded(
+    params,
+    symbols: jax.Array,
+    lengths: jax.Array,
+    mesh: jax.sharding.Mesh,
+) -> jax.Array:
+    """Posterior gamma with the value tables sharded over (data, state);
+    equals ``dp.posterior_scaled`` over the replicated pipeline to f32
+    tolerance (reference: teHmmEval.py --pd; SURVEY.md §2b).
+
+    Returns gamma f32[B, L, S] sharded over (data, ·, state) — each
+    device holds only its [B/dp, L, S/tp] block; fetching to host
+    assembles the global array.  Positions past ``lengths`` are zeroed
+    (the replicated pipeline leaves held carry values there)."""
+    def local(log_start, lt_cols, lt_rows, lem, sym, lens):
+        gamma_cols, _ = _posterior_cols_local(
+            log_start, lt_cols, lt_rows, lem, sym, lens
+        )
+        L = sym.shape[1]
+        valid = jnp.arange(L)[None, :] < lens[:, None]
+        return gamma_cols * valid[..., None]
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(None, STATE_AXIS),
+            P(STATE_AXIS, None),
+            P(STATE_AXIS, None, None),
+            P(DATA_AXIS, None, None),
+            P(DATA_AXIS),
+        ),
+        out_specs=P(DATA_AXIS, None, STATE_AXIS),
+    )
+    return fn(
+        params.log_start, params.log_trans, params.log_trans,
+        params.log_em, symbols, lengths,
+    )
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def maxpost_state_sharded(
+    params,
+    symbols: jax.Array,
+    lengths: jax.Array,
+    mesh: jax.sharding.Mesh,
+) -> jax.Array:
+    """Max-posterior (argmax-gamma) decode with the state axis sharded
+    (reference: teHmmEval.py --maxPost).  The per-position argmax runs
+    on local columns; shards combine via pmax + lowest-global-index
+    pmin, matching the replicated ``jnp.argmax`` tie-break.  gamma's
+    positive per-position normalizer cannot change an argmax, so the
+    decision uses the max-shifted log-posterior directly.
+
+    Returns path int32[B, L] (positions past ``lengths`` and zero-length
+    rows are 0)."""
+    def local(log_start, lt_cols, lt_rows, lem, sym, lens):
+        _, x_loc = _posterior_cols_local(
+            log_start, lt_cols, lt_rows, lem, sym, lens
+        )
+        path = _global_argmax(x_loc)
+        L = sym.shape[1]
+        valid = jnp.arange(L)[None, :] < lens[:, None]
+        return jnp.where(valid, path, 0)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(None, STATE_AXIS),
+            P(STATE_AXIS, None),
+            P(STATE_AXIS, None, None),
+            P(DATA_AXIS, None, None),
+            P(DATA_AXIS),
+        ),
+        out_specs=P(DATA_AXIS, None),
+        # the pmin-combined path is identical on every state shard,
+        # which the static varying-axes check cannot infer
+        check_vma=False,
+    )
+    return fn(
+        params.log_start, params.log_trans, params.log_trans,
+        params.log_em, symbols, lengths,
+    )
+
+
+# ---------------------------------------------------------------------
 # state-sharded Viterbi
 # ---------------------------------------------------------------------
 

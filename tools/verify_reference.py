@@ -181,15 +181,23 @@ def stage_run_and_diff(ref: str, out: str) -> bool:
             f"MISMATCH — regenerate goldens from {ref_bed} "
             "(tools/make_goldens.py --from-reference)",
         )
-    # our framework's output on the same fixtures
+    # our framework's output on the same fixtures (the golden npz is
+    # the oracle's raw parameter dump without model metadata, so train
+    # a real model through the CLI first — same recipe as test_golden)
+    env = {**os.environ, "TEHMM_PLATFORM": "cpu", "PYTHONPATH": REPO}
+    ours_model = os.path.join(out, "tpu_model.npz")
     ours_bed = os.path.join(out, "tpu_viterbi.bed")
     r = subprocess.run(
+        [sys.executable, "-m", "tehmm_tpu", "train", tracks, truth,
+         ours_model, "--supervised"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    if r.returncode != 0:
+        return ok & report("run tehmm_tpu train", "FAIL", r.stderr[-300:])
+    r = subprocess.run(
         [sys.executable, "-m", "tehmm_tpu", "eval", tracks,
-         os.path.join(GOLD, "supervised_params.npz"), regions,
-         "--bed", ours_bed],
-        capture_output=True, text=True, timeout=600,
-        env={**os.environ, "TEHMM_PLATFORM": "cpu",
-             "PYTHONPATH": REPO},
+         ours_model, regions, "--bed", ours_bed],
+        capture_output=True, text=True, timeout=600, env=env,
     )
     if r.returncode == 0:
         same = _bed_equal(ref_bed, ours_bed)
