@@ -65,6 +65,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--segLen", action="store_true",
                    help="with --segment: length-weighted emissions "
                         "(must match training)")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="CFG models: shard decode windows over an "
+                        "N-device data mesh (0 = single device); "
+                        "applies to both CYK Viterbi and --maxPost/"
+                        "--pd inside-outside windows")
     add_logging_options(p)
     return p
 
@@ -130,6 +135,7 @@ def main(argv=None) -> int:
             paths, cfg_gammas = _cfg_decode(
                 model, cfg_meta, track_data.tables, opts.maxSpan,
                 max_post=opts.maxPost, halo=opts.halo,
+                mesh_size=opts.mesh,
             )
         elif opts.maxPost:
             if opts.exact:
@@ -205,6 +211,7 @@ def main(argv=None) -> int:
                 _, cfg_gammas = _cfg_decode(
                     model, cfg_meta, track_data.tables, opts.maxSpan,
                     max_post=True, halo=opts.halo,
+                    mesh_size=opts.mesh,
                 )
             rows = []
             for tab, pd in zip(track_data.tables, cfg_gammas):
@@ -383,7 +390,7 @@ def _eval_segments(opts, model, seg_tables) -> int:
 
 
 def _cfg_decode(model, cfg_meta, tables, max_span=None,
-                max_post=False, halo=128):
+                max_post=False, halo=128, mesh_size=0):
     """Pair-grammar decode (reference: teHmmEval on a --cfg model).
     Tables longer than the chart budget (``max_span``, from the model's
     training meta or --maxSpan) decode via halo-stitched CYK windows
@@ -416,6 +423,11 @@ def _cfg_decode(model, cfg_meta, tables, max_span=None,
     )
     if max_span is None:
         max_span = int(cfg_meta.get("max_span", 4096))
+    mesh = None
+    if mesh_size:
+        from tehmm_tpu.parallel import make_data_mesh
+
+        mesh = make_data_mesh(mesh_size)
     paths = []
     gammas = [] if max_post else None
     for tab in tables:
@@ -432,12 +444,12 @@ def _cfg_decode(model, cfg_meta, tables, max_span=None,
             )
         if max_post:
             path, gamma = cfg_posterior_decode(
-                cfg, obs, sym, max_span, halo=halo
+                cfg, obs, sym, max_span, halo=halo, mesh=mesh
             )
             gammas.append(gamma)
         else:
             path, _score = cfg_viterbi_decode_chunked(
-                cfg, obs, sym, max_span
+                cfg, obs, sym, max_span, mesh=mesh
             )
         paths.append(path)
     return paths, gammas

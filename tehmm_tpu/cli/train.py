@@ -447,6 +447,11 @@ def _refine_cfg_em(opts, model, track_data, pair_names, cfg_meta,
         logger.info("cfg-em iter %d: inside loglik %.6f", it, ll)
         metrics.write(phase="cfg_em", iter=it, loglik=ll)
 
+    mesh = None
+    if opts.mesh:
+        from tehmm_tpu.parallel import make_data_mesh
+
+        mesh = make_data_mesh(opts.mesh)
     result, new_gauss = cfg_em_mod.cfg_em_run(
         params, syms, model.alphabet_sizes,
         iterations=opts.cfgEm, masks=masks,
@@ -455,6 +460,7 @@ def _refine_cfg_em(opts, model, track_data, pair_names, cfg_meta,
         gauss_params=model.gauss if has_gauss else None,
         values_list=vals if has_gauss and vals else None,
         log_fn=log_iter,
+        mesh=mesh,
     )
     model.params = result.params.hmm
     if new_gauss is not None:

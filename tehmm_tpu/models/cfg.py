@@ -568,6 +568,7 @@ def cfg_viterbi_decode_chunked(
     max_halo: int | None = None,
     agree_frac: float = 0.5,
     strict: bool = False,
+    mesh=None,
 ) -> tuple[np.ndarray, float]:
     """CYK decode of sequences LONGER than the chart budget.
 
@@ -624,7 +625,13 @@ def cfg_viterbi_decode_chunked(
         # uint8 ptr_r.
         ptr_bytes = 4 if S > 255 else 1
         per_win = W * W * S * (4 + ptr_bytes + 1)
-        group = min(n_win, max(1, (256 << 20) // max(per_win, 1)))
+        # chart budget is PER DEVICE: a mesh shards the window axis, so
+        # the dispatch group scales with the mesh size
+        n_dev = 1
+        if mesh is not None:
+            n_dev = int(np.prod(list(mesh.shape.values())))
+        group = max(1, (256 << 20) // max(per_win, 1)) * n_dev
+        group = min(-(-n_win // n_dev) * n_dev, group)
         decoded = []
         score = 0.0
         for g0 in range(0, n_win, group):
@@ -638,7 +645,16 @@ def cfg_viterbi_decode_chunked(
                 sw = jnp.concatenate(
                     [sw, jnp.repeat(sw[-1:], pad, axis=0)]
                 )
-            paths_g, scores_g = _cfg_decode_batch(params, ow, sw, W)
+            if mesh is not None:
+                from tehmm_tpu.parallel.cfg_sharded import (
+                    sharded_cfg_decode_group,
+                )
+
+                paths_g, scores_g = sharded_cfg_decode_group(
+                    params, ow, sw, mesh, W
+                )
+            else:
+                paths_g, scores_g = _cfg_decode_batch(params, ow, sw, W)
             paths_np = np.asarray(paths_g)
             scores_np = np.asarray(scores_g)
             for k in range(g0, g1):

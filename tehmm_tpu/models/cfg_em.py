@@ -353,6 +353,7 @@ def cfg_em_run(
     gauss_params=None,
     values_list=None,
     log_fn=None,
+    mesh=None,
 ) -> tuple[CfgEmResult, "GaussParams | None"]:
     """Inside-outside EM over a list of sequences.
 
@@ -367,6 +368,11 @@ def cfg_em_run(
     (models/gauss.gauss_stats / gauss_m_step).
 
     Convergence: relative total-loglik improvement < ``threshold``.
+
+    ``mesh``: optional ``data`` device mesh — window groups shard over
+    it (parallel/cfg_sharded.py; groups pad to a multiple of the mesh
+    size with masked dummy windows), statistics psum-merge, and the
+    M-step stays replicated.  Equal to mesh=None on the same inputs.
     """
     from tehmm_tpu.models.gauss import (
         gauss_log_likelihoods, gauss_m_step, gauss_stats,
@@ -375,29 +381,44 @@ def cfg_em_run(
     sizes = jnp.asarray(list(alphabet_sizes))
     S = params.hmm.num_states
     has_gauss = gauss_params is not None and values_list is not None
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
 
     # Group equal-length windows so each group's E-step is ONE vmapped
     # device dispatch (same lesson as the batched CFG decode: the
     # per-window Python loop was dispatch-bound).  Group size is bounded
-    # by the vmapped inside-chart memory; at most two compiled shapes
-    # per distinct length (full groups + the remainder).
+    # by the vmapped inside-chart memory — PER DEVICE, so a mesh scales
+    # the group n_dev-fold; at most two compiled shapes per distinct
+    # length (full groups + the remainder).
     by_len: dict[int, list[int]] = {}
     for k, sym in enumerate(symbols_list):
         by_len.setdefault(int(np.shape(sym)[0]), []).append(k)
-    groups = []          # (sym_b, vals_b) — stacked once, reused per iter
+    groups = []   # (sym_b, vals_b, valid) — stacked once, reused per iter
     for L, idxs in sorted(by_len.items()):
-        group = max(1, _CHART_BYTES // max(L * L * S * 4, 1))
+        group = max(1, _CHART_BYTES // max(L * L * S * 4, 1)) * n_dev
         for g0 in range(0, len(idxs), group):
             ids = idxs[g0:g0 + group]
-            sym_b = jnp.stack(
-                [jnp.asarray(symbols_list[i]) for i in ids]
+            sym_b = np.stack(
+                [np.asarray(symbols_list[i]) for i in ids]
             )
             vals_b = None
             if has_gauss:
-                vals_b = jnp.stack(
-                    [jnp.asarray(values_list[i]) for i in ids]
+                vals_b = np.stack(
+                    [np.asarray(values_list[i]) for i in ids]
                 )
-            groups.append((sym_b, vals_b))
+            valid = None
+            if mesh is not None:
+                from tehmm_tpu.parallel.cfg_sharded import pad_group
+
+                (sym_b, vals_b), valid = pad_group(
+                    [sym_b, vals_b], n_dev
+                )
+                valid = jnp.asarray(valid)
+            sym_b = jnp.asarray(sym_b)
+            if vals_b is not None:
+                vals_b = jnp.asarray(vals_b)
+            groups.append((sym_b, vals_b, valid))
 
     logliks: list[float] = []
     converged = False
@@ -406,22 +427,36 @@ def cfg_em_run(
         total = None
         em_sum = tot_sum = None
         gmoments = None
-        for sym_b, vals_b in groups:
-            obs_b = track_log_likelihoods(params.hmm.log_em, sym_b)
-            if vals_b is not None:
-                obs_b = obs_b + gauss_log_likelihoods(
-                    gauss_params, vals_b
+        for sym_b, vals_b, valid in groups:
+            if mesh is not None:
+                from tehmm_tpu.parallel.cfg_sharded import (
+                    sharded_cfg_em_group,
                 )
-            stats_b, gamma_b, e_m, e_t = _cfg_em_stats_batched(
-                params, obs_b, sym_b
-            )
-            stats = jax.tree.map(lambda x: x.sum(0), stats_b)
+
+                stats, e_m, e_t, g = sharded_cfg_em_group(
+                    params, sym_b, valid, mesh,
+                    gauss_params=gauss_params, vals_b=vals_b,
+                    has_gauss=has_gauss,
+                )
+            else:
+                obs_b = track_log_likelihoods(params.hmm.log_em, sym_b)
+                if vals_b is not None:
+                    obs_b = obs_b + gauss_log_likelihoods(
+                        gauss_params, vals_b
+                    )
+                stats_b, gamma_b, e_m, e_t = _cfg_em_stats_batched(
+                    params, obs_b, sym_b
+                )
+                stats = jax.tree.map(lambda x: x.sum(0), stats_b)
+                e_m, e_t = e_m.sum(0), e_t.sum(0)
+                g = (
+                    gauss_stats(gamma_b, vals_b)
+                    if vals_b is not None else None
+                )
             total = stats if total is None else total + stats
-            e_m, e_t = e_m.sum(0), e_t.sum(0)
             em_sum = e_m if em_sum is None else em_sum + e_m
             tot_sum = e_t if tot_sum is None else tot_sum + e_t
-            if vals_b is not None:
-                g = gauss_stats(gamma_b, vals_b)
+            if g is not None:
                 gmoments = g if gmoments is None else tuple(
                     a + b for a, b in zip(gmoments, g)
                 )
@@ -482,6 +517,7 @@ def cfg_posterior_tables(
     symbols: jax.Array,
     max_span: int,
     halo: int = 128,
+    mesh=None,
 ) -> np.ndarray:
     """Per-position state posteriors under the PAIR GRAMMAR (not the
     HMM approximation) for one sequence — the decode-side consumer of
@@ -525,12 +561,30 @@ def cfg_posterior_tables(
     roots_j = jnp.asarray(roots)
 
     out = np.empty((L, S), np.float32)
-    group = max(1, _CHART_BYTES // max(W * W * S * 4, 1))
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+    group = max(1, _CHART_BYTES // max(W * W * S * 4, 1)) * n_dev
     for g0 in range(0, n_win, group):
         g1 = min(g0 + group, n_win)
-        _, gamma_b, _, _ = _cfg_em_stats_rooted(
-            params, obs_wins[g0:g1], sym_wins[g0:g1], roots_j[g0:g1]
-        )
+        if mesh is not None:
+            from tehmm_tpu.parallel.cfg_sharded import (
+                pad_group, sharded_cfg_gamma_group,
+            )
+
+            (ow, sw, rt), _valid = pad_group(
+                [np.asarray(obs_wins[g0:g1]),
+                 np.asarray(sym_wins[g0:g1]),
+                 np.asarray(roots_j[g0:g1])], n_dev,
+            )
+            gamma_b = sharded_cfg_gamma_group(
+                params, jnp.asarray(ow), jnp.asarray(sw),
+                jnp.asarray(rt), mesh,
+            )[: g1 - g0]
+        else:
+            _, gamma_b, _, _ = _cfg_em_stats_rooted(
+                params, obs_wins[g0:g1], sym_wins[g0:g1], roots_j[g0:g1]
+            )
         gamma_np = np.asarray(gamma_b)
         for k in range(g0, g1):
             c_lo, c_hi = cores[k]
@@ -545,11 +599,14 @@ def cfg_posterior_decode(
     symbols: jax.Array,
     max_span: int,
     halo: int = 128,
+    mesh=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Max-posterior state path under the pair grammar.
 
     Returns (path int32[L], gamma f32[L, S])."""
-    gamma = cfg_posterior_tables(params, obs, symbols, max_span, halo)
+    gamma = cfg_posterior_tables(
+        params, obs, symbols, max_span, halo, mesh=mesh
+    )
     return np.argmax(gamma, axis=-1).astype(np.int32), gamma
 
 

@@ -31,10 +31,34 @@ def setup_jax(platform: str | None = None,
         "TEHMM_COMPILE_CACHE", "~/.cache/tehmm_tpu/xla"
     )
     if cache and cache != "0":
-        path = os.path.expanduser(cache)
+        # key the cache by a host-CPU fingerprint: XLA:CPU AOT entries
+        # record the compile machine's feature set, and a home directory
+        # shared across heterogeneous hosts otherwise serves stale AOT
+        # results ("Target machine feature ... not supported on the host
+        # machine ... could lead to execution errors such as SIGILL")
+        import hashlib
+        import platform as _plat
+
+        fp = hashlib.sha1(
+            f"{_plat.machine()}:{_cpu_flags_fingerprint()}".encode()
+        ).hexdigest()[:12]
+        path = os.path.join(os.path.expanduser(cache), fp)
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update(
             "jax_persistent_cache_min_entry_size_bytes", 0
         )
+
+
+def _cpu_flags_fingerprint() -> str:
+    """The host CPU's feature flags (Linux) — distinguishes hosts whose
+    XLA:CPU AOT artifacts are mutually incompatible."""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    return " ".join(sorted(line.split(":", 1)[1].split()))
+    except OSError:
+        pass
+    return "unknown"
