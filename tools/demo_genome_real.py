@@ -1,0 +1,287 @@
+"""End-to-end genome-scale run through the REAL I/O path.
+
+Round-3 VERDICT missing #5 / next-step #1: the old demo synthesized
+symbols in memory; this one builds an on-disk dataset (FASTA + BED +
+BigWig fixtures referenced by a tracks XML), loads it through the
+production readers (native C++ BED paint / threaded BigWig decode /
+FASTA LUT), trains unsupervised EM on the loaded tables — through the
+host-streamed pass loop when the batch exceeds the device staging
+budget — decodes with the stitched Viterbi pipeline, writes the BED,
+and prints one wall-clock row per stage (reference analogue:
+teHmmBenchmark.py end-to-end runs, SURVEY.md §2b).
+
+    python tools/demo_genome_real.py --positions 20_000_000 --tracks 15
+    python tools/demo_genome_real.py --positions 250_000_000 --tracks 15 \
+        --iters 3            # the BASELINE.md config-#4-shaped row
+
+A 3-true-state structure is planted (sticky runs, mean --runLen); the
+final stage greedily maps learned states to planted ones and reports
+base accuracy, so the run also demonstrates the model LEARNS from the
+real files, not just that the plumbing moves bytes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+TRUE_S = 3
+GC = np.array([0.25, 0.5, 0.75])          # per-true-state GC content
+BED_KEEP = 0.85                           # interval dropout (noise)
+
+
+def _planted_path(rng, n, run_len):
+    """Sticky-run hidden path: geometric run lengths, uniform states."""
+    n_runs = int(n / run_len * 2) + 16
+    lens = rng.geometric(1.0 / run_len, size=n_runs).astype(np.int64)
+    states = rng.randint(0, TRUE_S, size=n_runs).astype(np.int8)
+    ends = np.cumsum(lens)
+    k = int(np.searchsorted(ends, n)) + 1
+    lens, states, ends = lens[:k], states[:k], ends[:k]
+    lens[-1] -= ends[-1] - n
+    starts = ends - np.cumsum(lens)[-1] + np.cumsum(lens) - lens
+    # recompute cleanly
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    return states, starts, lens
+
+
+def _write_fasta(path, rng, state_per_pos):
+    """GC content tracks the planted state."""
+    n = len(state_per_pos)
+    u = rng.random_sample(n)
+    gc = u < GC[state_per_pos]
+    second = rng.randint(0, 2, size=n, dtype=np.uint8)
+    # AT pair: A/T ; GC pair: G/C
+    codes = np.where(gc, np.where(second == 0, ord("G"), ord("C")),
+                     np.where(second == 0, ord("A"), ord("T"))
+                     ).astype(np.uint8)
+    width = 80
+    pad = (-n) % width
+    arr = np.concatenate([codes, np.full(pad, ord("N"), np.uint8)])
+    arr = arr.reshape(-1, width)
+    with_nl = np.concatenate(
+        [arr, np.full((arr.shape[0], 1), ord("\n"), np.uint8)], axis=1
+    )
+    body = with_nl.tobytes()
+    if pad:
+        # drop the padding Ns from the final line
+        body = body[: -(pad + 1)] + b"\n"
+    with open(path, "wb") as fh:
+        fh.write(b">chr1\n")
+        fh.write(body)
+
+
+def _write_bed_track(path, rng, states, starts, lens, target, names):
+    """Intervals over planted runs of ``target`` state (with dropout);
+    name column cycles over ``names`` (multinomial via BED name)."""
+    sel = (states == target) & (rng.random_sample(len(states)) < BED_KEEP)
+    idx = np.nonzero(sel)[0]
+    with open(path, "w") as fh:
+        for i, j in enumerate(idx):
+            s, e = int(starts[j]), int(starts[j] + lens[j])
+            fh.write(f"chr1\t{s}\t{e}\t{names[i % len(names)]}\n")
+
+
+def _write_bigwig_track(path, rng, n, states, starts, lens):
+    """Piecewise-constant signal: value = state + U[0,1) per planted
+    run (floor-binned by scale=1.0 in the XML back to ~the state)."""
+    from tehmm_tpu.io.bigwig_writer import write_bigwig
+
+    vals = states.astype(np.float64) + rng.random_sample(len(states))
+    entries = [
+        ("chr1", int(s), int(s + l), float(v))
+        for s, l, v in zip(starts, lens, vals)
+    ]
+    write_bigwig(path, {"chr1": n}, entries)
+
+
+def _greedy_state_map(paths, truth, S):
+    """Map each learned state to its majority planted state."""
+    conf = np.zeros((S, TRUE_S), np.int64)
+    for p, t in zip(paths, truth):
+        np.add.at(conf, (p, t), 1)
+    return conf.argmax(axis=1)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--positions", type=int, default=20_000_000)
+    ap.add_argument("--tracks", type=int, default=15,
+                    help="total tracks incl. the FASTA (rest split "
+                         "between BED and BigWig)")
+    ap.add_argument("--states", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--chunk", type=int, default=1024)
+    ap.add_argument("--runLen", type=int, default=500)
+    ap.add_argument("--maxDeviceBytes", type=int, default=None,
+                    help="device staging budget override (forces the "
+                         "host-streamed fit loop when exceeded)")
+    ap.add_argument("--compareStreaming", action="store_true",
+                    help="after the main train, re-train with a tiny "
+                         "device budget to force the host-streamed "
+                         "pass loop and report both EM rates")
+    ap.add_argument("--workdir", default=None,
+                    help="fixture directory (default: temp, deleted "
+                         "unless --keep)")
+    ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from tehmm_tpu.utils.platform import setup_jax
+
+    setup_jax()
+    import jax
+
+    from tehmm_tpu.io import TrackList, load_track_data
+    from tehmm_tpu.io.bed import write_bed_intervals
+    from tehmm_tpu.models.hmm import MultitrackHmm
+
+    N, S = args.positions, args.states
+    work = args.workdir or tempfile.mkdtemp(prefix="tehmm_genome_")
+    os.makedirs(work, exist_ok=True)
+    rng = np.random.RandomState(args.seed)
+    stages = {}
+    print(f"device: {jax.devices()[0]}", flush=True)
+    print(f"workload: {N/1e6:.0f}M positions x {args.tracks} tracks, "
+          f"S={S}, workdir={work}", flush=True)
+
+    # ---- [fixtures] planted truth + on-disk dataset -------------------
+    t0 = time.perf_counter()
+    states, starts, lens = _planted_path(rng, N, args.runLen)
+    state_per_pos = np.repeat(states, lens)
+    assert len(state_per_pos) == N
+    _write_fasta(os.path.join(work, "genome.fa"), rng, state_per_pos)
+    n_rest = args.tracks - 1
+    n_bed = n_rest // 2
+    xml_rows = ['  <track name="seq" path="genome.fa"/>']
+    fam_names = ["LINE", "SINE", "LTR", "DNA"]
+    for k in range(n_bed):
+        name = f"bed{k}"
+        _write_bed_track(
+            os.path.join(work, f"{name}.bed"), rng, states, starts,
+            lens, target=k % TRUE_S, names=fam_names,
+        )
+        dist = "binary" if k % 2 else "multinomial"
+        xml_rows.append(
+            f'  <track name="{name}" path="{name}.bed" '
+            f'distribution="{dist}"/>'
+        )
+    for k in range(n_rest - n_bed):
+        name = f"sig{k}"
+        _write_bigwig_track(
+            os.path.join(work, f"{name}.bw"),
+            np.random.RandomState(args.seed + 100 + k),
+            N, states, starts, lens,
+        )
+        xml_rows.append(
+            f'  <track name="{name}" path="{name}.bw" '
+            f'distribution="multinomial" scale="1.0"/>'
+        )
+    xml_path = os.path.join(work, "tracks.xml")
+    with open(xml_path, "w") as fh:
+        fh.write("<teModelConfig>\n" + "\n".join(xml_rows)
+                 + "\n</teModelConfig>\n")
+    disk = sum(
+        os.path.getsize(os.path.join(work, f)) for f in os.listdir(work)
+    )
+    stages["fixtures"] = time.perf_counter() - t0
+    print(f"[fixtures] {stages['fixtures']:7.1f}s  "
+          f"{disk/1e6:.0f}MB on disk", flush=True)
+
+    # ---- [load] the real track readers --------------------------------
+    t0 = time.perf_counter()
+    tl = TrackList(xml_path)
+    td = load_track_data(tl, [("chr1", 0, N)])
+    stages["load"] = time.perf_counter() - t0
+    nbytes = sum(t.symbols.nbytes for t in td.tables)
+    print(f"[load]     {stages['load']:7.1f}s  "
+          f"{N * args.tracks / stages['load'] / 1e6:.1f}M track-"
+          f"positions/s -> {nbytes/1e6:.0f}MB symbols", flush=True)
+
+    # ---- [train] unsupervised EM (host-streamed when oversized) -------
+    t0 = time.perf_counter()
+    model = MultitrackHmm.initialized(S, td, init="random",
+                                      seed=args.seed)
+    res = model.fit(
+        td.tables, max_iterations=args.iters, convergence_tol=0.0,
+        chunk_len=args.chunk, max_device_bytes=args.maxDeviceBytes,
+    )
+    stages["train"] = time.perf_counter() - t0
+    print(f"[train]    {stages['train']:7.1f}s  {res.iterations} EM "
+          f"iters ({res.iterations * N / stages['train'] / 1e6:.1f}M "
+          f"pos/s); loglik {res.logliks[0]/1e6:.3f} -> "
+          f"{res.logliks[-1]/1e6:.3f} (x1e6)", flush=True)
+
+    stream_rate = None
+    if args.compareStreaming:
+        t0 = time.perf_counter()
+        m2 = MultitrackHmm.initialized(S, td, init="random",
+                                       seed=args.seed)
+        res2 = m2.fit(
+            td.tables, max_iterations=args.iters, convergence_tol=0.0,
+            chunk_len=args.chunk, max_device_bytes=1,  # force streaming
+        )
+        dt = time.perf_counter() - t0
+        stream_rate = res2.iterations * N / dt
+        stages["train_streamed"] = dt
+        np.testing.assert_allclose(
+            res2.logliks, res.logliks, rtol=1e-5
+        )
+        print(f"[stream]   {dt:7.1f}s  host-streamed EM "
+              f"({stream_rate/1e6:.1f}M pos/s = "
+              f"{(res.iterations * N / stages['train']) / stream_rate:.2f}x "
+              f"slower than resident); logliks identical", flush=True)
+
+    # ---- [decode] stitched Viterbi + BED write ------------------------
+    t0 = time.perf_counter()
+    paths, _report = model.decode_tables(td.tables, chunk_len=4096,
+                                         halo=256)
+    stages["decode"] = time.perf_counter() - t0
+    print(f"[decode]   {stages['decode']:7.1f}s  "
+          f"{N / stages['decode'] / 1e6:.1f}M pos/s incl. path "
+          f"download", flush=True)
+
+    t0 = time.perf_counter()
+    mapping = _greedy_state_map([paths[0]], [state_per_pos], S)
+    acc = float((mapping[paths[0]] == state_per_pos).mean())
+    from tehmm_tpu.models.hmm import path_to_intervals
+
+    intervals = path_to_intervals(
+        "chr1", 0, paths[0], model.state_names
+    )
+    out_bed = os.path.join(work, "annotations.bed")
+    write_bed_intervals(intervals, out_bed)
+    stages["write"] = time.perf_counter() - t0
+    print(f"[write]    {stages['write']:7.1f}s  {len(intervals)} "
+          f"intervals -> {out_bed}", flush=True)
+    print(f"base accuracy vs planted truth (greedy {S}->{TRUE_S} "
+          f"mapping): {acc:.4f}", flush=True)
+
+    total = sum(stages.values())
+    print(json.dumps({
+        "metric": "genome_scale_end_to_end",
+        "positions": N, "tracks": args.tracks, "states": S,
+        "stages_s": {k: round(v, 2) for k, v in stages.items()},
+        "total_s": round(total, 2),
+        "em_positions_per_sec": round(
+            res.iterations * N / stages["train"], 1
+        ),
+        "accuracy_vs_planted": round(acc, 4),
+    }), flush=True)
+    if not args.keep and args.workdir is None:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
