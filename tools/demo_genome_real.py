@@ -135,6 +135,10 @@ def main() -> None:
                     help="fixture directory (default: temp, deleted "
                          "unless --keep)")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--reuse", action="store_true",
+                    help="reuse fixtures already in --workdir (skips "
+                         "generation; still rebuilds the planted truth "
+                         "in memory for the accuracy check)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -161,43 +165,52 @@ def main() -> None:
     states, starts, lens = _planted_path(rng, N, args.runLen)
     state_per_pos = np.repeat(states, lens)
     assert len(state_per_pos) == N
-    _write_fasta(os.path.join(work, "genome.fa"), rng, state_per_pos)
-    n_rest = args.tracks - 1
-    n_bed = n_rest // 2
-    xml_rows = ['  <track name="seq" path="genome.fa"/>']
-    fam_names = ["LINE", "SINE", "LTR", "DNA"]
-    for k in range(n_bed):
-        name = f"bed{k}"
-        _write_bed_track(
-            os.path.join(work, f"{name}.bed"), rng, states, starts,
-            lens, target=k % TRUE_S, names=fam_names,
-        )
-        dist = "binary" if k % 2 else "multinomial"
-        xml_rows.append(
-            f'  <track name="{name}" path="{name}.bed" '
-            f'distribution="{dist}"/>'
-        )
-    for k in range(n_rest - n_bed):
-        name = f"sig{k}"
-        _write_bigwig_track(
-            os.path.join(work, f"{name}.bw"),
-            np.random.RandomState(args.seed + 100 + k),
-            N, states, starts, lens,
-        )
-        xml_rows.append(
-            f'  <track name="{name}" path="{name}.bw" '
-            f'distribution="multinomial" scale="1.0"/>'
-        )
     xml_path = os.path.join(work, "tracks.xml")
-    with open(xml_path, "w") as fh:
-        fh.write("<teModelConfig>\n" + "\n".join(xml_rows)
-                 + "\n</teModelConfig>\n")
-    disk = sum(
-        os.path.getsize(os.path.join(work, f)) for f in os.listdir(work)
-    )
-    stages["fixtures"] = time.perf_counter() - t0
-    print(f"[fixtures] {stages['fixtures']:7.1f}s  "
-          f"{disk/1e6:.0f}MB on disk", flush=True)
+    if args.reuse and os.path.exists(xml_path):
+        # fixture files already on disk (the planted truth above is
+        # deterministic in --seed, so the accuracy check still holds)
+        stages["fixtures"] = time.perf_counter() - t0
+        print(f"[fixtures] {stages['fixtures']:7.1f}s  reused {work}",
+              flush=True)
+    else:
+        _write_fasta(os.path.join(work, "genome.fa"), rng,
+                     state_per_pos)
+        n_rest = args.tracks - 1
+        n_bed = n_rest // 2
+        xml_rows = ['  <track name="seq" path="genome.fa"/>']
+        fam_names = ["LINE", "SINE", "LTR", "DNA"]
+        for k in range(n_bed):
+            name = f"bed{k}"
+            _write_bed_track(
+                os.path.join(work, f"{name}.bed"), rng, states, starts,
+                lens, target=k % TRUE_S, names=fam_names,
+            )
+            dist = "binary" if k % 2 else "multinomial"
+            xml_rows.append(
+                f'  <track name="{name}" path="{name}.bed" '
+                f'distribution="{dist}"/>'
+            )
+        for k in range(n_rest - n_bed):
+            name = f"sig{k}"
+            _write_bigwig_track(
+                os.path.join(work, f"{name}.bw"),
+                np.random.RandomState(args.seed + 100 + k),
+                N, states, starts, lens,
+            )
+            xml_rows.append(
+                f'  <track name="{name}" path="{name}.bw" '
+                f'distribution="multinomial" scale="1.0"/>'
+            )
+        with open(xml_path, "w") as fh:
+            fh.write("<teModelConfig>\n" + "\n".join(xml_rows)
+                     + "\n</teModelConfig>\n")
+        disk = sum(
+            os.path.getsize(os.path.join(work, f))
+            for f in os.listdir(work)
+        )
+        stages["fixtures"] = time.perf_counter() - t0
+        print(f"[fixtures] {stages['fixtures']:7.1f}s  "
+              f"{disk/1e6:.0f}MB on disk", flush=True)
 
     # ---- [load] the real track readers --------------------------------
     t0 = time.perf_counter()
