@@ -132,7 +132,13 @@ def main(argv=None) -> int:
     track_data = load_track_data(
         eval_list, regions, category_maps=model.category_maps
     )
-    _resolve_exact(opts, track_data.tables)
+    if cfg_meta:
+        # CFG decode is always halo-stitched CYK / windowed
+        # inside-outside; --exact does not apply (and the auto log
+        # line would claim a guarantee the path doesn't provide)
+        opts.exact = False
+    else:
+        _resolve_exact(opts, track_data.tables)
 
     viterbi_like = not (cfg_meta or opts.maxPost)
     paths = None

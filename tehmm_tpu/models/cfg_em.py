@@ -569,17 +569,24 @@ def cfg_posterior_tables(
         g1 = min(g0 + group, n_win)
         if mesh is not None:
             from tehmm_tpu.parallel.cfg_sharded import (
-                pad_group, sharded_cfg_gamma_group,
+                sharded_cfg_gamma_group,
             )
 
-            (ow, sw, rt), _valid = pad_group(
-                [np.asarray(obs_wins[g0:g1]),
-                 np.asarray(sym_wins[g0:g1]),
-                 np.asarray(roots_j[g0:g1])], n_dev,
-            )
+            # pad ON DEVICE (repeat the last window; padded results are
+            # discarded) — a host round trip here would move hundreds
+            # of MB of f32 windows at the tunnel's ~35 MB/s D2H
+            ow, sw, rt = (obs_wins[g0:g1], sym_wins[g0:g1],
+                          roots_j[g0:g1])
+            pad = (-(g1 - g0)) % n_dev
+            if pad:
+                ow = jnp.concatenate(
+                    [ow, jnp.repeat(ow[-1:], pad, axis=0)])
+                sw = jnp.concatenate(
+                    [sw, jnp.repeat(sw[-1:], pad, axis=0)])
+                rt = jnp.concatenate(
+                    [rt, jnp.repeat(rt[-1:], pad, axis=0)])
             gamma_b = sharded_cfg_gamma_group(
-                params, jnp.asarray(ow), jnp.asarray(sw),
-                jnp.asarray(rt), mesh,
+                params, ow, sw, rt, mesh,
             )[: g1 - g0]
         else:
             _, gamma_b, _, _ = _cfg_em_stats_rooted(

@@ -62,6 +62,21 @@ _MAX_PASS_POSITIONS = 4 << 20
 _MAX_PASS_POSITIONS_FUSED = 32 << 20
 
 
+def _env_int(name: str) -> int | None:
+    """Integer env var accepting scientific/float forms ('40e9');
+    unset/empty -> None; garbage -> a clear error naming the var (a
+    tuning typo should not surface as a bare int() traceback mid-fit)."""
+    v = os.environ.get(name, "").strip()
+    if not v:
+        return None
+    try:
+        return int(float(v))
+    except ValueError:
+        raise ValueError(
+            f"{name}={v!r} is not a number (examples: 8589934592, 40e9)"
+        ) from None
+
+
 def _device_input_budget() -> int:
     """Byte budget for staging the training inputs device-resident.
 
@@ -72,9 +87,9 @@ def _device_input_budget() -> int:
     through the host-streamed pass loop instead of failing to allocate
     (round-3 VERDICT missing #2: a whole-genome × 15-track batch is
     45-60 GB uint8 against a v5e's ~16 GB HBM)."""
-    env = os.environ.get("TEHMM_MAX_DEVICE_BYTES")
-    if env:
-        return int(env)
+    env = _env_int("TEHMM_MAX_DEVICE_BYTES")
+    if env is not None:
+        return env
     try:
         stats = jax.local_devices()[0].memory_stats()
         limit = int(stats["bytes_limit"])
@@ -392,10 +407,10 @@ class MultitrackHmm:
             jax.default_backend() == "tpu"
             and self.params.num_states <= 1024
         )  # mirrors ops/em.em_sufficient_stats engine="auto"
-        pass_positions = int(
-            os.environ.get("TEHMM_PASS_POSITIONS", 0)
-        ) or (_MAX_PASS_POSITIONS_FUSED if fused_estep
-              else _MAX_PASS_POSITIONS)
+        pass_positions = _env_int("TEHMM_PASS_POSITIONS") or (
+            _MAX_PASS_POSITIONS_FUSED if fused_estep
+            else _MAX_PASS_POSITIONS
+        )
         rows_per_pass = max(1, pass_positions // max(Lr, 1))
 
         # Inputs that don't fit device memory never stage: the fit loop

@@ -126,7 +126,8 @@ def sharded_cfg_decode_group(
 ):
     """Batched CYK decode (models/cfg._cfg_decode_batch) with windows
     sharded over the data axis; embarrassingly parallel — no collective.
-    The window count must divide the mesh size (pad_group).
+    The window count must be a MULTIPLE of the mesh size (use
+    pad_group to pad it up).
 
     Returns (paths int32[N, W], scores f32[N])."""
     from tehmm_tpu.models.cfg import _cfg_decode_batch

@@ -450,18 +450,20 @@ def maxpost_state_sharded(
 ) -> jax.Array:
     """Max-posterior (argmax-gamma) decode with the state axis sharded
     (reference: teHmmEval.py --maxPost).  The per-position argmax runs
-    on local columns; shards combine via pmax + lowest-global-index
-    pmin, matching the replicated ``jnp.argmax`` tie-break.  gamma's
-    positive per-position normalizer cannot change an argmax, so the
-    decision uses the max-shifted log-posterior directly.
+    on local GAMMA columns — the same quantity the replicated pipeline
+    argmaxes, so f32 exp/divide rounding collapses ties identically —
+    and shards combine via pmax + lowest-global-index pmin, matching
+    the replicated ``jnp.argmax`` tie-break (residual divergence is
+    limited to last-ulp differences in the psum'd denominator's
+    reduction order on exact ties).
 
     Returns path int32[B, L] (positions past ``lengths`` and zero-length
     rows are 0)."""
     def local(log_start, lt_cols, lt_rows, lem, sym, lens):
-        _, x_loc = _posterior_cols_local(
+        gamma_cols, _ = _posterior_cols_local(
             log_start, lt_cols, lt_rows, lem, sym, lens
         )
-        path = _global_argmax(x_loc)
+        path = _global_argmax(gamma_cols)
         L = sym.shape[1]
         valid = jnp.arange(L)[None, :] < lens[:, None]
         return jnp.where(valid, path, 0)
