@@ -67,14 +67,36 @@ def _weight_block(wmats, lo, Lc, B):
     return wb
 
 
-def _fetch_paths(paths, num_states: int) -> np.ndarray:
-    """Device -> host path fetch, downcast to uint8 on device first when
-    the state count allows: D2H bandwidth is the scarce resource on
-    tunneled runtimes (measured ~35 MB/s vs ~750 MB/s H2D), and paths
-    are by far the largest decode download."""
-    if num_states <= 255:
-        paths = paths.astype(jnp.uint8)
-    return np.asarray(paths)
+# Decode downloads: paths downcast to uint8 on device when the state
+# count allows — D2H bandwidth is the scarce resource on tunneled
+# runtimes (measured ~35 MB/s vs ~750 MB/s H2D) and paths are by far
+# the largest decode download.
+#
+# row groups kept in flight by the batch decoders: the blocking result
+# fetch of group i otherwise serializes against group i+1's upload and
+# dispatch (tens of ms of round-trip latency per group on tunneled
+# runtimes).  Device-side cost per in-flight group is one uint8 path
+# block (~2 MB) plus its queued inputs.
+_DECODE_INFLIGHT = 3
+
+
+def _pipelined_groups(n, rows_per_pass, dispatch, consume):
+    """Drive ``dispatch(lo, hi)`` over row groups with a bounded number
+    of un-fetched device results in flight; ``consume(lo, hi, result)``
+    runs in order once each group's result is fetched."""
+    from collections import deque
+
+    inflight: deque = deque()
+    padded_rows = -(-n // rows_per_pass) * rows_per_pass
+    for lo in range(0, padded_rows, rows_per_pass):
+        hi = min(lo + rows_per_pass, n)
+        inflight.append((lo, hi, dispatch(lo, hi)))
+        if len(inflight) >= _DECODE_INFLIGHT:
+            l, h, r = inflight.popleft()
+            consume(l, h, r)
+    while inflight:
+        l, h, r = inflight.popleft()
+        consume(l, h, r)
 
 
 def _decode_batch(
@@ -86,12 +108,14 @@ def _decode_batch(
     gauss_params=None,
     values: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Viterbi over a chunk batch, in row groups of fixed compiled shape."""
+    """Viterbi over a chunk batch, in row groups of fixed compiled
+    shape; a bounded number of groups stays in flight so result fetches
+    overlap the next groups' upload + compute (_pipelined_groups)."""
     n, L, _T = symbols.shape
     out = np.zeros((n, L), dtype=np.int32)
-    padded_rows = -(-n // rows_per_pass) * rows_per_pass
-    for lo in range(0, padded_rows, rows_per_pass):
-        hi = min(lo + rows_per_pass, n)
+    S = params.log_em.shape[0]
+
+    def dispatch(lo, hi):
         sym = symbols[lo:hi]
         lens = lengths[lo:hi]
         w = None if weights is None else weights[lo:hi]
@@ -110,7 +134,7 @@ def _decode_batch(
                 v = np.concatenate(
                     [v, np.zeros((pad,) + v.shape[1:], v.dtype)]
                 )
-        if _use_fused_viterbi(params.log_em.shape[0]):
+        if _use_fused_viterbi(S):
             # fused v4 decode: symbols in, path out — obs never
             # materializes in HBM and the backtrace runs in-kernel;
             # segment weights and gaussian-track values stream
@@ -124,8 +148,7 @@ def _decode_batch(
                 gauss_params if v is not None else None,
                 None if v is None else jnp.asarray(v),
             )
-            out[lo:hi] = _fetch_paths(paths, params.log_em.shape[0])[: hi - lo]
-            continue
+            return paths if S > 255 else paths.astype(jnp.uint8)
         obs = track_log_likelihoods(params.log_em, jnp.asarray(sym))
         if v is not None:
             from tehmm_tpu.models.gauss import gauss_log_likelihoods
@@ -138,7 +161,12 @@ def _decode_batch(
         paths, _ = _viterbi_engine(obs.shape[-1])(
             params.log_start, params.log_trans, obs, jnp.asarray(lens)
         )
-        out[lo:hi] = _fetch_paths(paths, params.log_em.shape[0])[: hi - lo]
+        return paths if S > 255 else paths.astype(jnp.uint8)
+
+    def consume(lo, hi, paths):
+        out[lo:hi] = np.asarray(paths)[: hi - lo]
+
+    _pipelined_groups(n, rows_per_pass, dispatch, consume)
     return out
 
 
@@ -419,12 +447,13 @@ def _posterior_batch(
     values: np.ndarray | None = None,
     weights: np.ndarray | None = None,
 ) -> np.ndarray:
-    """argmax-gamma over a chunk batch in fixed-shape row groups."""
+    """argmax-gamma over a chunk batch in fixed-shape row groups, with
+    a bounded number of groups in flight (_pipelined_groups)."""
     n, L, _T = symbols.shape
     out = np.zeros((n, L), dtype=np.int32)
-    padded_rows = -(-n // rows_per_pass) * rows_per_pass
-    for lo in range(0, padded_rows, rows_per_pass):
-        hi = min(lo + rows_per_pass, n)
+    S = params.log_em.shape[0]
+
+    def dispatch(lo, hi):
         sym = symbols[lo:hi]
         lens = lengths[lo:hi]
         v = None if values is None else values[lo:hi]
@@ -443,7 +472,7 @@ def _posterior_batch(
                 w = np.concatenate(
                     [w, np.zeros((pad, w.shape[1]), w.dtype)]
                 )
-        if _use_fused_maxpost(params.log_em.shape[0]):
+        if _use_fused_maxpost(S):
             # fused v4 maxPost: symbols in, argmax-gamma path out —
             # obs/alpha/beta tables never materialize as [B,L,S] in HBM;
             # segment weights and gaussian values stream alongside
@@ -456,24 +485,28 @@ def _posterior_batch(
                 gauss_params if v is not None else None,
                 None if v is None else jnp.asarray(v),
             )
-            out[lo:hi] = _fetch_paths(states, params.log_em.shape[0])[: hi - lo]
-            continue
-        obs = track_log_likelihoods(params.log_em, jnp.asarray(sym))
-        if v is not None:
-            from tehmm_tpu.models.gauss import gauss_log_likelihoods
+        else:
+            obs = track_log_likelihoods(params.log_em, jnp.asarray(sym))
+            if v is not None:
+                from tehmm_tpu.models.gauss import gauss_log_likelihoods
 
-            obs = obs + gauss_log_likelihoods(
-                gauss_params, jnp.asarray(v)
+                obs = obs + gauss_log_likelihoods(
+                    gauss_params, jnp.asarray(v)
+                )
+            if w is not None:
+                obs = obs * jnp.asarray(w)[:, :, None]
+            jl = jnp.asarray(lens)
+            ah, _, _ = dp.forward_scaled(
+                params.log_start, params.log_trans, obs, jl
             )
-        if w is not None:
-            obs = obs * jnp.asarray(w)[:, :, None]
-        jl = jnp.asarray(lens)
-        ah, _, _ = dp.forward_scaled(
-            params.log_start, params.log_trans, obs, jl
-        )
-        bh, _ = dp.backward_scaled(params.log_trans, obs, jl)
-        states = jnp.argmax(dp.posterior_scaled(ah, bh), axis=-1)
-        out[lo:hi] = _fetch_paths(states, params.log_em.shape[0])[: hi - lo]
+            bh, _ = dp.backward_scaled(params.log_trans, obs, jl)
+            states = jnp.argmax(dp.posterior_scaled(ah, bh), axis=-1)
+        return states if S > 255 else states.astype(jnp.uint8)
+
+    def consume(lo, hi, states):
+        out[lo:hi] = np.asarray(states)[: hi - lo]
+
+    _pipelined_groups(n, rows_per_pass, dispatch, consume)
     return out
 
 
