@@ -286,7 +286,6 @@ def _paint_track(
     update: bool,
 ) -> np.ndarray:
     L = end - start
-    col = np.zeros(L, dtype=np.uint16)
 
     # background / uncovered value
     if track.distribution == "sparse":
@@ -298,9 +297,19 @@ def _paint_track(
         bg = cm.get_map(track.bin(track.default), update=update)
     else:
         bg = cm.missing
-    col[:] = bg
+    # allocated lazily: the scale-binned BigWig fast path produces its
+    # column straight from the bin LUT and never touches col — a
+    # bg-memset of a whole-genome column per signal track is exactly
+    # the churn that path exists to avoid
+    col = None
+
+    def new_col():
+        c = np.zeros(L, dtype=np.uint16)
+        c[:] = bg
+        return c
 
     if isinstance(src, _FastaSource):
+        col = new_col()
         seq = src.fa.fetch(chrom, start, end)
         arr = np.frombuffer(seq.encode(), dtype=np.uint8)
         if track.distribution == "binary":
@@ -320,6 +329,7 @@ def _paint_track(
     if isinstance(src, _BedSource):
         from tehmm_tpu import native
 
+        col = new_col()
         cols = src.range_columnar(chrom, start, end)
         if cols is None:
             return col
@@ -347,57 +357,58 @@ def _paint_track(
     # BigWig: numeric per-base values (NaN = uncovered)
     vals = src.values(chrom, start, end)  # float array [L], NaN uncovered
     covered = ~np.isnan(vals)
-    if covered.any():
-        if track.distribution == "binary":
-            # covered := "1", like the BED branch (the docstring's
-            # two-symbol contract — binning floats would silently grow
-            # an arbitrary alphabet)
-            col[covered] = cm.get_map("1", update=update)
-            return col
-        if track.scale is not None or track.log_scale is not None:
-            # scale-binned numeric track: bin VECTORIZED with no
-            # [covered] gather/scatter (NaN floors to NaN; its int cast
-            # is caught by a validity mask), then map the (few)
-            # occupied integer bins through a LUT.  The generic path
-            # below np.unique-sorts the raw floats — ~40 s per
-            # whole-genome signal track where this is ~3 s.  Matches
-            # io.category.bin_value exactly: f64 shift, multiply/log,
-            # floor (keys are str(int) either way).
-            with np.errstate(invalid="ignore"):
-                v = vals + float(track.shift or 0.0)   # f64, NaN kept
-                if track.scale is not None:
-                    fb = np.floor(v * track.scale)
-                else:
-                    fb = np.floor(
-                        np.log(np.maximum(v, 1e-9))
-                        / np.log(track.log_scale)
-                    )
-            bmin = int(np.nanmin(fb)) if covered.any() else 0
-            span = (int(np.nanmax(fb)) - bmin + 1) if covered.any() else 1
-            if span <= (1 << 22):
-                # sentinel bin `span` for NaN rows -> background symbol
-                fb -= bmin
-                fb[~covered] = span
-                bins = fb.astype(np.int64)
-                present = np.nonzero(
-                    np.bincount(bins, minlength=span + 1)[:span]
-                )[0]
-                lut = np.empty(span + 1, np.uint16)
-                lut[span] = bg                  # NaN rows -> background
-                for b in present:
-                    lut[b] = cm.get_map(int(b) + bmin, update=update)
-                return lut[bins]
-            w = vals[covered]
-        else:
-            w = vals[covered]
-        # bin/map only the UNIQUE values: a per-base Python loop costs
-        # interpreter minutes on genome-scale dense signal tracks
-        u, inv = np.unique(w, return_inverse=True)
-        u_syms = np.asarray(
-            [cm.get_map(track.bin(v), update=update) for v in u],
-            dtype=np.uint16,
-        )
-        col[covered] = u_syms[inv]
+    if not covered.any():
+        return new_col()
+    if track.distribution == "binary":
+        # covered := "1", like the BED branch (the docstring's
+        # two-symbol contract — binning floats would silently grow
+        # an arbitrary alphabet)
+        col = new_col()
+        col[covered] = cm.get_map("1", update=update)
+        return col
+    if track.scale is not None or track.log_scale is not None:
+        # scale-binned numeric track: bin VECTORIZED with no
+        # [covered] gather/scatter (NaN floors to NaN; its int cast
+        # is caught by a validity mask), then map the (few)
+        # occupied integer bins through a LUT.  The generic path
+        # below np.unique-sorts the raw floats — ~40 s per
+        # whole-genome signal track where this is ~3 s.  Matches
+        # io.category.bin_value exactly: f64 shift, multiply/log,
+        # floor (keys are str(int) either way).
+        with np.errstate(invalid="ignore"):
+            v = vals + float(track.shift or 0.0)   # f64, NaN kept
+            if track.scale is not None:
+                fb = np.floor(v * track.scale)
+            else:
+                fb = np.floor(
+                    np.log(np.maximum(v, 1e-9))
+                    / np.log(track.log_scale)
+                )
+        bmin = int(np.nanmin(fb))           # covered.any() holds
+        span = int(np.nanmax(fb)) - bmin + 1
+        if span <= (1 << 22):
+            # sentinel bin `span` for NaN rows -> background symbol
+            fb -= bmin
+            fb[~covered] = span
+            bins = fb.astype(np.int64)
+            present = np.nonzero(
+                np.bincount(bins, minlength=span + 1)[:span]
+            )[0]
+            lut = np.empty(span + 1, np.uint16)
+            lut[span] = bg                  # NaN rows -> background
+            for b in present:
+                lut[b] = cm.get_map(int(b) + bmin, update=update)
+            return lut[bins]
+    w = vals[covered]
+    # bin/map only the UNIQUE values: a per-base Python loop costs
+    # interpreter minutes on genome-scale dense signal tracks
+    u, inv = np.unique(w, return_inverse=True)
+    u_syms = np.asarray(
+        [cm.get_map(track.bin(v), update=update) for v in u],
+        dtype=np.uint16,
+    )
+    col = new_col()
+    col[covered] = u_syms[inv]
     return col
 
 

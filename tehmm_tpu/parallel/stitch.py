@@ -80,6 +80,21 @@ def _weight_block(wmats, lo, Lc, B):
 _DECODE_INFLIGHT = 3
 
 
+def _pad_rows(pad: int, *arrays):
+    """Zero-pad the leading axis of each (optional) array by ``pad``
+    rows — the one definition of 'pad the last row group to the
+    compiled shape' shared by both batch decoders."""
+    out = []
+    for a in arrays:
+        if a is None or pad == 0:
+            out.append(a)
+        else:
+            out.append(np.concatenate(
+                [a, np.zeros((pad,) + a.shape[1:], a.dtype)]
+            ))
+    return out
+
+
 def _pipelined_groups(n, rows_per_pass, dispatch, consume):
     """Drive ``dispatch(lo, hi)`` over row groups with a bounded number
     of un-fetched device results in flight; ``consume(lo, hi, result)``
@@ -116,24 +131,12 @@ def _decode_batch(
     S = params.log_em.shape[0]
 
     def dispatch(lo, hi):
-        sym = symbols[lo:hi]
-        lens = lengths[lo:hi]
-        w = None if weights is None else weights[lo:hi]
-        v = None if values is None else values[lo:hi]
-        if hi - lo < rows_per_pass:  # pad last group to the compiled shape
-            pad = rows_per_pass - (hi - lo)
-            sym = np.concatenate(
-                [sym, np.zeros((pad,) + sym.shape[1:], sym.dtype)]
-            )
-            lens = np.concatenate([lens, np.zeros((pad,), lens.dtype)])
-            if w is not None:
-                w = np.concatenate(
-                    [w, np.zeros((pad, w.shape[1]), w.dtype)]
-                )
-            if v is not None:
-                v = np.concatenate(
-                    [v, np.zeros((pad,) + v.shape[1:], v.dtype)]
-                )
+        sym, lens, w, v = _pad_rows(
+            rows_per_pass - (hi - lo),
+            symbols[lo:hi], lengths[lo:hi],
+            None if weights is None else weights[lo:hi],
+            None if values is None else values[lo:hi],
+        )
         if _use_fused_viterbi(S):
             # fused v4 decode: symbols in, path out — obs never
             # materializes in HBM and the backtrace runs in-kernel;
@@ -454,24 +457,12 @@ def _posterior_batch(
     S = params.log_em.shape[0]
 
     def dispatch(lo, hi):
-        sym = symbols[lo:hi]
-        lens = lengths[lo:hi]
-        v = None if values is None else values[lo:hi]
-        w = None if weights is None else weights[lo:hi]
-        if hi - lo < rows_per_pass:
-            pad = rows_per_pass - (hi - lo)
-            sym = np.concatenate(
-                [sym, np.zeros((pad,) + sym.shape[1:], sym.dtype)]
-            )
-            lens = np.concatenate([lens, np.zeros((pad,), lens.dtype)])
-            if v is not None:
-                v = np.concatenate(
-                    [v, np.zeros((pad,) + v.shape[1:], v.dtype)]
-                )
-            if w is not None:
-                w = np.concatenate(
-                    [w, np.zeros((pad, w.shape[1]), w.dtype)]
-                )
+        sym, lens, w, v = _pad_rows(
+            rows_per_pass - (hi - lo),
+            symbols[lo:hi], lengths[lo:hi],
+            None if weights is None else weights[lo:hi],
+            None if values is None else values[lo:hi],
+        )
         if _use_fused_maxpost(S):
             # fused v4 maxPost: symbols in, argmax-gamma path out —
             # obs/alpha/beta tables never materialize as [B,L,S] in HBM;
