@@ -259,6 +259,242 @@ def cfg_em_stats(
     return stats, gamma, e_match, e_tot
 
 
+# ---------------------------------------------------------------------
+# MXU-packed group engine: G windows share one matmul tile
+# (MEASURED DEAD END — kept as an executable record, not wired in)
+# ---------------------------------------------------------------------
+#
+# Hypothesis: at small S the CFG contractions run [·, S]×[S, S] matmuls
+# that leave a 128-wide MXU (S/128)² utilized (3.7% of roofline at
+# S=32); packing G windows into the state dimension — children
+# [G, n, S] reshaped to [n, G·S] against a block-diagonal [G·S, G·S]
+# transition — fills the tile with wasted-but-free off-block FLOPs, so
+# throughput should rise ~min(G, 128/S)×.  Per-window max shifts keep
+# the dynamic-range contract identical (the matmul is block-diagonal,
+# so cross-window shift interference multiplies exact zeros).
+#
+# MEASURED (v5e, 2026-08-20, marginal-rate protocol): the packed engine
+# is SLOWER — 0.48× at S=8/G=16, 0.76× at S=32/G=4.  XLA already
+# collapses the vmapped per-window dots into one [(N·2L), S] matmul, so
+# small-S tile waste was never the binding constraint; what packing
+# adds is two [G, n, S] <-> [n, G·S] relayouts per matmul per scan
+# step, and those VPU copies cost more than the idle tile area.  The
+# small-S CFG ceiling is scan bookkeeping, not the MXU (BASELINE.md
+# round-4 CFG section).  cfg_em_stats_g stays correct (parity-tested)
+# as the executable record of the experiment.
+
+
+def _blockdiag(mat: jax.Array, G: int) -> jax.Array:
+    """[S, S] -> block-diagonal [G·S, G·S] (G copies)."""
+    S = mat.shape[0]
+    out = jnp.zeros((G, S, G, S), mat.dtype)
+    out = out.at[jnp.arange(G), :, jnp.arange(G), :].set(mat[None])
+    return out.reshape(G * S, G * S)
+
+
+def _lmm_g(x: jax.Array, big: jax.Array) -> jax.Array:
+    """Per-window log-matmul-exp, G windows packed into one MXU tile.
+
+    x: [G, n, S]; big: block-diagonal [G·S, G·S] probability matrix.
+    Equals vmapping models/cfg._logmatmulexp over the leading axis (the
+    extra accumulation terms are exact zeros)."""
+    G, n, S = x.shape
+    m = jnp.maximum(jnp.max(x, axis=-1, keepdims=True), LOG_ZERO)
+    e = jnp.exp(x - m)
+    xp = jnp.moveaxis(e, 0, 1).reshape(n, G * S)
+    y = jnp.einsum(
+        "nk,km->nm", xp, big,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    y = jnp.moveaxis(y.reshape(n, G, S), 1, 0)
+    return jnp.where(y > 0, jnp.log(jnp.maximum(y, 1e-38)) + m, LOG_ZERO)
+
+
+def _xi_matmul_g(
+    a: jax.Array, c: jax.Array, log_trans: jax.Array, Z: jax.Array
+) -> jax.Array:
+    """Per-window xi counts (models/cfg_em._xi_matmul) with the G
+    windows' [S, n]·[n, S] contractions packed into one
+    [G·S, n]·[n, G·S] matmul; the per-window results are the diagonal
+    blocks (off-blocks are discarded — wasted FLOPs on an otherwise
+    idle tile)."""
+    G, n, S = a.shape
+    m1 = jnp.maximum(jnp.max(a, axis=1), LOG_ZERO)           # [G, S]
+    m2 = jnp.maximum(jnp.max(c, axis=1), LOG_ZERO)           # [G, S]
+    ea = jnp.exp(a - m1[:, None, :])
+    ec = jnp.exp(c - m2[:, None, :])
+    A = jnp.moveaxis(ea, 0, 1).reshape(n, G * S)
+    C = jnp.moveaxis(ec, 0, 1).reshape(n, G * S)
+    E = jnp.einsum(
+        "ns,np->sp", A, C,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(G, S, G, S)
+    E_g = E[jnp.arange(G), :, jnp.arange(G), :]              # [G, S, S]
+    logxi = (log_trans[None] + m1[:, :, None] + m2[:, None, :]
+             - Z[:, None, None]
+             + jnp.log(jnp.maximum(E_g, 1e-300)))
+    return jnp.exp(jnp.minimum(logxi, 30.0))
+
+
+_vpair = jax.vmap(_pair_emission, in_axes=(None, 0, 0, None, None))
+
+
+def _cfg_inside_chart_g(params, obs_g, sym_g, big_T):
+    """Packed-group inside chart: [G, L, L, S] (== vmapped
+    cfg_inside_chart up to matmul reduction order)."""
+    G, L, S = obs_g.shape
+    negg = jnp.full((G, L, S), LOG_ZERO, obs_g.dtype)
+    idx = jnp.arange(L)
+    sa_left = jnp.where(params.pair_mask, params.log_sa[0], 0.0)
+
+    def step(carry, d):
+        prev, prev2 = carry
+        children = jnp.concatenate(
+            [prev[:, 1:], negg[:, :1], prev2[:, 1:], negg[:, :1]],
+            axis=1,
+        )                                                    # [G, 2L, S]
+        z = _lmm_g(children, big_T)
+        r0 = z[:, :L] + obs_g + sa_left[None, None, :]
+        j_idx = jnp.minimum(idx + d, L - 1)
+        pair_em = _vpair(params, obs_g, sym_g, idx, j_idx)
+        r1 = z[:, L:] + pair_em + params.log_sa[1]
+        r1 = jnp.where(params.pair_mask[None, None, :], r1, LOG_ZERO)
+        r1 = jnp.where(d >= 2, r1, LOG_ZERO)
+        cur = jnp.logaddexp(r0, r1)
+        cur = jnp.where((idx + d < L)[None, :, None], cur, LOG_ZERO)
+        return (cur, prev), cur
+
+    if L == 1:
+        return obs_g[:, None]
+    (_, _), diags = jax.lax.scan(
+        step, (obs_g, negg), jnp.arange(1, L), unroll=8
+    )
+    chart = jnp.concatenate([obs_g[None], diags], axis=0)    # [L, G, L, S]
+    return jnp.moveaxis(chart, 0, 1)
+
+
+@jax.jit
+def cfg_em_stats_g(
+    params: CfgParams, obs_g: jax.Array, sym_g: jax.Array,
+    log_root_g: jax.Array | None = None,
+) -> tuple[EmStats, jax.Array, jax.Array, jax.Array]:
+    """Inside-outside expected counts for a GROUP of equal-length
+    windows with every matmul MXU-packed (see module note above).
+
+    Drop-in equal to ``vmap(cfg_em_stats)`` over the leading axis
+    (same returns, leading G axis on every output) — asserted in
+    tests/test_cfg_em.py::TestPackedGroupEngine."""
+    G, L, S = obs_g.shape
+    log_trans = params.hmm.log_trans
+    big_P = _blockdiag(jnp.exp(log_trans), G)
+    big_T = _blockdiag(jnp.exp(log_trans).T, G)
+    negg = jnp.full((G, L, S), LOG_ZERO, obs_g.dtype)
+    idx = jnp.arange(L)
+    sa_left = jnp.where(params.pair_mask, params.log_sa[0], 0.0)
+    w0 = obs_g + sa_left[None, None, :]
+
+    root = (
+        jnp.broadcast_to(params.hmm.log_start, (G, S))
+        if log_root_g is None else log_root_g
+    )
+    inchart = _cfg_inside_chart_g(params, obs_g, sym_g, big_T)
+    Z = _lse(inchart[:, L - 1, 0] + root, 1)                 # [G]
+    root_out = jnp.full((G, L, S), LOG_ZERO).at[:, 0].set(root)
+
+    def pair_w(d):
+        j_idx = jnp.minimum(idx + d, L - 1)
+        pe = (_vpair(params, obs_g, sym_g, idx, j_idx)
+              + params.log_sa[1])
+        pe = jnp.where(params.pair_mask[None, None, :], pe, LOG_ZERO)
+        pe = jnp.where(d >= 2, pe, LOG_ZERO)
+        return jnp.where((idx + d < L)[None, :, None], pe, LOG_ZERO)
+
+    def diag(chart, d):
+        return jax.lax.dynamic_index_in_dim(
+            chart, jnp.clip(d, 0, L - 1), 1, keepdims=False
+        )
+
+    def step(carry, d):
+        out_d1, out_d2, trans_acc, gamma_acc, em_acc, et_acc = carry
+        P = out_d1 + w0
+        Q = out_d2 + pair_w(d + 2)
+        z = _lmm_g(jnp.concatenate(
+            [negg[:, :1], P[:, :-1], negg[:, :1], Q[:, :-1]], axis=1
+        ), big_P)
+        out_d = jnp.logaddexp(z[:, :L], z[:, L:])
+        out_d = jnp.where(d == L - 1, root_out, out_d)
+        out_d = jnp.where((idx + d < L)[None, :, None], out_d, LOG_ZERO)
+
+        in_d = diag(inchart, d)
+        in_d1 = jnp.where(d >= 1, diag(inchart, d - 1), LOG_ZERO)
+        in_d2 = jnp.where(d >= 2, diag(inchart, d - 2), LOG_ZERO)
+
+        mu = jnp.exp(jnp.minimum(
+            out_d + in_d - Z[:, None, None], 0.0
+        ))
+        gamma_acc = gamma_acc + mu
+
+        a0 = jnp.where(
+            ((idx + d < L)[None, :, None]) & (d >= 1),
+            out_d + w0, LOG_ZERO,
+        )
+        c0 = jnp.concatenate([in_d1[:, 1:], negg[:, :1]], axis=1)
+        a1 = out_d + pair_w(d)
+        c1 = jnp.concatenate([in_d2[:, 1:], negg[:, :1]], axis=1)
+        trans_acc = trans_acc + _xi_matmul_g(
+            jnp.concatenate([a0, a1], axis=1),
+            jnp.concatenate([c0, c1], axis=1),
+            log_trans, Z,
+        )
+
+        r1_in = _lmm_g(c1, big_T)
+        p1 = jnp.exp(jnp.minimum(a1 + r1_in - Z[:, None, None], 0.0))
+        p1 = jnp.where(d >= 2, p1, 0.0)
+        gamma_acc = gamma_acc + jnp.roll(p1, d, axis=1)
+
+        j_idx = jnp.minimum(idx + d, L - 1)
+        si = sym_g[:, idx]
+        sj = sym_g[:, j_idx]
+        both = (si > 0) & (sj > 0)
+        nm = jnp.sum((si == sj) & both, -1).astype(jnp.float32)
+        nb = jnp.sum(both, -1).astype(jnp.float32)
+        em_acc = em_acc + jnp.einsum("gi,gis->gs", nm, p1)
+        et_acc = et_acc + jnp.einsum("gi,gis->gs", nb, p1)
+
+        return (out_d, out_d1, trans_acc, gamma_acc, em_acc,
+                et_acc), None
+
+    init = (
+        negg, negg,
+        jnp.zeros((G, S, S), jnp.float32),
+        jnp.zeros((G, L, S), jnp.float32),
+        jnp.zeros((G, S), jnp.float32),
+        jnp.zeros((G, S), jnp.float32),
+    )
+    (_, _, trans, gamma, e_match, e_tot), _ = jax.lax.scan(
+        step, init, jnp.arange(L - 1, -1, -1), unroll=8
+    )
+
+    em = jax.vmap(
+        lambda sy, g: expected_emission_counts(
+            params.hmm.log_em.shape, sy, g
+        )
+    )(sym_g, gamma)
+    start = jnp.exp(jnp.minimum(
+        root + inchart[:, L - 1, 0] - Z[:, None], 0.0
+    ))
+    stats = EmStats(
+        start=start,
+        trans=trans,
+        em=em,
+        loglik=Z,
+        n_obs=jnp.full((G,), jnp.float32(L)),
+    )
+    return stats, gamma, e_match, e_tot
+
+
 def _chance_agreement(
     log_em: np.ndarray, alphabet_sizes
 ) -> np.ndarray:

@@ -367,6 +367,88 @@ class TestCfgEmCli:
         assert "log_match[TE]" in out
 
 
+class TestPackedGroupEngine:
+    """cfg_em_stats_g (G windows MXU-packed into one matmul tile) ==
+    vmap(cfg_em_stats): same stats/gamma/bonus counts per window."""
+
+    def test_packed_matches_vmapped(self, rng):
+        from tehmm_tpu.models.cfg_em import (
+            _cfg_em_stats_batched, cfg_em_stats_g,
+        )
+
+        S, T, V, L, G = 3, 2, 5, 12, 4
+        params, _ = _random_problem(rng, S, T, V, L, seed=31)
+        cfgp = make_cfg_params(
+            params, pair_states=[1], match_bonus=0.8, sa_prior=0.6
+        )
+        sym_g = jnp.asarray(np.stack([
+            rng.randint(1, V, size=(L, T)).astype(np.int32)
+            for _ in range(G)
+        ]))
+        obs_g = track_log_likelihoods(params.log_em, sym_g)
+
+        ref_stats, ref_gamma, ref_em, ref_et = _cfg_em_stats_batched(
+            cfgp, obs_g, sym_g
+        )
+        got_stats, got_gamma, got_em, got_et = cfg_em_stats_g(
+            cfgp, obs_g, sym_g
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_stats.loglik), np.asarray(ref_stats.loglik),
+            rtol=1e-5,
+        )
+        for name in ("start", "trans", "em"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(got_stats, name)),
+                np.asarray(getattr(ref_stats, name)),
+                rtol=1e-4, atol=1e-5, err_msg=name,
+            )
+        np.testing.assert_allclose(
+            np.asarray(got_gamma), np.asarray(ref_gamma),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_em), np.asarray(ref_em), rtol=1e-4,
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_et), np.asarray(ref_et), rtol=1e-4,
+            atol=1e-5,
+        )
+
+    def test_packed_with_roots_and_l1(self, rng):
+        from tehmm_tpu.models.cfg_em import (
+            _cfg_em_stats_rooted, cfg_em_stats_g,
+        )
+
+        S, T, V, G = 2, 1, 4, 3
+        params, _ = _random_problem(rng, S, T, V, 4, seed=33)
+        cfgp = make_cfg_params(params, pair_states=[0], match_bonus=0.3)
+        for L in (1, 4, 7):
+            sym_g = jnp.asarray(np.stack([
+                rng.randint(1, V, size=(L, T)).astype(np.int32)
+                for _ in range(G)
+            ]))
+            obs_g = track_log_likelihoods(params.log_em, sym_g)
+            roots = jnp.asarray(
+                rng.randn(G, S).astype(np.float32)
+            )
+            ref = _cfg_em_stats_rooted(cfgp, obs_g, sym_g, roots)
+            got = cfg_em_stats_g(cfgp, obs_g, sym_g, roots)
+            np.testing.assert_allclose(
+                np.asarray(got[0].loglik), np.asarray(ref[0].loglik),
+                rtol=1e-5, err_msg=f"L={L}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(got[1]), np.asarray(ref[1]),
+                rtol=1e-4, atol=1e-5, err_msg=f"L={L}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(got[0].trans), np.asarray(ref[0].trans),
+                rtol=1e-4, atol=1e-5, err_msg=f"L={L}",
+            )
+
+
 class TestMeshParity:
     """CFG EM / decode sharded over the data mesh == single device
     (round-3 VERDICT missing #4: the one SURVEY §2c DP row that didn't
