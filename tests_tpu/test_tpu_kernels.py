@@ -271,3 +271,40 @@ def test_cfg_prob_space_engines_on_chip(rng):
     tr = np.asarray(stats.trans)
     assert np.isfinite(tr).all() and (tr >= 0).all()
     assert np.asarray(e_t).min() >= 0 and np.asarray(e_m).min() >= 0
+
+
+@pytest.mark.parametrize("S", [20, 256])
+def test_pipelined_batch_decoders_on_chip(rng, S):
+    """_decode_batch/_posterior_batch (round-4: bounded in-flight
+    pipeline + on-device uint8 downcast) == the monolithic XLA decode
+    on the chip, across multiple row groups, fused and XLA engines
+    (S=256 exercises the >255 no-downcast and XLA-fallback branches)."""
+    from tehmm_tpu.models.emission import track_log_likelihoods
+    from tehmm_tpu.parallel.stitch import _decode_batch, _posterior_batch
+
+    T, V, B, L = 3, 6, 12, 96
+    params, symbols, lengths = _inputs(rng, S, T, V, B, L)
+    sym_np = np.asarray(symbols)
+    len_np = np.asarray(lengths)
+
+    got_v = _decode_batch(params, sym_np, len_np, rows_per_pass=5)
+    got_p = _posterior_batch(params, sym_np, len_np, rows_per_pass=5)
+
+    obs = track_log_likelihoods(params.log_em, symbols)
+    ref_v, _ = dp.viterbi(
+        params.log_start, params.log_trans, obs, lengths
+    )
+    ah, _, _ = dp.forward_scaled(
+        params.log_start, params.log_trans, obs, lengths
+    )
+    bh, _ = dp.backward_scaled(params.log_trans, obs, lengths)
+    ref_p = np.argmax(np.asarray(dp.posterior_scaled(ah, bh)), axis=-1)
+
+    for b in range(B):
+        n = int(len_np[b])
+        np.testing.assert_array_equal(
+            got_v[b, :n], np.asarray(ref_v)[b, :n], err_msg=f"vit {b}"
+        )
+        np.testing.assert_array_equal(
+            got_p[b, :n], ref_p[b, :n], err_msg=f"post {b}"
+        )
