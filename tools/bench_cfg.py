@@ -66,24 +66,13 @@ def main() -> None:
     MXU_6PASS_PEAK = 197e12 / 6
     VPU_ADDMAX_CEILING = 2.48e12
 
+    from tehmm_tpu.utils.profiling import marginal_time
+
     def timed(tag, fn, fetch, iters=args.iters, cells_per_iter=None,
               mxu_flops_per_iter=None, vpu_ops_per_iter=None):
-        """Two-point marginal rate — the tunneled backend charges a
-        fixed ~25-30 ms pipeline-fill + fetch round trip per timed
-        chain (see tools/bench_engines.marginal_time / bench.py)."""
-        fetch(fn())                      # compile + warm
-
-        def chain(n):
-            t0 = time.perf_counter()
-            out = None
-            for _ in range(n):
-                out = fn()
-            fetch(out)
-            return time.perf_counter() - t0
-
-        t1 = chain(iters)
-        t2 = chain(6 * iters)
-        dt = (t2 - t1) / (5 * iters)
+        """Two-point marginal rate (the shared protocol —
+        tehmm_tpu.utils.profiling.marginal_time)."""
+        dt = marginal_time(fn, fetch, iters)
         pos = N * L / dt
         extra = ""
         if cells_per_iter:

@@ -52,14 +52,12 @@ def _load_bench_engines():
     return mod
 
 
-def measure_vpu_ceiling(iters: int = 10) -> float:
+def measure_vpu_ceiling(be, iters: int = 10) -> float:
     """Achieved elementwise add+max rate (op/s) on a VMEM-resident
     block: K independent adds feeding a running max, fused by XLA into
     one kernel.  Marginal-rate protocol (BASELINE.md round 3)."""
     import jax
     import jax.numpy as jnp
-
-    be = _load_bench_engines()
     N = 1 << 21          # 8 MB f32 — fits VMEM, large enough to fill lanes
     K = 128              # fused chain length (amortizes load/store)
     x = jnp.asarray(np.random.RandomState(0).rand(N), jnp.float32)
@@ -90,7 +88,7 @@ def main() -> None:
     be = _load_bench_engines()
     print(f"device: {jax.devices()[0]}", flush=True)
 
-    ceiling = measure_vpu_ceiling(args.iters)
+    ceiling = measure_vpu_ceiling(be, args.iters)
     print(json.dumps({
         "metric": "vpu_addmax_ceiling_ops_per_sec",
         "value": round(ceiling, 1),

@@ -63,25 +63,14 @@ def make_inputs(S, T, V, B, L, seed=0):
 
 
 def marginal_time(run, sync, iters):
-    """Two-point marginal rate.  The tunneled backend charges a fixed
-    pipeline-fill + scalar-fetch round trip (~25-30 ms measured) to any
-    timed chain regardless of length, so short-chain averages understate
-    device throughput badly (bench.py: 7.4 ms/iter at n=5 vs 2.3 at
-    n=80 for the same program).  (T2 - T1) / (n2 - n1) over two chain
-    lengths isolates the per-iteration device time."""
-    sync(run())                    # warm (compile) + queue drain
+    """Two-point marginal rate — ONE shared implementation
+    (tehmm_tpu.utils.profiling.marginal_time; see its docstring for the
+    protocol rationale).  Kept as a name here because bench_cfg /
+    bench_decode_roofline / profile_estep historically import it from
+    this module."""
+    from tehmm_tpu.utils.profiling import marginal_time as _mt
 
-    def chain(n):
-        t0 = time.time()
-        out = None
-        for _ in range(n):
-            out = run()
-        sync(out)
-        return time.time() - t0
-
-    t1 = chain(iters)
-    t2 = chain(6 * iters)
-    return (t2 - t1) / (5 * iters)
+    return _mt(run, sync, iters)
 
 
 def time_estep(params, symbols, engine, iters):

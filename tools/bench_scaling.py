@@ -134,6 +134,10 @@ def main(argv=None) -> None:
         print(line)
 
     def marginal_time(run_chain):
+        # chain-granular variant of utils.profiling.marginal_time: the
+        # EM timer threads params THROUGH its chain (a dependent chain
+        # can't be expressed as repeated run() calls), so this sweeps
+        # whole chains and differences them; same two-point math.
         run_chain(n1)                       # warm caches past compile
         t1 = min(run_chain(n1), run_chain(n1))
         t2 = min(run_chain(n2), run_chain(n2))

@@ -61,6 +61,15 @@ def main():
     B, L = args.batch, args.chunk
     per_pass = B * L
     n_pass = N // per_pass
+    if n_pass == 0:
+        raise SystemExit(
+            f"--positions {N} is below one pass ({per_pass}); lower "
+            f"--batch/--chunk (this demo works in whole passes)"
+        )
+    dropped = N - n_pass * per_pass
+    if dropped:
+        print(f"[note]   trailing {dropped} positions (<1 pass) are "
+              f"excluded from train/decode", flush=True)
     params = init_random(S, [V] * T, seed=0)
     sizes = jnp.asarray([V] * T)
     lengths = jnp.full((B,), L, jnp.int32)

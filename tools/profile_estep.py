@@ -22,14 +22,17 @@ from tools.bench_engines import make_inputs, CONFIGS
 
 
 def timeit(fn, *args, iters=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    _ = float(jnp.sum(jax.tree.leaves(out)[0]))
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    _ = float(jnp.sum(jax.tree.leaves(out)[0]))
-    return (time.time() - t0) / iters
+    """Per-stage marginal rate via the shared two-point protocol
+    (tehmm_tpu.utils.profiling.marginal_time) — a single averaged chain
+    bundles the fixed ~25-30 ms dispatch/fetch round trip into every
+    stage, inflating the few-ms stages up to ~2x."""
+    from tehmm_tpu.utils.profiling import marginal_time
+
+    return marginal_time(
+        lambda: fn(*args),
+        lambda out: float(jnp.sum(jax.tree.leaves(out)[0])),
+        iters,
+    )
 
 
 def main():

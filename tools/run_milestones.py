@@ -29,8 +29,6 @@ sys.path.insert(
 
 def _planted_dataset(rng, n_states, n_tracks, alphabet, length):
     """Sticky planted HMM data with recoverable structure."""
-    trans = np.full((n_states, n_states), 0.02 / max(n_states - 1, 1))
-    np.fill_diagonal(trans, 0.98)
     true = np.zeros(length, np.int64)
     s = 0
     jumps = rng.rand(length) < 0.02
@@ -104,31 +102,15 @@ def _device_configs(out):
     # ---- config 2: 10 states, 5 tracks, supervised viterbi, 1 "chrom"
     S, T, V, N = 10, 5, 8, 4_194_304
     sym, true = _planted_dataset(rng, S, T, V, N)
-    from tehmm_tpu.ops.em import supervised_counts  # noqa: F401
-    # supervised params via native counting through the model facade path
-    from tehmm_tpu import native
+    # supervised params through the PRODUCTION path (ops/em
+    # supervised_train — the teHmmTrain --supervised recipe); a private
+    # re-count here could drift from the shipped semantics
+    from tehmm_tpu.ops.em import supervised_train
 
-    start_c = np.zeros(S); trans_c = np.zeros((S, S))
-    em_c = np.zeros((S, T, V))
-    start_c[true[0]] += 1
-    tc = native.count_transitions(true.astype(np.int32), S)
-    ec = native.count_emissions(true.astype(np.int32), sym, S, V)
-    if tc is None:
-        np.add.at(trans_c, (true[:-1], true[1:]), 1)
-        for t in range(T):
-            np.add.at(em_c, (true, t, sym[:, t].astype(np.int64)), 1)
-    else:
-        trans_c, em_c = tc, ec
-    stats = em_ops.EmStats(
-        start=jnp.asarray(start_c, jnp.float32),
-        trans=jnp.asarray(trans_c, jnp.float32),
-        em=jnp.asarray(em_c, jnp.float32),
-        loglik=jnp.zeros(()), n_obs=jnp.asarray(float(N)),
-    )
-    from tehmm_tpu.models.params import init_flat
-
-    params = em_ops.em_m_step(
-        stats, init_flat(S, [V] * T), jnp.asarray([V] * T)
+    params = supervised_train(
+        S, [V] * T,
+        jnp.asarray(sym[None]),
+        jnp.asarray(true[None].astype(np.int32)),
     )
     B, L = 2048, 1024
     per = B * L
@@ -149,7 +131,8 @@ def _device_configs(out):
     dt = time.perf_counter() - t0
     acc = correct / total
     out.append({
-        "name": "2: 10-state/5-track supervised Viterbi (10M positions)",
+        "name": f"2: 10-state/5-track supervised Viterbi "
+                f"({total/1e6:.1f}M positions)",
         "device": dev,
         "positions_per_sec": round(total / dt, 0),
         "accuracy_vs_planted": round(acc, 4),
@@ -236,7 +219,14 @@ def config4and5():
         line = line.strip()
         if line.startswith("{"):
             rows.append(json.loads(line))
-    if not rows:
+    if r.returncode != 0:
+        # a crash AFTER milestone 4's print must not drop milestone 5
+        # silently and exit green
+        rows.append({
+            "name": f"4/5 (subprocess rc={r.returncode})", "ok": False,
+            "error": r.stderr[-500:],
+        })
+    elif not rows:
         rows.append({"name": "4/5", "ok": False,
                      "error": r.stderr[-500:]})
     return rows

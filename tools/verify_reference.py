@@ -143,6 +143,24 @@ def _reference_python(ref: str, out: str) -> list[str] | None:
     return [sys.executable, os.path.join(scratch, "teHmmTrain.py")]
 
 
+def _run(cmd, **kw) -> "subprocess.CompletedProcess | None":
+    """subprocess.run that reports a hang as a result instead of
+    crashing the checklist mid-run (the reference is py2-era code of
+    unknown behavior — a hung script must yield FAIL, not a traceback
+    that forfeits the PASS/FAIL summary and exit-code contract)."""
+    try:
+        return subprocess.run(
+            cmd, capture_output=True, text=True, timeout=600, **kw
+        )
+    except subprocess.TimeoutExpired as e:
+        cls = type("Timeout", (), {})
+        r = cls()
+        r.returncode = -1
+        r.stdout = (e.stdout or b"")
+        r.stderr = f"TIMEOUT after 600s: {cmd[:3]}..."
+        return r
+
+
 def stage_run_and_diff(ref: str, out: str) -> bool:
     os.makedirs(out, exist_ok=True)
     cmd = _reference_python(ref, out)
@@ -152,20 +170,14 @@ def stage_run_and_diff(ref: str, out: str) -> bool:
     truth = os.path.join(DATA, "truth.bed")
     regions = os.path.join(DATA, "regions.bed")
     model = os.path.join(out, "ref_model.mod")
-    r = subprocess.run(
-        cmd + [tracks, truth, model, "--supervised"],
-        capture_output=True, text=True, timeout=600,
-    )
+    r = _run(cmd + [tracks, truth, model, "--supervised"])
     if r.returncode != 0:
         return report("run teHmmTrain", "FAIL", r.stderr[-300:])
     report("run teHmmTrain", "PASS", model)
 
     eval_cmd = [cmd[0], cmd[1].replace("teHmmTrain", "teHmmEval")]
     ref_bed = os.path.join(out, "ref_viterbi.bed")
-    r = subprocess.run(
-        eval_cmd + [tracks, model, regions, "--bed", ref_bed],
-        capture_output=True, text=True, timeout=600,
-    )
+    r = _run(eval_cmd + [tracks, model, regions, "--bed", ref_bed])
     if r.returncode != 0:
         return report("run teHmmEval", "FAIL", r.stderr[-300:])
     report("run teHmmEval", "PASS", ref_bed)
@@ -178,8 +190,9 @@ def stage_run_and_diff(ref: str, out: str) -> bool:
             "diff reference vs golden BED",
             "PASS" if same else "FAIL",
             "bit-identical" if same else
-            f"MISMATCH — regenerate goldens from {ref_bed} "
-            "(tools/make_goldens.py --from-reference)",
+            f"MISMATCH — replace tests/data/golden/viterbi.bed with "
+            f"{ref_bed} (the reference output defines ground truth) "
+            "and re-run the golden tests",
         )
     # our framework's output on the same fixtures (the golden npz is
     # the oracle's raw parameter dump without model metadata, so train
@@ -187,17 +200,15 @@ def stage_run_and_diff(ref: str, out: str) -> bool:
     env = {**os.environ, "TEHMM_PLATFORM": "cpu", "PYTHONPATH": REPO}
     ours_model = os.path.join(out, "tpu_model.npz")
     ours_bed = os.path.join(out, "tpu_viterbi.bed")
-    r = subprocess.run(
+    r = _run(
         [sys.executable, "-m", "tehmm_tpu", "train", tracks, truth,
-         ours_model, "--supervised"],
-        capture_output=True, text=True, timeout=600, env=env,
+         ours_model, "--supervised"], env=env,
     )
     if r.returncode != 0:
         return ok & report("run tehmm_tpu train", "FAIL", r.stderr[-300:])
-    r = subprocess.run(
+    r = _run(
         [sys.executable, "-m", "tehmm_tpu", "eval", tracks,
-         ours_model, regions, "--bed", ours_bed],
-        capture_output=True, text=True, timeout=600, env=env,
+         ours_model, regions, "--bed", ours_bed], env=env,
     )
     if r.returncode == 0:
         same = _bed_equal(ref_bed, ours_bed)
