@@ -239,20 +239,29 @@ def main() -> None:
         t0 = time.perf_counter()
         m2 = MultitrackHmm.initialized(S, td, init="random",
                                        seed=args.seed)
+        # force streaming with a REALISTIC block size: half the input
+        # (budget=1 would cap blocks at 1 row — fit bounds blocks to
+        # budget/2 for double buffering)
+        nbytes = sum(t.symbols.nbytes for t in td.tables)
         res2 = m2.fit(
             td.tables, max_iterations=args.iters, convergence_tol=0.0,
-            chunk_len=args.chunk, max_device_bytes=1,  # force streaming
+            chunk_len=args.chunk, max_device_bytes=nbytes // 2,
         )
         dt = time.perf_counter() - t0
         stream_rate = res2.iterations * N / dt
         stages["train_streamed"] = dt
+        # f32 stat-summation reorder across different block sizes:
+        # |loglik| is ~1e8-1e9 at genome scale, so allow a few e-5 rel
         np.testing.assert_allclose(
-            res2.logliks, res.logliks, rtol=1e-5
+            res2.logliks, res.logliks, rtol=5e-5
         )
+        resident_rate = res.iterations * N / stages["train"]
         print(f"[stream]   {dt:7.1f}s  host-streamed EM "
               f"({stream_rate/1e6:.1f}M pos/s = "
-              f"{(res.iterations * N / stages['train']) / stream_rate:.2f}x "
-              f"slower than resident); logliks identical", flush=True)
+              f"{stream_rate / resident_rate:.2f}x the resident rate; "
+              f"run order favors the second train — both are "
+              f"overhead-bound on this runtime); logliks equal",
+              flush=True)
 
     # ---- [decode] stitched Viterbi + BED write ------------------------
     t0 = time.perf_counter()
