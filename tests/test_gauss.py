@@ -108,6 +108,42 @@ class TestEm:
         acc = ((path == hi_state) == (truth == 1)).mean()
         assert acc > 0.95, acc
 
+    def test_host_streamed_fit_with_gauss_values(self, rng):
+        """The host-streamed pass loop must carry gaussian value blocks
+        (and refit the moments) identically to resident training —
+        the round-4 streaming path's only untested observation kind."""
+        from tehmm_tpu.io.trackdata import TrackTable
+        from tehmm_tpu.models.hmm import MultitrackHmm
+        from tehmm_tpu.models.params import init_flat
+
+        L = 1500
+        truth = (np.arange(L) // 300) % 2
+        x = np.where(truth == 1, rng.normal(4, 1, L),
+                     rng.normal(0, 1, L)).astype(np.float32)
+        sym = np.zeros((L, 1), np.uint8)
+        tab = TrackTable("chr1", 0, L, sym, values=x[:, None])
+
+        class _Hmm(MultitrackHmm):
+            @property
+            def alphabet_sizes(self):
+                return [1]
+
+        def train(budget):
+            m = _Hmm(init_flat(2, [1]), None, None, ["0", "1"])
+            m.gauss = init_gauss(2, [tab.values], seed=0)
+            res = m.fit(
+                [tab], max_iterations=5, convergence_tol=0.0,
+                chunk_len=256, max_device_bytes=budget,
+            )
+            return res.logliks, np.asarray(m.gauss.mu)
+
+        ll_res, mu_res = train(None)
+        # half the input forces streaming in >= 2 blocks
+        nbytes = tab.symbols.nbytes + tab.values.nbytes
+        ll_str, mu_str = train(nbytes // 2)
+        np.testing.assert_allclose(ll_str, ll_res, rtol=1e-5)
+        np.testing.assert_allclose(mu_str, mu_res, rtol=1e-4, atol=1e-5)
+
     def test_supervised_gauss_counts(self, rng):
         L = 1000
         states = np.repeat([0, 1], L // 2)

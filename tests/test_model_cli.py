@@ -392,6 +392,36 @@ class TestOversizedBatch:
             streamed, resident, rtol=1e-4, atol=1e-5
         )
 
+    def test_fit_host_streamed_with_segment_weights(self, fixture_dir):
+        """obs_weight blocks must ride the host-streamed pass loop
+        identically to resident training (segment --segLen mode)."""
+        from tehmm_tpu.io import TrackList, load_track_data
+        from tehmm_tpu.models.hmm import MultitrackHmm
+
+        f = fixture_dir
+        tl = TrackList(f["xml"])
+        td = load_track_data(tl, [("chr1", 0, f["L"])])
+        rng = np.random.RandomState(5)
+        weights = [
+            rng.randint(1, 5, size=len(t.symbols)).astype(np.float32)
+            for t in td.tables
+        ]
+
+        def train(budget):
+            m = MultitrackHmm.initialized(2, td, init="random", seed=9)
+            res = m.fit(
+                td.tables, max_iterations=4, convergence_tol=0.0,
+                chunk_len=256, obs_weight_arrays=weights,
+                max_device_bytes=budget,
+            )
+            return res.logliks, np.asarray(m.params.log_em)
+
+        ll_res, em_res = train(None)
+        nbytes = sum(t.symbols.nbytes for t in td.tables)
+        ll_str, em_str = train(nbytes // 2)
+        np.testing.assert_allclose(ll_str, ll_res, rtol=1e-5)
+        np.testing.assert_allclose(em_str, em_res, rtol=1e-4, atol=1e-5)
+
 
 class TestEmissionPriors:
     def test_init_and_force_em_probs(self, fixture_dir):
