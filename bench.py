@@ -13,9 +13,12 @@ Workload = BASELINE.md milestone config #3 shape class: 20-state,
   reference (glennhickey/teHmm) is pure single-thread NumPy loops and
   publishes no numbers (BASELINE.md), and its mount is empty (SURVEY.md
   provenance), so the baseline is this repo's NumPy float64 oracle
-  (tehmm_tpu/oracle.py — written in the reference's O(L·S²) loop style),
-  measured on a smaller slice of the same workload and scaled per
-  position.  Extra diagnostic fields don't hurt the driver contract.
+  (tehmm_tpu/oracle.py — written in the reference's O(L·S²) loop style).
+  Its per-position time is PINNED (tools/oracle_baseline.json,
+  median-of-9 protocol recorded there; tools/pin_oracle_baseline.py
+  re-measures) so the headline is stable run to run; a live slice
+  measurement is only the fallback when the pinned file is missing.
+  Extra diagnostic fields don't hurt the driver contract.
 """
 
 import json
