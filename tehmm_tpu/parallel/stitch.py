@@ -23,9 +23,12 @@ available here by decoding tables separately with halo=0.
 from __future__ import annotations
 
 import dataclasses
+import functools
+import os
 from typing import Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from tehmm_tpu.models.emission import track_log_likelihoods
@@ -114,6 +117,340 @@ def _pipelined_groups(n, rows_per_pass, dispatch, consume):
         consume(l, h, r)
 
 
+# ---------------------------------------------------------------------------
+# Run-length path transport (round-5).  A decoded state path over a
+# genome is ~100x more bytes than its information content (the 250M
+# demo: 250 MB of per-base uint8 vs 1.97M intervals), and D2H on
+# tunneled runtimes moves at ~35 MB/s — so the decode dispatches pack
+# each row's (position, state) change points into fixed uint32 slots ON
+# DEVICE and download only those; the per-base block is fetched as a
+# fallback only for rows whose run count overflows the slot budget.
+# Reference analog: teHmmEval's merge-runs → BED step (SURVEY.md §3.2)
+# — the merge now effectively happens on device.
+
+_RLE_OVERFLOW = np.uint32(0xFFFFFFFF)
+
+
+def _rle_shift(num_states: int) -> int:
+    """Bits reserved for the state in a packed (pos << shift | state)."""
+    return 8 if num_states <= 255 else 16
+
+
+def _rle_slots(Lc: int) -> int:
+    """Change-point slots per row: Lc/16 caps the packed download at
+    ~1/4 of the per-base bytes while making overflow (mean run < 16)
+    rare; overflowing rows fall back to the per-base block."""
+    return min(Lc, max(64, Lc // 16))
+
+
+def _rle_supported(num_states: int, Lc: int) -> bool:
+    """Position and state must fit one uint32 with room for the unused
+    (Lc << shift) and overflow (0xFFFFFFFF) sentinels."""
+    if num_states <= 255:
+        return Lc < (1 << 24) - 1
+    return num_states <= 65535 and Lc < (1 << 16) - 1
+
+
+@functools.partial(jax.jit, static_argnames=("num_slots", "shift"))
+def _rle_pack(paths, lengths, num_slots, shift):
+    """Pack each row's run starts into ``num_slots`` uint32 slots:
+    ``(pos << shift) | state`` sorted ascending, unused slots holding
+    the ``L << shift`` sentinel; rows with more runs than slots become
+    all-``_RLE_OVERFLOW``.  Sort-based (no scatter): encoded change
+    points order before the sentinel, so one ascending sort per row
+    compacts them into the leading slots."""
+    n, L = paths.shape
+    pos = jnp.arange(L, dtype=jnp.int32)
+    valid = pos[None, :] < lengths[:, None]
+    prev = jnp.concatenate([paths[:, :1], paths[:, :-1]], axis=1)
+    change = ((paths != prev) | (pos == 0)[None, :]) & valid
+    counts = change.sum(axis=1).astype(jnp.int32)
+    enc = jnp.where(
+        change,
+        (pos[None, :].astype(jnp.uint32) << shift)
+        | paths.astype(jnp.uint32),
+        jnp.uint32(L) << shift,
+    )
+    packed = jnp.sort(enc, axis=1)[:, :num_slots]
+    return jnp.where((counts > num_slots)[:, None], _RLE_OVERFLOW, packed)
+
+
+def _pack_for_transport(paths, lens_dev, num_states, Lc):
+    """Device-side transport prep shared by the decode dispatches:
+    returns (packed | None, per-base paths for the overflow fallback,
+    downcast to uint8 when states fit)."""
+    paths = paths.astype(jnp.int32)
+    fallback = paths if num_states > 255 else paths.astype(jnp.uint8)
+    if not _rle_supported(num_states, Lc):
+        return None, fallback
+    packed = _rle_pack(
+        paths, lens_dev, _rle_slots(Lc), _rle_shift(num_states)
+    )
+    return packed, fallback
+
+
+def _rle_expand(packed, lengths, shift, full_fetch):
+    """Expand packed rows back to int32 per-base path rows (host side,
+    vectorized across the block).  ``full_fetch()`` materializes the
+    per-base block at most once, for overflowed rows only."""
+    n, _K = packed.shape
+    lengths = np.asarray(lengths, np.int64)
+    starts = (packed >> shift).astype(np.int64)
+    states = (packed & ((np.uint32(1) << shift) - np.uint32(1))).astype(
+        np.int32
+    )
+    overflow = packed[:, 0] == _RLE_OVERFLOW
+    valid = (starts < lengths[:, None]) & ~overflow[:, None]
+    nxt = np.empty_like(starts)
+    nxt[:, :-1] = starts[:, 1:]
+    nxt[:, -1] = 0
+    has_next = np.zeros_like(valid)
+    has_next[:, :-1] = valid[:, 1:]
+    nxt = np.where(has_next, nxt, lengths[:, None])
+    reps = np.where(valid, nxt - starts, 0)
+    flat = np.repeat(states[valid], reps[valid])
+    bounds = np.concatenate([[0], np.cumsum(reps.sum(axis=1))])
+    rows = []
+    full = None
+    for i in range(n):
+        if overflow[i]:
+            if full is None:
+                full = full_fetch()
+            rows.append(
+                np.asarray(full[i, : lengths[i]], np.int32)
+            )
+        else:
+            rows.append(
+                flat[bounds[i] : bounds[i + 1]].astype(
+                    np.int32, copy=False
+                )
+            )
+    return rows
+
+
+def _fetch_rows(result, lens_np, shift):
+    """Fetch one dispatch's decode result as a list of int32 rows
+    (len(lens_np) rows, each trimmed to its length)."""
+    packed, paths_dev = result
+    if packed is None:
+        full = np.asarray(paths_dev)
+        return [
+            full[i, :l].astype(np.int32, copy=False)
+            for i, l in enumerate(lens_np)
+        ]
+    return _rle_expand(
+        np.asarray(packed)[: len(lens_np)], lens_np, shift,
+        lambda: np.asarray(paths_dev),
+    )
+
+
+def _obs_for(params, gauss_params, sym, w, v):
+    """Observation log-likelihood block for the XLA (non-fused) decode
+    branches: categorical tracks + optional gaussian densities +
+    optional segment weights (the exact op order the host-batched
+    dispatches use)."""
+    obs = track_log_likelihoods(params.log_em, sym)
+    if v is not None:
+        from tehmm_tpu.models.gauss import gauss_log_likelihoods
+
+        obs = obs + gauss_log_likelihoods(gauss_params, v)
+    if w is not None:
+        obs = obs * w[:, :, None]
+    return obs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "Lc", "num_slots", "shift", "use_fused"),
+)
+def _resident_dispatch(params, gauss_params, sym_dev, w_dev, v_dev,
+                       starts, lens, *, mode, Lc, num_slots, shift,
+                       use_fused):
+    """One resident-decode dispatch: gather the row group's halo
+    windows from the device-resident table, decode, and run-length-pack
+    the paths.  Host inputs are two tiny int32 vectors; the download is
+    the packed runs (plus the per-base block only on slot overflow).
+    Padding matches batch_chunks exactly (zeros beyond each row's
+    length) so results are bit-identical to the host-batched path."""
+    idx = starts[:, None] + jnp.arange(Lc, dtype=jnp.int32)[None, :]
+    idxc = jnp.clip(idx, 0, sym_dev.shape[0] - 1)
+    mask = jnp.arange(Lc, dtype=jnp.int32)[None, :] < lens[:, None]
+    sym = jnp.where(mask[:, :, None], sym_dev[idxc], 0)
+    w = None if w_dev is None else jnp.where(mask, w_dev[idxc], 0.0)
+    v = (
+        None if v_dev is None
+        else jnp.where(mask[:, :, None], v_dev[idxc], 0.0)
+    )
+    S = params.log_em.shape[0]
+    if mode == "viterbi":
+        if use_fused:
+            from tehmm_tpu.ops import pallas_kernels as pk
+
+            paths, _ = pk.viterbi_fused_pallas_v4(
+                params.log_start, params.log_trans, params.log_em,
+                sym, lens, w,
+                gauss_params if v is not None else None, v,
+            )
+        else:
+            obs = _obs_for(params, gauss_params, sym, w, v)
+            paths, _ = dp.viterbi(
+                params.log_start, params.log_trans, obs, lens
+            )
+    else:
+        if use_fused:
+            from tehmm_tpu.ops import pallas_kernels as pk
+
+            paths = pk.posterior_decode_fused_pallas_v4(
+                params.log_start, params.log_trans, params.log_em,
+                sym, lens, w,
+                gauss_params if v is not None else None, v,
+            )
+        else:
+            obs = _obs_for(params, gauss_params, sym, w, v)
+            ah, _, _ = dp.forward_scaled(
+                params.log_start, params.log_trans, obs, lens
+            )
+            bh, _ = dp.backward_scaled(params.log_trans, obs, lens)
+            paths = jnp.argmax(dp.posterior_scaled(ah, bh), axis=-1)
+    paths = paths.astype(jnp.int32)
+    fallback = paths if S > 255 else paths.astype(jnp.uint8)
+    if num_slots == 0:
+        return None, fallback
+    return _rle_pack(paths, lens, num_slots, shift), fallback
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(12, (n - 1).bit_length())
+
+
+class _ResidentDecoder:
+    """Chunk decoding against device-resident tables (round-5).
+
+    Genome-scale decode on tunneled runtimes was transfer-bound, not
+    DP-bound: every row group re-uploaded its halo windows (H2D
+    collapses ~20x when interleaved with compute dispatches — BASELINE
+    round-4 notes) and downloaded per-base paths.  This decoder uploads
+    every table ONCE, back-to-back, before any compute; each dispatch
+    then sends only chunk offsets, gathers the windows on device, and
+    downloads run-length-packed change points.  Tables are padded to
+    power-of-two lengths so differently-sized tables share compiled
+    dispatch shapes."""
+
+    def __init__(self, params, mats, value_arrays, weight_arrays,
+                 gauss_params, rows_per_pass, mode):
+        self.params = params
+        self.gauss = gauss_params
+        self.rows_per_pass = rows_per_pass
+        self.mode = mode
+        self.S = int(params.log_em.shape[0])
+
+        def _put(m, dtype=None):
+            m = np.asarray(m) if dtype is None else np.asarray(m, dtype)
+            Lp = _next_pow2(len(m))
+            if Lp > len(m):
+                m = np.concatenate(
+                    [m, np.zeros((Lp - len(m),) + m.shape[1:], m.dtype)]
+                )
+            return jax.device_put(np.ascontiguousarray(m))
+
+        self.sym_dev = [_put(m) for m in mats]
+        self.val_dev = (
+            None if value_arrays is None
+            else [_put(v, np.float32) for v in value_arrays]
+        )
+        self.w_dev = (
+            None if weight_arrays is None
+            else [_put(w, np.float32) for w in weight_arrays]
+        )
+        jax.block_until_ready(self.sym_dev)
+
+    def decode(self, chunk_list):
+        out = [None] * len(chunk_list)
+        groups: dict[int, list[int]] = {}
+        for k, c in enumerate(chunk_list):
+            groups.setdefault(c.table_idx, []).append(k)
+        for ti, idxs in groups.items():
+            rows = self._decode_table(ti, [chunk_list[k] for k in idxs])
+            for k, r in zip(idxs, rows):
+                out[k] = r
+        return out
+
+    def _decode_table(self, ti, chunks):
+        n = len(chunks)
+        starts = np.asarray([c.load_start for c in chunks], np.int32)
+        lens = np.asarray([c.load_len for c in chunks], np.int32)
+        # round the window up so widened retries bucket into few
+        # compiled shapes (masked tail positions are inert)
+        Lc = -(-int(lens.max()) // 512) * 512
+        use_fused = (
+            _use_fused_viterbi(self.S) if self.mode == "viterbi"
+            else _use_fused_maxpost(self.S)
+        )
+        num_slots = (
+            _rle_slots(Lc) if _rle_supported(self.S, Lc) else 0
+        )
+        shift = _rle_shift(self.S)
+        rpp = self.rows_per_pass
+        rows_out = [None] * n
+
+        def dispatch(lo, hi):
+            s, l = _pad_rows(rpp - (hi - lo), starts[lo:hi], lens[lo:hi])
+            return _resident_dispatch(
+                self.params, self.gauss, self.sym_dev[ti],
+                None if self.w_dev is None else self.w_dev[ti],
+                None if self.val_dev is None else self.val_dev[ti],
+                jnp.asarray(s), jnp.asarray(l),
+                mode=self.mode, Lc=Lc, num_slots=num_slots,
+                shift=shift, use_fused=use_fused,
+            )
+
+        def consume(lo, hi, result):
+            for k, r in enumerate(
+                _fetch_rows(result, lens[lo:hi], shift)
+            ):
+                rows_out[lo + k] = r
+
+        _pipelined_groups(n, rpp, dispatch, consume)
+        return rows_out
+
+
+def _make_decoder_factory(params, gauss_params, weight_arrays,
+                          rows_per_pass, mode, resident):
+    """Resolve whether this decode runs device-resident.  ``resident``:
+    True/False force; None = auto — on unless TEHMM_DECODE_RESIDENT
+    disables it or the tables exceed the device staging budget
+    (models/hmm._device_input_budget), in which case the host-batched
+    streaming path is used unchanged."""
+    if resident is False:
+        return None
+
+    def factory(mats, value_arrays):
+        use = resident
+        if use is None:
+            env = os.environ.get(
+                "TEHMM_DECODE_RESIDENT", "auto"
+            ).lower()
+            if env in ("0", "off", "false"):
+                return None
+            total = sum(int(m.nbytes) for m in mats)
+            if value_arrays is not None:
+                total += sum(int(v.nbytes) for v in value_arrays)
+            if weight_arrays is not None:
+                total += sum(4 * len(w) for w in weight_arrays)
+            from tehmm_tpu.models.hmm import _device_input_budget
+
+            # pow2 padding can nearly double the footprint
+            use = 2 * total <= _device_input_budget()
+        if not use:
+            return None
+        return _ResidentDecoder(
+            params, mats, value_arrays, weight_arrays, gauss_params,
+            rows_per_pass, mode,
+        ).decode
+
+    return factory
+
+
 def _decode_batch(
     params: HmmParams,
     symbols: np.ndarray,
@@ -125,7 +462,8 @@ def _decode_batch(
 ) -> np.ndarray:
     """Viterbi over a chunk batch, in row groups of fixed compiled
     shape; a bounded number of groups stays in flight so result fetches
-    overlap the next groups' upload + compute (_pipelined_groups)."""
+    overlap the next groups' upload + compute (_pipelined_groups), and
+    paths download run-length-packed (_rle_pack)."""
     n, L, _T = symbols.shape
     out = np.zeros((n, L), dtype=np.int32)
     S = params.log_em.shape[0]
@@ -137,6 +475,7 @@ def _decode_batch(
             None if weights is None else weights[lo:hi],
             None if values is None else values[lo:hi],
         )
+        jlens = jnp.asarray(lens)
         if _use_fused_viterbi(S):
             # fused v4 decode: symbols in, path out — obs never
             # materializes in HBM and the backtrace runs in-kernel;
@@ -146,28 +485,31 @@ def _decode_batch(
 
             paths, _ = pk.viterbi_fused_pallas_v4(
                 params.log_start, params.log_trans, params.log_em,
-                jnp.asarray(sym), jnp.asarray(lens),
+                jnp.asarray(sym), jlens,
                 None if w is None else jnp.asarray(w),
                 gauss_params if v is not None else None,
                 None if v is None else jnp.asarray(v),
             )
-            return paths if S > 255 else paths.astype(jnp.uint8)
-        obs = track_log_likelihoods(params.log_em, jnp.asarray(sym))
-        if v is not None:
-            from tehmm_tpu.models.gauss import gauss_log_likelihoods
+        else:
+            obs = track_log_likelihoods(params.log_em, jnp.asarray(sym))
+            if v is not None:
+                from tehmm_tpu.models.gauss import gauss_log_likelihoods
 
-            obs = obs + gauss_log_likelihoods(
-                gauss_params, jnp.asarray(v)
+                obs = obs + gauss_log_likelihoods(
+                    gauss_params, jnp.asarray(v)
+                )
+            if w is not None:
+                obs = obs * jnp.asarray(w)[:, :, None]
+            paths, _ = _viterbi_engine(obs.shape[-1])(
+                params.log_start, params.log_trans, obs, jlens
             )
-        if w is not None:
-            obs = obs * jnp.asarray(w)[:, :, None]
-        paths, _ = _viterbi_engine(obs.shape[-1])(
-            params.log_start, params.log_trans, obs, jnp.asarray(lens)
-        )
-        return paths if S > 255 else paths.astype(jnp.uint8)
+        return _pack_for_transport(paths, jlens, S, L)
 
-    def consume(lo, hi, paths):
-        out[lo:hi] = np.asarray(paths)[: hi - lo]
+    def consume(lo, hi, result):
+        for k, r in enumerate(
+            _fetch_rows(result, lengths[lo:hi], _rle_shift(S))
+        ):
+            out[lo + k, : len(r)] = r
 
     _pipelined_groups(n, rows_per_pass, dispatch, consume)
     return out
@@ -220,6 +562,7 @@ def _stitched_decode(
     name: str,
     weight_arrays,
     gauss_params,
+    decoder_factory=None,
 ) -> tuple[list[np.ndarray], StitchReport]:
     """Shared halo-stitching driver for Viterbi and max-posterior decode.
 
@@ -251,7 +594,14 @@ def _stitched_decode(
         ]
     lengths = [len(m) for m in mats]
 
+    resident_decode = (
+        decoder_factory(mats, value_arrays)
+        if decoder_factory is not None else None
+    )
+
     def decode_at(chunk_list):
+        if resident_decode is not None:
+            return resident_decode(chunk_list)
         batch = batch_chunks(mats, chunk_list)
         wb = (None if weight_arrays is None
               else _weight_batch(weight_arrays, chunk_list))
@@ -373,6 +723,7 @@ def viterbi_chunked(
     strict: bool = False,
     weight_arrays: Sequence[np.ndarray] | None = None,
     gauss_params=None,
+    resident: bool | None = None,
 ) -> tuple[list[np.ndarray], StitchReport]:
     """Decode each table's full span via halo chunks (see
     _stitched_decode for the stitching/widening/guarantee contract).
@@ -393,6 +744,10 @@ def viterbi_chunked(
       gauss_params: gaussian-track emissions (models/gauss.py); values
         come from each table's ``.values`` matrix and chunk with the
         symbols.
+      resident: device-resident decode (_ResidentDecoder): True/False
+        force, None = auto (on when the tables fit the staging budget;
+        TEHMM_DECODE_RESIDENT=off disables).  Results are identical
+        either way.
 
     Returns:
       (paths, report): one int32[L] state path per input table.
@@ -407,6 +762,10 @@ def viterbi_chunked(
         params, tables, chunk_len, halo, max_halo, agree_frac,
         decode_rows, viterbi_exact, "viterbi_chunked",
         weight_arrays, gauss_params,
+        decoder_factory=_make_decoder_factory(
+            params, gauss_params, weight_arrays, rows_per_pass,
+            "viterbi", resident,
+        ),
     )
 
 
@@ -421,6 +780,7 @@ def posterior_chunked(
     strict: bool = False,
     gauss_params=None,
     weight_arrays: Sequence[np.ndarray] | None = None,
+    resident: bool | None = None,
 ) -> tuple[list[np.ndarray], StitchReport]:
     """Max-posterior decoding with the same stitching contract as
     viterbi_chunked (see _stitched_decode): halo chunks, all-boundary
@@ -438,6 +798,10 @@ def posterior_chunked(
         params, tables, chunk_len, halo, max_halo, agree_frac,
         decode_rows, posterior_exact, "posterior_chunked",
         weight_arrays, gauss_params,
+        decoder_factory=_make_decoder_factory(
+            params, gauss_params, weight_arrays, rows_per_pass,
+            "maxpost", resident,
+        ),
     )
 
 
@@ -451,7 +815,8 @@ def _posterior_batch(
     weights: np.ndarray | None = None,
 ) -> np.ndarray:
     """argmax-gamma over a chunk batch in fixed-shape row groups, with
-    a bounded number of groups in flight (_pipelined_groups)."""
+    a bounded number of groups in flight (_pipelined_groups) and
+    run-length-packed path downloads (_rle_pack)."""
     n, L, _T = symbols.shape
     out = np.zeros((n, L), dtype=np.int32)
     S = params.log_em.shape[0]
@@ -463,6 +828,7 @@ def _posterior_batch(
             None if weights is None else weights[lo:hi],
             None if values is None else values[lo:hi],
         )
+        jlens = jnp.asarray(lens)
         if _use_fused_maxpost(S):
             # fused v4 maxPost: symbols in, argmax-gamma path out —
             # obs/alpha/beta tables never materialize as [B,L,S] in HBM;
@@ -471,7 +837,7 @@ def _posterior_batch(
 
             states = pk.posterior_decode_fused_pallas_v4(
                 params.log_start, params.log_trans, params.log_em,
-                jnp.asarray(sym), jnp.asarray(lens),
+                jnp.asarray(sym), jlens,
                 None if w is None else jnp.asarray(w),
                 gauss_params if v is not None else None,
                 None if v is None else jnp.asarray(v),
@@ -486,16 +852,18 @@ def _posterior_batch(
                 )
             if w is not None:
                 obs = obs * jnp.asarray(w)[:, :, None]
-            jl = jnp.asarray(lens)
             ah, _, _ = dp.forward_scaled(
-                params.log_start, params.log_trans, obs, jl
+                params.log_start, params.log_trans, obs, jlens
             )
-            bh, _ = dp.backward_scaled(params.log_trans, obs, jl)
+            bh, _ = dp.backward_scaled(params.log_trans, obs, jlens)
             states = jnp.argmax(dp.posterior_scaled(ah, bh), axis=-1)
-        return states if S > 255 else states.astype(jnp.uint8)
+        return _pack_for_transport(states, jlens, S, L)
 
-    def consume(lo, hi, states):
-        out[lo:hi] = np.asarray(states)[: hi - lo]
+    def consume(lo, hi, result):
+        for k, r in enumerate(
+            _fetch_rows(result, lengths[lo:hi], _rle_shift(S))
+        ):
+            out[lo + k, : len(r)] = r
 
     _pipelined_groups(n, rows_per_pass, dispatch, consume)
     return out

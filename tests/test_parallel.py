@@ -793,3 +793,134 @@ class TestRegressions:
             obs_weights=w, gauss_params=gp, gauss_values=vals,
         ))
         np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+class TestResidentDecodeRLE:
+    """Round-5: device-resident decode + run-length path transport
+    (parallel/stitch._ResidentDecoder, _rle_pack/_rle_expand).  Genome
+    decode was transfer-bound (per-dispatch symbol re-upload + per-base
+    path download); the resident path must be BIT-IDENTICAL to the
+    host-batched path and to the monolithic decode."""
+
+    def test_rle_pack_expand_roundtrip(self, rng):
+        from tehmm_tpu.parallel import stitch
+
+        n, L = 6, 512
+        K = stitch._rle_slots(L)
+        paths = np.repeat(
+            rng.randint(0, 7, size=(n, L // 16)), 16, axis=1
+        ).astype(np.int32)
+        paths[0] = 2                       # single run
+        paths[1] = np.tile([0, 1], L // 2)  # 512 runs: overflows K=64
+        lens = np.asarray([L, L, L, 100, 1, 0], np.int32)
+        packed = np.asarray(stitch._rle_pack(
+            jnp.asarray(paths), jnp.asarray(lens), K, 8
+        ))
+        calls = [0]
+
+        def full():
+            calls[0] += 1
+            return paths
+
+        rows = stitch._rle_expand(packed, lens, 8, full)
+        for i in range(n):
+            np.testing.assert_array_equal(rows[i], paths[i, : lens[i]])
+        assert calls[0] == 1   # overflow row fetched the block once
+
+    @pytest.mark.parametrize("mode", ["viterbi", "maxpost"])
+    def test_resident_equals_host_batch(self, rng, make_hmm, mode):
+        from tehmm_tpu.parallel.stitch import (
+            posterior_chunked, viterbi_chunked,
+        )
+
+        params = _params(make_hmm(4, 2, 5))
+        tabs = [
+            rng.randint(1, 5, size=(L, 2)).astype(np.uint8)
+            for L in (1500, 1, 0, 700)
+        ]
+        fn = viterbi_chunked if mode == "viterbi" else posterior_chunked
+        got_r, rep_r = fn(
+            params, tabs, chunk_len=256, halo=32, resident=True
+        )
+        got_h, _ = fn(
+            params, tabs, chunk_len=256, halo=32, resident=False
+        )
+        for a, b in zip(got_r, got_h):
+            np.testing.assert_array_equal(a, b)
+        # and == the monolithic decode on the big table
+        obs = track_log_likelihoods(
+            params.log_em, jnp.asarray(tabs[0][None])
+        )
+        if mode == "viterbi":
+            want, _ = dp.viterbi(
+                params.log_start, params.log_trans, obs
+            )
+        else:
+            ah, _, _ = dp.forward_scaled(
+                params.log_start, params.log_trans, obs
+            )
+            bh, _ = dp.backward_scaled(params.log_trans, obs)
+            want = jnp.argmax(dp.posterior_scaled(ah, bh), axis=-1)
+        np.testing.assert_array_equal(got_r[0], np.asarray(want)[0])
+
+    @pytest.mark.parametrize("mode", ["viterbi", "maxpost"])
+    def test_resident_gauss_and_weights(self, rng, make_hmm, mode):
+        """Gaussian values and segment weights gather from the resident
+        arrays with the same zero padding as batch_chunks."""
+        from tehmm_tpu.models.gauss import GaussParams
+        from tehmm_tpu.parallel.stitch import (
+            posterior_chunked, viterbi_chunked,
+        )
+
+        S, Gn = 3, 2
+        params = _params(make_hmm(S, 2, 5))
+        gp = GaussParams(
+            mu=jnp.asarray(rng.randn(S, Gn).astype(np.float32)),
+            log_var=jnp.asarray(np.zeros((S, Gn), np.float32)),
+        )
+
+        class _Tab:
+            def __init__(self, sym, vals):
+                self.symbols = sym
+                self.values = vals
+
+        tabs = []
+        weights = []
+        for L in (900, 333):
+            vals = rng.randn(L, Gn).astype(np.float32)
+            vals[rng.rand(L, Gn) < 0.1] = np.nan
+            tabs.append(_Tab(
+                rng.randint(1, 5, size=(L, 2)).astype(np.uint8), vals
+            ))
+            weights.append(
+                rng.randint(1, 4, size=L).astype(np.float32)
+            )
+        fn = viterbi_chunked if mode == "viterbi" else posterior_chunked
+        got_r, _ = fn(
+            params, tabs, chunk_len=128, halo=16,
+            weight_arrays=weights, gauss_params=gp, resident=True,
+        )
+        got_h, _ = fn(
+            params, tabs, chunk_len=128, halo=16,
+            weight_arrays=weights, gauss_params=gp, resident=False,
+        )
+        for a, b in zip(got_r, got_h):
+            np.testing.assert_array_equal(a, b)
+
+    def test_env_gate_disables_resident(self, rng, make_hmm, monkeypatch):
+        from tehmm_tpu.parallel import stitch
+
+        monkeypatch.setenv("TEHMM_DECODE_RESIDENT", "off")
+        factory = stitch._make_decoder_factory(
+            _params(make_hmm(3, 1, 4)), None, None, 8, "viterbi", None
+        )
+        assert factory([np.zeros((10, 1), np.uint8)], None) is None
+
+    def test_budget_gate_falls_back(self, rng, make_hmm, monkeypatch):
+        monkeypatch.setenv("TEHMM_MAX_DEVICE_BYTES", "16")
+        from tehmm_tpu.parallel import stitch
+
+        factory = stitch._make_decoder_factory(
+            _params(make_hmm(3, 1, 4)), None, None, 8, "viterbi", None
+        )
+        assert factory([np.zeros((100, 1), np.uint8)], None) is None
