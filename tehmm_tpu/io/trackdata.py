@@ -234,35 +234,86 @@ def load_track_data(
         else:
             sources[track.name] = _BedSource(track.path, track.val_col)
 
-    n_tracks = len(track_list)
-    gauss_tracks = [
-        t for t in track_list if t.distribution == "gaussian"
-    ]
+    tracks = list(track_list)
+    n_tracks = len(tracks)
+    gauss_tracks = [t for t in tracks if t.distribution == "gaussian"]
+
+    # Tracks paint CONCURRENTLY within each interval: every worker owns
+    # its track's source and CategoryMap (nothing shared), and the
+    # heavy work — native BED/BigWig decode, vectorized binning —
+    # releases the GIL.  Round-4 profile: painting was serialized
+    # across tracks even though the C++ decoder threads only span
+    # blocks WITHIN one call.  TEHMM_LOAD_THREADS overrides.
+    import os as _os
+
+    env_threads = _os.environ.get("TEHMM_LOAD_THREADS")
+    n_workers = (
+        max(1, int(env_threads)) if env_threads
+        else max(1, min(n_tracks, _os.cpu_count() or 1))
+    )
+    pool = None
+    if n_workers > 1 and n_tracks > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(n_workers)
+
+    from tehmm_tpu import native
+
     tables: list[TrackTable] = []
-    for iv in intervals:
-        chrom, start, end = iv[0], int(iv[1]), int(iv[2])
-        L = end - start
-        mat = np.zeros((L, n_tracks), dtype=np.uint16)
-        vals = (
-            np.full((L, len(gauss_tracks)), np.nan, np.float32)
-            if gauss_tracks else None
-        )
-        g_idx = 0
-        for t_idx, track in enumerate(track_list):
-            cm = maps[track.name]
-            src = sources[track.name]
-            if track.distribution == "gaussian":
-                # symbols column stays all-missing (categorically
-                # inert); the continuous values ride TrackTable.values
-                vals[:, g_idx] = _paint_track_gauss(
-                    track, src, chrom, start, end
+    try:
+        for iv in intervals:
+            chrom, start, end = iv[0], int(iv[1]), int(iv[2])
+            L = end - start
+
+            def paint_one(t_idx):
+                track = tracks[t_idx]
+                src = sources[track.name]
+                if track.distribution == "gaussian":
+                    return _paint_track_gauss(
+                        track, src, chrom, start, end
+                    )
+                return _paint_track(
+                    track, maps[track.name], src, chrom, start, end,
+                    bool(update_maps),
                 )
-                g_idx += 1
-                continue
-            col = _paint_track(track, cm, src, chrom, start, end,
-                               bool(update_maps))
-            mat[:, t_idx] = col
-        tables.append(TrackTable(chrom, start, end, mat, values=vals))
+
+            if pool is not None:
+                cols = list(pool.map(paint_one, range(n_tracks)))
+            else:
+                cols = [paint_one(i) for i in range(n_tracks)]
+
+            # assemble row-major [L, T] via the blocked native pack
+            # (the `mat[:, t]` strided writes cost a cache line per
+            # element — ~4 s/track at genome scale, round-4 profile)
+            zero_col = None
+            cat_cols = []
+            g_cols = []
+            for t_idx, track in enumerate(tracks):
+                if track.distribution == "gaussian":
+                    g_cols.append(cols[t_idx])
+                    if zero_col is None:
+                        # gaussian symbol columns stay all-missing
+                        # (categorically inert; values ride .values)
+                        zero_col = np.zeros(L, np.uint16)
+                    cat_cols.append(zero_col)
+                else:
+                    cat_cols.append(cols[t_idx])
+            mat = np.empty((L, n_tracks), dtype=np.uint16)
+            if not native.pack_columns(cat_cols, mat):
+                for t_idx, c in enumerate(cat_cols):
+                    mat[:, t_idx] = c
+            vals = None
+            if gauss_tracks:
+                vals = np.empty((L, len(g_cols)), np.float32)
+                if not native.pack_columns(g_cols, vals):
+                    for gi, c in enumerate(g_cols):
+                        vals[:, gi] = c
+            tables.append(
+                TrackTable(chrom, start, end, mat, values=vals)
+            )
+    finally:
+        if pool is not None:
+            pool.shutdown()
 
     # shrink dtype if possible
     max_sym = max(
@@ -374,29 +425,47 @@ def _paint_track(
         # below np.unique-sorts the raw floats — ~40 s per
         # whole-genome signal track where this is ~3 s.  Matches
         # io.category.bin_value exactly: f64 shift, multiply/log,
-        # floor (keys are str(int) either way).
-        with np.errstate(invalid="ignore"):
-            v = vals + float(track.shift or 0.0)   # f64, NaN kept
+        # floor (keys are str(int) either way).  Evaluated in BOUNDED
+        # BLOCKS: the round-4 profile flagged the per-track
+        # whole-genome f64 temporaries (shift copy + floor + int64
+        # bins = ~6 GB live per 250M-position track) as load-floor
+        # churn; per-block scratch is ~400 MB with identical math.
+        shift = float(track.shift or 0.0)
+
+        def fb_of(x):
+            v = x + shift                         # f64, NaN kept
             if track.scale is not None:
-                fb = np.floor(v * track.scale)
-            else:
-                fb = np.floor(
-                    np.log(np.maximum(v, 1e-9))
-                    / np.log(track.log_scale)
-                )
-        bmin = int(np.nanmin(fb))           # covered.any() holds
-        span = int(np.nanmax(fb)) - bmin + 1
+                return np.floor(v * track.scale)
+            return np.floor(
+                np.log(np.maximum(v, 1e-9)) / np.log(track.log_scale)
+            )
+
+        with np.errstate(invalid="ignore"):
+            # shift+scale/log+floor is monotone (either direction for
+            # negative scale / base < 1), so the global bin range comes
+            # from the transformed value extremes
+            b0 = fb_of(np.float64(np.nanmin(vals)))
+            b1 = fb_of(np.float64(np.nanmax(vals)))
+        bmin = int(min(b0, b1))             # covered.any() holds
+        span = int(max(b0, b1)) - bmin + 1
         if span <= (1 << 22):
-            # sentinel bin `span` for NaN rows -> background symbol
-            fb -= bmin
-            fb[~covered] = span
-            bins = fb.astype(np.int64)
-            present = np.nonzero(
-                np.bincount(bins, minlength=span + 1)[:span]
-            )[0]
+            bins = np.empty(L, np.int32)
+            present = np.zeros(span, bool)
+            BLK = 1 << 24
+            with np.errstate(invalid="ignore"):
+                for lo in range(0, L, BLK):
+                    fb = fb_of(vals[lo : lo + BLK])
+                    fb -= bmin
+                    # sentinel bin `span` for NaN rows -> background
+                    fb[np.isnan(fb)] = span
+                    blk = fb.astype(np.int32)
+                    bins[lo : lo + len(blk)] = blk
+                    present |= np.bincount(
+                        blk, minlength=span + 1
+                    )[:span].astype(bool)
             lut = np.empty(span + 1, np.uint16)
             lut[span] = bg                  # NaN rows -> background
-            for b in present:
+            for b in np.nonzero(present)[0]:
                 lut[b] = cm.get_map(int(b) + bmin, update=update)
             return lut[bins]
     w = vals[covered]

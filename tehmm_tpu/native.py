@@ -106,6 +106,11 @@ def _build() -> ctypes.CDLL | None:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_int32,
     ]
+    for fn in (lib.pack_columns_u16, lib.pack_columns_f32):
+        fn.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int32,
+        ]
     return lib
 
 
@@ -239,6 +244,33 @@ def runs_encode(path: np.ndarray):
         starts.ctypes.data, ends.ctypes.data, states.ctypes.data,
     )
     return starts[:m], ends[:m], states[:m]
+
+
+def pack_columns(cols, out: np.ndarray, n_threads: int = 0) -> bool:
+    """Interleave per-track column arrays into the row-major [L, T]
+    ``out`` matrix (cache-blocked + threaded in C++; the NumPy
+    ``mat[:, t] = col`` strided writes cost a cache line per element at
+    genome scale).  uint16 or float32; False -> caller falls back."""
+    lib = _get()
+    if lib is None:
+        return False
+    if out.dtype == np.uint16:
+        fn = lib.pack_columns_u16
+    elif out.dtype == np.float32:
+        fn = lib.pack_columns_f32
+    else:
+        return False
+    L, T = out.shape
+    if not out.flags.c_contiguous or len(cols) != T:
+        return False
+    cols = [np.ascontiguousarray(c, out.dtype) for c in cols]
+    if any(len(c) != L for c in cols):
+        return False
+    ptrs = (ctypes.c_void_p * T)(*[c.ctypes.data for c in cols])
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 8)
+    fn(ptrs, T, L, out.ctypes.data, n_threads)
+    return True
 
 
 def bigwig_paint_blocks(

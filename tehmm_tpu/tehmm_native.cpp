@@ -209,6 +209,51 @@ int64_t runs_encode(const int32_t* path, int64_t n,
     return m;
 }
 
+}  // extern "C" (template below cannot carry C linkage)
+
+// Interleave T contiguous columns into one row-major [L, T] matrix with
+// cache-blocked, threaded writes.  The naive per-column strided write
+// (`mat[:, t] = col`) touches a fresh cache line per 2-byte store —
+// ~64 B of memory traffic per element, measured ~4 s/track at genome
+// scale (round-4 profile); a position block whose T-wide rows fit L1/L2
+// turns that into sequential streams (~0.3 s for 250M x 15).
+template <typename E>
+static void pack_columns_impl(const E* const* cols, int32_t T, int64_t L,
+                              E* out, int32_t n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    const int64_t BLOCK = 8192;
+    auto work = [&](int64_t tid) {
+        for (int64_t lo = tid * BLOCK; lo < L;
+             lo += (int64_t)n_threads * BLOCK) {
+            int64_t hi = lo + BLOCK < L ? lo + BLOCK : L;
+            for (int32_t t = 0; t < T; ++t) {
+                const E* c = cols[t];
+                E* o = out + lo * T + t;
+                for (int64_t i = lo; i < hi; ++i, o += T) *o = c[i];
+            }
+        }
+    };
+    if (n_threads == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> threads;
+        for (int t = 0; t < n_threads; ++t) threads.emplace_back(work, t);
+        for (auto& th : threads) th.join();
+    }
+}
+
+extern "C" {
+
+void pack_columns_u16(const uint16_t* const* cols, int32_t T, int64_t L,
+                      uint16_t* out, int32_t n_threads) {
+    pack_columns_impl(cols, T, L, out, n_threads);
+}
+
+void pack_columns_f32(const float* const* cols, int32_t T, int64_t L,
+                      float* out, int32_t n_threads) {
+    pack_columns_impl(cols, T, L, out, n_threads);
+}
+
 // ---------------------------------------------------------------------
 // FASTA indexing (reference: bx-python / samtools-faidx style random
 // access; SURVEY.md §2a trackIO row).  Mirrors io/fasta.py's Python

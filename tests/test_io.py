@@ -675,3 +675,98 @@ class TestFastaHeaderEdgeCases:
             monkeypatch.setattr(native, "_tried", True)
             fa_py = FastaFile(str(p))
             assert fa_py._index == fa._index
+
+
+class TestLoadParallelAndPack:
+    """Round-5: threaded per-track painting + native column packing
+    (load_track_data; native.pack_columns).  The assembled tables must
+    be identical regardless of worker count or native availability."""
+
+    def _fixtures(self, tmp_path, rng):
+        import numpy as _np
+
+        L = 4000
+        rep = str(tmp_path / "rep.bed")
+        rows = []
+        p = 0
+        while p < L - 20:
+            ln = int(rng.randint(5, 60))
+            if rng.rand() < 0.5:
+                rows.append(
+                    ("chr1", p, p + ln, "LINE" if rng.rand() < 0.5
+                     else "SINE")
+                )
+            p += ln
+        write_bed_intervals(rows, rep)
+        fa = tmp_path / "g.fa"
+        seq = "".join(rng.choice(list("ACGT"), L))
+        fa.write_text(">chr1\n" + seq + "\n")
+        gbed = str(tmp_path / "gv.bed")
+        write_bed_intervals(
+            [("chr1", i, i + 10, f"{rng.randn():.3f}")
+             for i in range(0, L - 10, 25)], gbed
+        )
+        tl = TrackList()
+        tl.add(Track(name="rep", path=rep))
+        tl.add(Track(name="cov", path=rep, distribution="binary"))
+        tl.add(Track(name="seq", path=str(fa)))
+        tl.add(Track(name="gv", path=gbed, distribution="gaussian"))
+        return tl
+
+    def test_threaded_load_matches_serial(self, tmp_path, monkeypatch):
+        rng = np.random.RandomState(7)
+        tl = self._fixtures(tmp_path, rng)
+        ivs = [("chr1", 0, 4000), ("chr1", 100, 300)]
+        monkeypatch.setenv("TEHMM_LOAD_THREADS", "1")
+        td1 = load_track_data(tl, ivs)
+        monkeypatch.setenv("TEHMM_LOAD_THREADS", "4")
+        td4 = load_track_data(tl, ivs)
+        for a, b in zip(td1.tables, td4.tables):
+            np.testing.assert_array_equal(a.symbols, b.symbols)
+            np.testing.assert_array_equal(a.values, b.values)
+        for name in td1.category_maps:
+            assert (td1.category_maps[name].to_dict()
+                    == td4.category_maps[name].to_dict())
+
+    def test_pack_columns_matches_numpy(self):
+        from tehmm_tpu import native
+
+        if not native.available():
+            import pytest as _pytest
+
+            _pytest.skip("native lib unavailable")
+        rng = np.random.RandomState(0)
+        L, T = 10000, 5
+        cols = [
+            rng.randint(0, 500, L).astype(np.uint16) for _ in range(T)
+        ]
+        out = np.empty((L, T), np.uint16)
+        assert native.pack_columns(cols, out)
+        np.testing.assert_array_equal(out, np.stack(cols, axis=1))
+        fcols = [rng.randn(L).astype(np.float32) for _ in range(3)]
+        fout = np.empty((L, 3), np.float32)
+        assert native.pack_columns(fcols, fout)
+        np.testing.assert_array_equal(fout, np.stack(fcols, axis=1))
+        # unsupported dtype / shape mismatch -> caller must fall back
+        assert not native.pack_columns(
+            cols, np.empty((L, T), np.int64)
+        )
+        assert not native.pack_columns(
+            cols[:-1], np.empty((L, T), np.uint16)
+        )
+
+    def test_no_native_fallback_load(self, tmp_path, monkeypatch):
+        rng = np.random.RandomState(7)
+        tl = self._fixtures(tmp_path, rng)
+        td_native = load_track_data(tl, [("chr1", 0, 4000)])
+        import tehmm_tpu.native as native_mod
+
+        monkeypatch.setattr(native_mod, "pack_columns",
+                            lambda cols, out, n_threads=0: False)
+        td_fb = load_track_data(tl, [("chr1", 0, 4000)])
+        np.testing.assert_array_equal(
+            td_native.tables[0].symbols, td_fb.tables[0].symbols
+        )
+        np.testing.assert_array_equal(
+            td_native.tables[0].values, td_fb.tables[0].values
+        )
