@@ -26,6 +26,7 @@ TOOLS = {
     "add-tsd-track": "tehmm_tpu.cli.add_tsd_track",
     "track-ranking": "tehmm_tpu.cli.track_ranking",
     "clean-external": "tehmm_tpu.cli.clean_external",
+    "import-model": "tehmm_tpu.cli.import_model",
 }
 
 

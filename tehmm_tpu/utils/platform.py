@@ -10,6 +10,11 @@ compiled-accelerator framework does:
   disable with ``TEHMM_COMPILE_CACHE=0``): CLI tools are separate
   processes, and TPU compiles of the scan kernels take tens of seconds —
   the cache makes every invocation after the first start instantly.
+* ``TEHMM_DEBUG_NANS=1``: dev-mode NaN guard (SURVEY.md §5 race-detection
+  row) — flips ``jax_debug_nans`` so the first NaN-producing op raises
+  with its location instead of silently corrupting downstream scans.
+  Development only: it forces per-op sync checks and disqualifies some
+  fusions.
 
 Must run before any JAX backend is initialized (CLI mains call it first).
 """
@@ -26,6 +31,11 @@ def setup_jax(platform: str | None = None,
     platform = platform or os.environ.get("TEHMM_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
+
+    if os.environ.get("TEHMM_DEBUG_NANS", "").lower() in (
+        "1", "on", "true", "yes"
+    ):
+        jax.config.update("jax_debug_nans", True)
 
     cache = cache_dir or os.environ.get(
         "TEHMM_COMPILE_CACHE", "~/.cache/tehmm_tpu/xla"
