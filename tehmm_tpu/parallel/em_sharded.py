@@ -157,3 +157,35 @@ def sharded_loglik(
         local, mesh=mesh, in_specs=tuple(in_specs), out_specs=P()
     )
     return fn(*args)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def sharded_viterbi(
+    params: HmmParams,
+    symbols: jax.Array,
+    lengths: jax.Array,
+    mesh: jax.sharding.Mesh,
+) -> tuple[jax.Array, jax.Array]:
+    """Data-parallel Viterbi over a chunk batch: rows shard over the
+    data axis and each device decodes its shard locally — the
+    device-compute portion of chunked decode on a pod (the halo
+    stitching of parallel/stitch stays host-side and is
+    device-count-independent).  Paths and scores equal ``dp.viterbi``
+    on the full batch (no cross-chunk collective exists to change
+    them).  Returns (path int32[B, L], score f32[B])."""
+    from tehmm_tpu.models.emission import track_log_likelihoods
+    from tehmm_tpu.ops import dp
+
+    def local(params, symbols, lengths):
+        obs = track_log_likelihoods(params.log_em, symbols)
+        return dp.viterbi(
+            params.log_start, params.log_trans, obs, lengths
+        )
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+    )
+    return fn(params, symbols, lengths)
