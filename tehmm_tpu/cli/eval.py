@@ -71,10 +71,14 @@ def make_parser() -> argparse.ArgumentParser:
                    help="with --segment: length-weighted emissions "
                         "(must match training)")
     p.add_argument("--mesh", type=int, default=0,
-                   help="CFG models: shard decode windows over an "
-                        "N-device data mesh (0 = single device); "
-                        "applies to both CYK Viterbi and --maxPost/"
-                        "--pd inside-outside windows")
+                   help="decode/score over an N-device data mesh "
+                        "(0 = single device).  CFG models: shards CYK "
+                        "Viterbi and --maxPost/--pd inside-outside "
+                        "windows.  HMM models: the printed forward "
+                        "log-likelihood (non-Viterbi modes) uses the "
+                        "exact sequence-parallel forward "
+                        "(parallel/seqpar) — each region's time axis "
+                        "shards over the devices")
     add_logging_options(p)
     return p
 
@@ -199,7 +203,14 @@ def main(argv=None) -> int:
             for tab, p in zip(track_data.tables, paths)
         )
     else:
-        total_ll = model.score(track_data.tables, chunk_len=opts.chunk)
+        mesh = None
+        if opts.mesh and not cfg_meta:
+            from tehmm_tpu.parallel import make_data_mesh
+
+            mesh = make_data_mesh(opts.mesh)
+        total_ll = model.score(
+            track_data.tables, chunk_len=opts.chunk, mesh=mesh
+        )
     print(f"{total_ll}")
 
     if opts.bed:

@@ -716,14 +716,33 @@ class MultitrackHmm:
         return out
 
     def score(
-        self, tables: Sequence[TrackTable], chunk_len: int = 1 << 14
+        self, tables: Sequence[TrackTable], chunk_len: int = 1 << 14,
+        mesh: jax.sharding.Mesh | None = None,
     ) -> float:
         """Total log-likelihood of the data (reference: basehmm.score).
 
         Exact for arbitrarily long tables: the forward alpha is carried
         across fixed-size chunks (ops.dp.streaming_loglik), so device
         memory is O(tables × states) and every chunk reuses one compiled
-        shape regardless of table lengths."""
+        shape regardless of table lengths.
+
+        ``mesh``: score each table with the EXACT sequence-parallel
+        forward instead — the sequence shards over the data axis, every
+        device reduces its span to one S×S operator locally, and the
+        composition is a single tiny all_gather
+        (parallel/seqpar.forward_loglik_seqpar).  Latency scales as
+        L/D for the few-long-chromosomes regime where the carried-alpha
+        stream is a serial chain; identical loglik within f32
+        tolerance."""
+        if mesh is not None:
+            from tehmm_tpu.parallel.seqpar import score_table_seqpar
+
+            return float(sum(
+                score_table_seqpar(
+                    self.params, t, mesh, gauss_params=self.gauss
+                )
+                for t in tables
+            ))
         mats = [t.symbols for t in tables]
         true_lens = np.asarray([len(m) for m in mats])
         L = int(true_lens.max())

@@ -924,3 +924,64 @@ class TestResidentDecodeRLE:
             _params(make_hmm(3, 1, 4)), None, None, 8, "viterbi", None
         )
         assert factory([np.zeros((100, 1), np.uint8)], None) is None
+
+
+class TestSeqParForward:
+    """Round-5: exact cross-device sequence-parallel forward
+    (parallel/seqpar) — the SURVEY §2c SP/CP promise of composing
+    per-chunk S×S operators over the mesh, wired into score()."""
+
+    def test_seqpar_equals_monolithic(self, rng, make_hmm):
+        from tehmm_tpu.parallel.mesh import make_data_mesh
+        from tehmm_tpu.parallel.seqpar import score_table_seqpar
+
+        params = _params(make_hmm(5, 2, 6))
+        mesh = make_data_mesh(8)
+        for L in (4096, 1000, 17, 1, 0):
+            sym = rng.randint(1, 6, size=(L, 2)).astype(np.uint8)
+            got = score_table_seqpar(params, sym, mesh)
+            if L == 0:
+                assert got == 0.0
+                continue
+            obs = track_log_likelihoods(
+                params.log_em, jnp.asarray(sym[None])
+            )
+            _, _, ll = dp.forward_scaled(
+                params.log_start, params.log_trans, obs
+            )
+            np.testing.assert_allclose(got, float(ll[0]), rtol=2e-5)
+
+    def test_score_mesh_dispatch_with_gauss(self, rng, make_hmm):
+        from tehmm_tpu.models.gauss import GaussParams
+        from tehmm_tpu.models.hmm import MultitrackHmm
+        from tehmm_tpu.io.trackxml import Track, TrackList
+        from tehmm_tpu.io.category import CategoryMap
+        from tehmm_tpu.io.trackdata import TrackTable
+        from tehmm_tpu.parallel.mesh import make_data_mesh
+
+        S, Gn = 3, 2
+        params = _params(make_hmm(S, 2, 5))
+        tl = TrackList()
+        tl.add(Track(name="a", path="a.bed"))
+        tl.add(Track(name="b", path="b.bed"))
+        model = MultitrackHmm(
+            params, tl,
+            {"a": CategoryMap(), "b": CategoryMap()},
+            [str(i) for i in range(S)],
+        )
+        model.gauss = GaussParams(
+            mu=jnp.asarray(rng.randn(S, Gn).astype(np.float32)),
+            log_var=jnp.zeros((S, Gn), jnp.float32),
+        )
+        tabs = []
+        for L in (511, 33):
+            vals = rng.randn(L, Gn).astype(np.float32)
+            vals[rng.rand(L, Gn) < 0.1] = np.nan
+            tabs.append(TrackTable(
+                "chr1", 0, L,
+                rng.randint(1, 5, size=(L, 2)).astype(np.uint8),
+                values=vals,
+            ))
+        want = model.score(tabs)
+        got = model.score(tabs, mesh=make_data_mesh(8))
+        np.testing.assert_allclose(got, want, rtol=2e-5)
