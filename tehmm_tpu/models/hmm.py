@@ -169,6 +169,66 @@ class FitResult:
     wall_seconds: float
 
 
+@dataclasses.dataclass
+class _Prestaged:
+    """Flat device-resident views handed to the stitched decoders
+    (parallel/stitch._ResidentDecoder ``prestaged``)."""
+
+    sym_flat: object            # [rows*Lr, T] device
+    val_flat: object | None     # [rows*Lr, G] device
+    w_flat: object | None       # [rows*Lr] device
+    offsets: tuple              # flat start of each table
+
+
+@dataclasses.dataclass
+class _FitStagingCache:
+    """Training batch kept device-resident after fit() so the
+    train -> decode pipeline skips re-uploading the same genome
+    (round-5: 250M x 15 = 4 GB costs 20-65 s at the tunnel's
+    ~0.2 GB/s H2D; the flat view below is one on-device reshape).
+    Invalidated whenever fit() runs again; ``MultitrackHmm.
+    release_staging()`` frees the device memory explicitly."""
+
+    mats_ids: tuple             # id() of each table's symbol matrix
+    Lr: int                     # chunk row length used at staging
+    row_start: tuple            # first chunk-row of each table
+    sym_src: object             # [rows, Lr, T] / [P, r, Lr, T] device
+    gv_src: object | None
+    w_src: object | None
+    mats_refs: tuple            # pins the id()s above
+    _flat: object = None
+
+    def prestaged_for(self, tables, need_weights, need_values):
+        ids = tuple(
+            id(getattr(t, "symbols", t)) for t in tables
+        )
+        if ids != self.mats_ids:
+            return None
+        if need_values and self.gv_src is None:
+            return None
+        if need_weights and self.w_src is None:
+            return None
+        if self._flat is None:
+            sym = self.sym_src
+            self._flat = _Prestaged(
+                sym_flat=sym.reshape(-1, sym.shape[-1]),
+                val_flat=(
+                    None if self.gv_src is None
+                    else self.gv_src.reshape(
+                        -1, self.gv_src.shape[-1]
+                    )
+                ),
+                w_flat=(
+                    None if self.w_src is None
+                    else self.w_src.reshape(-1)
+                ),
+                offsets=tuple(
+                    r * self.Lr for r in self.row_start
+                ),
+            )
+        return self._flat
+
+
 class MultitrackHmm:
     """Multi-track HMM with independent categorical emissions."""
 
@@ -183,6 +243,9 @@ class MultitrackHmm:
         self.track_list = track_list
         self.category_maps = category_maps
         self.extra: dict = {}  # free-form persisted metadata (e.g. cfg)
+        # device-resident training batch retained by fit() for the
+        # train -> decode pipeline (_FitStagingCache); never persisted
+        self._staging: _FitStagingCache | None = None
         # gaussian-track normal emissions (models/gauss.GaussParams);
         # None when no track declares distribution="gaussian"
         self.gauss = None
@@ -360,6 +423,7 @@ class MultitrackHmm:
 
         from tehmm_tpu.parallel.mesh import stage_batch
 
+        self._staging = None          # fit invalidates any prior cache
         mats = [t.symbols for t in tables]
         chunks = plan_chunks([len(m) for m in mats], chunk_len, halo=0)
         batch = batch_chunks(mats, chunks)
@@ -454,6 +518,17 @@ class MultitrackHmm:
             obs_weights = (
                 None if w_np is None else stage_batch(w_np, mesh)
             )
+            # Drain the uploads BEFORE the first E-step dispatch:
+            # H2D interleaved with compute dispatches collapses ~20x
+            # on tunneled runtimes (BASELINE round-4), so a genome-
+            # scale staging that overlaps the first compile turns a
+            # ~5s upload into minutes.  Back-to-back it runs at the
+            # full isolated rate.
+            jax.block_until_ready([
+                a for a in (symbols, lengths, obs_weights,
+                            gauss_values)
+                if a is not None
+            ])
 
         # Oversized device-resident batches are cut into pass-blocks so
         # the E-step's working set (obs/one-hot/alpha/beta, ~400B per
@@ -466,6 +541,28 @@ class MultitrackHmm:
             passes = _make_passes(
                 symbols, lengths, obs_weights, gauss_values,
                 rows_per_pass,
+            )
+            # Retain the staged (or pass-split padded) batch for the
+            # train -> decode pipeline: decode_tables gathers windows
+            # straight from this instead of re-uploading the genome.
+            # Padded tail rows are position-masked by the decoder.
+            first_row: dict[int, int] = {}
+            for ci, c in enumerate(chunks):
+                first_row.setdefault(c.table_idx, ci)
+            self._staging = _FitStagingCache(
+                mats_ids=tuple(id(m) for m in mats),
+                Lr=Lr,
+                row_start=tuple(
+                    first_row.get(t, 0) for t in range(len(mats))
+                ),
+                sym_src=passes[0] if passes is not None else symbols,
+                gv_src=(
+                    passes[3] if passes is not None else gauss_values
+                ),
+                w_src=(
+                    passes[2] if passes is not None else obs_weights
+                ),
+                mats_refs=tuple(mats),
             )
         if passes is not None:
             # the un-split staged arrays are unreachable below once the
@@ -547,12 +644,16 @@ class MultitrackHmm:
 
         def _put_block(blk):
             """Upload one host pass-block; async, so the transfer of
-            block i+1 overlaps the E-step of block i."""
+            block i+1 overlaps the E-step of block i.  fast_device_put:
+            on tunneled runtimes the blocks ride the codec's
+            incompressible fast path (utils/transfer)."""
+            from tehmm_tpu.utils.transfer import fast_device_put
+
             sym, lens, w, gv = blk
             return (
-                jax.device_put(sym), jax.device_put(lens),
-                None if w is None else jax.device_put(w),
-                None if gv is None else jax.device_put(gv),
+                fast_device_put(sym), jax.device_put(lens),
+                None if w is None else fast_device_put(w),
+                None if gv is None else fast_device_put(gv),
             )
 
         for it in range(max_iterations):
@@ -636,12 +737,30 @@ class MultitrackHmm:
         halo: int = 256,
         rows_per_pass: int = 512,
     ) -> tuple[list[np.ndarray], object]:
-        """Viterbi state paths for each table (boundary-exact chunked)."""
+        """Viterbi state paths for each table (boundary-exact chunked).
+
+        When these are the tables fit() just trained on, the decode
+        gathers windows from the still-device-resident training batch
+        (no re-upload; see _FitStagingCache)."""
         paths, report = viterbi_chunked(
             self.params, tables, chunk_len=chunk_len, halo=halo,
             rows_per_pass=rows_per_pass, gauss_params=self.gauss,
+            prestaged=self._prestaged_for(tables),
         )
         return paths, report
+
+    def _prestaged_for(self, tables):
+        if self._staging is None:
+            return None
+        return self._staging.prestaged_for(
+            tables, need_weights=False,
+            need_values=self.gauss is not None,
+        )
+
+    def release_staging(self) -> None:
+        """Free the device-resident training batch fit() retained for
+        the train -> decode pipeline (no-op if absent)."""
+        self._staging = None
 
     def decode_to_bed(
         self,

@@ -69,11 +69,13 @@ def stage_batch(arr, mesh: jax.sharding.Mesh | None):
     import jax.numpy as jnp
     import numpy as _np
 
+    from tehmm_tpu.utils.transfer import fast_device_put
+
     if mesh is None:
-        return jnp.asarray(arr)
+        return fast_device_put(arr)
     arr = _np.asarray(arr)
     if not is_multiprocess(mesh):
-        return jnp.asarray(arr)
+        return fast_device_put(arr)
     sharding = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(DATA_AXIS)
     )

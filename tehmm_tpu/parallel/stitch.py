@@ -334,10 +334,17 @@ class _ResidentDecoder:
     then sends only chunk offsets, gathers the windows on device, and
     downloads run-length-packed change points.  Tables are padded to
     power-of-two lengths so differently-sized tables share compiled
-    dispatch shapes."""
+    dispatch shapes.
+
+    ``prestaged`` (round-5): when the caller already holds the tables
+    on device — models/hmm.fit keeps its staged training batch for
+    exactly this (the train → decode pipeline re-uploaded the same
+    4 GB at the tunnel's ~0.2 GB/s) — skip the upload entirely and
+    gather windows from the flat staged sequence at each table's
+    offset."""
 
     def __init__(self, params, mats, value_arrays, weight_arrays,
-                 gauss_params, rows_per_pass, mode):
+                 gauss_params, rows_per_pass, mode, prestaged=None):
         self.params = params
         self.gauss = gauss_params
         self.rows_per_pass = rows_per_pass
@@ -345,14 +352,31 @@ class _ResidentDecoder:
         self.S = int(params.log_em.shape[0])
 
         def _put(m, dtype=None):
+            from tehmm_tpu.utils.transfer import fast_device_put
+
             m = np.asarray(m) if dtype is None else np.asarray(m, dtype)
             Lp = _next_pow2(len(m))
             if Lp > len(m):
                 m = np.concatenate(
                     [m, np.zeros((Lp - len(m),) + m.shape[1:], m.dtype)]
                 )
-            return jax.device_put(np.ascontiguousarray(m))
+            return fast_device_put(np.ascontiguousarray(m))
 
+        if prestaged is not None:
+            self.off = list(prestaged.offsets)
+            self.sym_dev = [prestaged.sym_flat] * len(mats)
+            self.val_dev = (
+                None if (prestaged.val_flat is None
+                         or gauss_params is None)
+                else [prestaged.val_flat] * len(mats)
+            )
+            # decode-time weights never come from the cache (gate in
+            # _make_decoder_factory); training weights stay unused here
+            self.w_dev = None
+            jax.block_until_ready(self.sym_dev[0])
+            return
+
+        self.off = [0] * len(mats)
         self.sym_dev = [_put(m) for m in mats]
         self.val_dev = (
             None if value_arrays is None
@@ -377,7 +401,9 @@ class _ResidentDecoder:
 
     def _decode_table(self, ti, chunks):
         n = len(chunks)
-        starts = np.asarray([c.load_start for c in chunks], np.int32)
+        starts = np.asarray(
+            [c.load_start for c in chunks], np.int32
+        ) + np.int32(self.off[ti])
         lens = np.asarray([c.load_len for c in chunks], np.int32)
         # round the window up so widened retries bucket into few
         # compiled shapes (masked tail positions are inert)
@@ -390,7 +416,22 @@ class _ResidentDecoder:
             _rle_slots(Lc) if _rle_supported(self.S, Lc) else 0
         )
         shift = _rle_shift(self.S)
+        # Every dispatch costs a fixed D2H round trip (~0.1-0.3 s on
+        # tunneled runtimes — the 250M decode spent more time in fetch
+        # latency than in DP).  Grow the row group geometrically until
+        # the whole table fits ~16 dispatches, bounded by a window-
+        # buffer budget so the gathered [rpp, Lc, T] block stays modest.
         rpp = self.rows_per_pass
+        sym = self.sym_dev[ti]
+        row_bytes = Lc * int(np.prod(sym.shape[1:])) * sym.dtype.itemsize
+        if not use_fused:   # XLA branch materializes obs f32[rpp,Lc,S]
+            row_bytes += Lc * self.S * 4
+        if self.val_dev is not None:
+            row_bytes += Lc * int(
+                np.prod(self.val_dev[ti].shape[1:])
+            ) * 4
+        while rpp * 2 * row_bytes <= (384 << 20) and n > 16 * rpp:
+            rpp *= 2
         rows_out = [None] * n
 
         def dispatch(lo, hi):
@@ -415,14 +456,34 @@ class _ResidentDecoder:
 
 
 def _make_decoder_factory(params, gauss_params, weight_arrays,
-                          rows_per_pass, mode, resident):
+                          rows_per_pass, mode, resident,
+                          prestaged=None):
     """Resolve whether this decode runs device-resident.  ``resident``:
     True/False force; None = auto — on unless TEHMM_DECODE_RESIDENT
     disables it or the tables exceed the device staging budget
     (models/hmm._device_input_budget), in which case the host-batched
-    streaming path is used unchanged."""
+    streaming path is used unchanged.  ``prestaged`` (models/hmm fit
+    staging cache): decode against the already-device-resident
+    sequence, skipping both the budget gate and the upload — used only
+    if it also carries whatever weight/value streams this decode
+    needs."""
     if resident is False:
         return None
+
+    # prestaged covers a weightless decode only: decode-time weight
+    # arrays are caller inputs that need not equal the cached training
+    # weights, so any weighted decode takes the upload path
+    if prestaged is not None and weight_arrays is None and (
+        gauss_params is None or prestaged.val_flat is not None
+    ):
+        def prestaged_factory(mats, value_arrays):
+            return _ResidentDecoder(
+                params, mats, value_arrays, weight_arrays,
+                gauss_params, rows_per_pass, mode,
+                prestaged=prestaged,
+            ).decode
+
+        return prestaged_factory
 
     def factory(mats, value_arrays):
         use = resident
@@ -432,15 +493,27 @@ def _make_decoder_factory(params, gauss_params, weight_arrays,
             ).lower()
             if env in ("0", "off", "false"):
                 return None
-            total = sum(int(m.nbytes) for m in mats)
+
+            # EXACT device footprint after _ResidentDecoder's pow2
+            # padding (a 2x worst-case bound here kept genome-scale
+            # decodes — 250M x 15 = 3.75 GB, padded 4.02 GB — on the
+            # 100x-slower host-batched path; round-5)
+            def _padded(m, itemsize):
+                return _next_pow2(len(m)) * itemsize
+
+            total = sum(
+                _padded(m, m.nbytes // max(len(m), 1)) for m in mats
+            )
             if value_arrays is not None:
-                total += sum(int(v.nbytes) for v in value_arrays)
+                total += sum(
+                    _padded(v, v.nbytes // max(len(v), 1))
+                    for v in value_arrays
+                )
             if weight_arrays is not None:
-                total += sum(4 * len(w) for w in weight_arrays)
+                total += sum(_padded(w, 4) for w in weight_arrays)
             from tehmm_tpu.models.hmm import _device_input_budget
 
-            # pow2 padding can nearly double the footprint
-            use = 2 * total <= _device_input_budget()
+            use = total <= _device_input_budget()
         if not use:
             return None
         return _ResidentDecoder(
@@ -724,6 +797,7 @@ def viterbi_chunked(
     weight_arrays: Sequence[np.ndarray] | None = None,
     gauss_params=None,
     resident: bool | None = None,
+    prestaged=None,
 ) -> tuple[list[np.ndarray], StitchReport]:
     """Decode each table's full span via halo chunks (see
     _stitched_decode for the stitching/widening/guarantee contract).
@@ -764,7 +838,7 @@ def viterbi_chunked(
         weight_arrays, gauss_params,
         decoder_factory=_make_decoder_factory(
             params, gauss_params, weight_arrays, rows_per_pass,
-            "viterbi", resident,
+            "viterbi", resident, prestaged,
         ),
     )
 
@@ -781,6 +855,7 @@ def posterior_chunked(
     gauss_params=None,
     weight_arrays: Sequence[np.ndarray] | None = None,
     resident: bool | None = None,
+    prestaged=None,
 ) -> tuple[list[np.ndarray], StitchReport]:
     """Max-posterior decoding with the same stitching contract as
     viterbi_chunked (see _stitched_decode): halo chunks, all-boundary
@@ -800,7 +875,7 @@ def posterior_chunked(
         weight_arrays, gauss_params,
         decoder_factory=_make_decoder_factory(
             params, gauss_params, weight_arrays, rows_per_pass,
-            "maxpost", resident,
+            "maxpost", resident, prestaged,
         ),
     )
 

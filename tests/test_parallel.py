@@ -985,3 +985,95 @@ class TestSeqParForward:
         want = model.score(tabs)
         got = model.score(tabs, mesh=make_data_mesh(8))
         np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+class TestFitStagingCacheDecode:
+    """round-5: fit() retains its staged device batch; decode_tables on
+    the same tables gathers from it (no re-upload) and must be
+    bit-identical to a cache-free decode."""
+
+    def _model(self, rng, S, T, V):
+        from tehmm_tpu.io.category import CategoryMap
+        from tehmm_tpu.io.trackxml import Track, TrackList
+        from tehmm_tpu.models.hmm import MultitrackHmm
+        from tehmm_tpu.models.params import init_random
+
+        tl = TrackList()
+        cmaps = {}
+        for t in range(T):
+            tl.add(Track(name=f"t{t}", path=f"t{t}.bed"))
+            cm = CategoryMap()
+            for v in range(V - 1):
+                cm.get_map(str(v), update=True)
+            cmaps[f"t{t}"] = cm
+        return MultitrackHmm(
+            init_random(S, [V] * T, seed=11), tl, cmaps
+        )
+
+    def test_cached_decode_equals_fresh(self, rng):
+        from tehmm_tpu.io.trackdata import TrackTable
+
+        S, T, V = 4, 2, 5
+        tabs = [
+            TrackTable(
+                "chr1", 0, L,
+                rng.randint(1, V, size=(L, T)).astype(np.uint8),
+            )
+            for L in (2047, 513)      # odd sizes: padded last rows
+        ]
+        m = self._model(rng, S, T, V)
+        m.fit(tabs, max_iterations=2, convergence_tol=0.0,
+              chunk_len=256)
+        assert m._staging is not None
+        assert m._prestaged_for(tabs) is not None
+        cached, _ = m.decode_tables(tabs, chunk_len=128, halo=32)
+        m.release_staging()
+        fresh, _ = m.decode_tables(tabs, chunk_len=128, halo=32)
+        for a, b in zip(cached, fresh):
+            np.testing.assert_array_equal(a, b)
+
+    def test_cache_misses_on_other_tables(self, rng):
+        from tehmm_tpu.io.trackdata import TrackTable
+
+        S, T, V = 4, 2, 5
+        tabs = [TrackTable(
+            "chr1", 0, 500,
+            rng.randint(1, V, size=(500, T)).astype(np.uint8),
+        )]
+        other = [TrackTable(
+            "chr1", 0, 500,
+            rng.randint(1, V, size=(500, T)).astype(np.uint8),
+        )]
+        m = self._model(rng, S, T, V)
+        m.fit(tabs, max_iterations=1, convergence_tol=0.0,
+              chunk_len=256)
+        assert m._prestaged_for(other) is None   # different arrays
+        paths, _ = m.decode_tables(other, chunk_len=128, halo=32)
+        fresh, _ = m.decode_tables(other, chunk_len=128, halo=32)
+        np.testing.assert_array_equal(paths[0], fresh[0])
+
+    def test_cached_decode_with_gauss_values(self, rng):
+        from tehmm_tpu.io.trackdata import TrackTable
+        from tehmm_tpu.models.gauss import GaussParams
+
+        S, T, V, Gn = 4, 2, 5, 2
+        L = 1023
+        vals = rng.randn(L, Gn).astype(np.float32)
+        vals[rng.rand(L, Gn) < 0.1] = np.nan
+        tabs = [TrackTable(
+            "chr1", 0, L,
+            rng.randint(1, V, size=(L, T)).astype(np.uint8),
+            values=vals,
+        )]
+        m = self._model(rng, S, T, V)
+        m.gauss = GaussParams(
+            mu=jnp.asarray(rng.randn(S, Gn).astype(np.float32)),
+            log_var=jnp.zeros((S, Gn), jnp.float32),
+        )
+        m.fit(tabs, max_iterations=2, convergence_tol=0.0,
+              chunk_len=256)
+        assert m._prestaged_for(tabs) is not None
+        cached, _ = m.decode_tables(tabs, chunk_len=128, halo=32)
+        m.release_staging()
+        fresh, _ = m.decode_tables(tabs, chunk_len=128, halo=32)
+        np.testing.assert_array_equal(cached[0], fresh[0])

@@ -236,32 +236,48 @@ def main() -> None:
 
     stream_rate = None
     if args.compareStreaming:
-        t0 = time.perf_counter()
-        m2 = MultitrackHmm.initialized(S, td, init="random",
-                                       seed=args.seed)
+        # A/B/A protocol (round-4 VERDICT weak #7: a single ordered
+        # pair is confounded by warm compiles / tunnel state — the
+        # round-4 streamed run "won" 4.1x purely by going second).
+        # All three trains here run AFTER the main train, so compiles
+        # and the tunnel are warm for every arm; the resident rate is
+        # the mean of the two A arms bracketing the streamed B arm.
+        nbytes = sum(t.symbols.nbytes for t in td.tables)
+
+        def _arm(budget):
+            t0 = time.perf_counter()
+            m2 = MultitrackHmm.initialized(S, td, init="random",
+                                           seed=args.seed)
+            res2 = m2.fit(
+                td.tables, max_iterations=args.iters,
+                convergence_tol=0.0, chunk_len=args.chunk,
+                max_device_bytes=budget,
+            )
+            return res2, time.perf_counter() - t0
+
         # force streaming with a REALISTIC block size: half the input
         # (budget=1 would cap blocks at 1 row — fit bounds blocks to
         # budget/2 for double buffering)
-        nbytes = sum(t.symbols.nbytes for t in td.tables)
-        res2 = m2.fit(
-            td.tables, max_iterations=args.iters, convergence_tol=0.0,
-            chunk_len=args.chunk, max_device_bytes=nbytes // 2,
-        )
-        dt = time.perf_counter() - t0
-        stream_rate = res2.iterations * N / dt
-        stages["train_streamed"] = dt
+        res_a1, dt_a1 = _arm(None)
+        res_b, dt_b = _arm(nbytes // 2)
+        res_a2, dt_a2 = _arm(None)
+        stages["train_resident_A1"] = dt_a1
+        stages["train_streamed_B"] = dt_b
+        stages["train_resident_A2"] = dt_a2
         # f32 stat-summation reorder across different block sizes:
         # |loglik| is ~1e8-1e9 at genome scale, so allow a few e-5 rel
-        np.testing.assert_allclose(
-            res2.logliks, res.logliks, rtol=5e-5
-        )
-        resident_rate = res.iterations * N / stages["train"]
-        print(f"[stream]   {dt:7.1f}s  host-streamed EM "
-              f"({stream_rate/1e6:.1f}M pos/s = "
-              f"{stream_rate / resident_rate:.2f}x the resident rate; "
-              f"run order favors the second train — both are "
-              f"overhead-bound on this runtime); logliks equal",
-              flush=True)
+        for r in (res_a1, res_b, res_a2):
+            np.testing.assert_allclose(
+                r.logliks, res.logliks, rtol=5e-5
+            )
+        it = res_b.iterations
+        rate_b = it * N / dt_b
+        rate_a = it * N / ((dt_a1 + dt_a2) / 2)
+        print(f"[stream]   A/B/A warm trains: resident {dt_a1:.1f}s / "
+              f"streamed {dt_b:.1f}s / resident {dt_a2:.1f}s -> "
+              f"streamed {rate_b/1e6:.1f}M pos/s = "
+              f"{rate_b / rate_a:.2f}x the bracketed resident rate "
+              f"({rate_a/1e6:.1f}M pos/s); logliks equal", flush=True)
 
     # ---- [decode] stitched Viterbi + BED write ------------------------
     t0 = time.perf_counter()
