@@ -40,6 +40,7 @@ from tehmm_tpu.io.bed import read_bed
 from tehmm_tpu.io.category import CategoryMap
 from tehmm_tpu.io.fasta import FastaFile
 from tehmm_tpu.io.trackxml import Track, TrackList
+from tehmm_tpu.utils.common import logger
 
 
 def _dtype_for(n: int):
@@ -247,10 +248,17 @@ def load_track_data(
     import os as _os
 
     env_threads = _os.environ.get("TEHMM_LOAD_THREADS")
-    n_workers = (
-        max(1, int(env_threads)) if env_threads
-        else max(1, min(n_tracks, _os.cpu_count() or 1))
-    )
+    default_workers = max(1, min(n_tracks, _os.cpu_count() or 1))
+    try:
+        n_workers = (
+            max(1, int(env_threads)) if env_threads else default_workers
+        )
+    except ValueError:
+        logger.warning(
+            "TEHMM_LOAD_THREADS=%r is not an integer; using %d",
+            env_threads, default_workers,
+        )
+        n_workers = default_workers
     pool = None
     if n_workers > 1 and n_tracks > 1:
         from concurrent.futures import ThreadPoolExecutor

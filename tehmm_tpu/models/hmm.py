@@ -400,6 +400,7 @@ class MultitrackHmm:
         obs_weight_arrays: Sequence[np.ndarray] | None = None,
         device_loop: bool = False,
         max_device_bytes: int | None = None,
+        retain_staging: bool = True,
     ) -> FitResult:
         """Baum-Welch EM (reference: basehmm.fit driven by teHmmTrain.py).
 
@@ -418,6 +419,14 @@ class MultitrackHmm:
         host-streamed pass loop — nothing requires the data to fit HBM
         (the reference streams per-table through host RAM, SURVEY.md
         §3.1; this is the accelerator equivalent).
+        ``retain_staging``: keep the staged device batch alive on the
+        model after fit returns so a following decode_tables /
+        posterior_decode_tables on the SAME tables skips re-uploading
+        the dataset (the train -> decode pipeline; round-5).  The
+        batch occupies device memory until ``release_staging()``, the
+        next fit(), or the model is dropped — pass False (or release)
+        when fitting several models on different near-budget datasets
+        concurrently.
         """
         from tehmm_tpu.parallel.em_sharded import sharded_em_stats
 
@@ -549,21 +558,26 @@ class MultitrackHmm:
             first_row: dict[int, int] = {}
             for ci, c in enumerate(chunks):
                 first_row.setdefault(c.table_idx, ci)
-            self._staging = _FitStagingCache(
-                mats_ids=tuple(id(m) for m in mats),
-                Lr=Lr,
-                row_start=tuple(
-                    first_row.get(t, 0) for t in range(len(mats))
-                ),
-                sym_src=passes[0] if passes is not None else symbols,
-                gv_src=(
-                    passes[3] if passes is not None else gauss_values
-                ),
-                w_src=(
-                    passes[2] if passes is not None else obs_weights
-                ),
-                mats_refs=tuple(mats),
-            )
+            if retain_staging:
+                self._staging = _FitStagingCache(
+                    mats_ids=tuple(id(m) for m in mats),
+                    Lr=Lr,
+                    row_start=tuple(
+                        first_row.get(t, 0) for t in range(len(mats))
+                    ),
+                    sym_src=(
+                        passes[0] if passes is not None else symbols
+                    ),
+                    gv_src=(
+                        passes[3] if passes is not None
+                        else gauss_values
+                    ),
+                    w_src=(
+                        passes[2] if passes is not None
+                        else obs_weights
+                    ),
+                    mats_refs=tuple(mats),
+                )
         if passes is not None:
             # the un-split staged arrays are unreachable below once the
             # passes exist — drop them so the padded copies don't double
@@ -801,6 +815,7 @@ class MultitrackHmm:
             self.params, tables, chunk_len=chunk_len, halo=halo,
             rows_per_pass=rows_per_pass, gauss_params=self.gauss,
             weight_arrays=weight_arrays,
+            prestaged=self._prestaged_for(tables),
         )
         return paths
 

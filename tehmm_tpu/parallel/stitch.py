@@ -175,16 +175,23 @@ def _rle_pack(paths, lengths, num_slots, shift):
     return jnp.where((counts > num_slots)[:, None], _RLE_OVERFLOW, packed)
 
 
-def _pack_for_transport(paths, lens_dev, num_states, Lc):
-    """Device-side transport prep shared by the decode dispatches:
-    returns (packed | None, per-base paths for the overflow fallback,
-    downcast to uint8 when states fit)."""
+def _pack_for_transport(paths, lens_dev, num_states, Lc,
+                        num_slots=None):
+    """Device-side transport prep shared by ALL decode dispatches
+    (host-batched and resident): returns (packed | None, per-base
+    paths for the overflow fallback, downcast to uint8 when states
+    fit).  ``num_slots``: pre-resolved slot budget (resident dispatch
+    passes its static value; None resolves from Lc)."""
     paths = paths.astype(jnp.int32)
     fallback = paths if num_states > 255 else paths.astype(jnp.uint8)
-    if not _rle_supported(num_states, Lc):
+    if num_slots is None:
+        num_slots = (
+            _rle_slots(Lc) if _rle_supported(num_states, Lc) else 0
+        )
+    if num_slots == 0:
         return None, fallback
     packed = _rle_pack(
-        paths, lens_dev, _rle_slots(Lc), _rle_shift(num_states)
+        paths, lens_dev, num_slots, _rle_shift(num_states)
     )
     return packed, fallback
 
@@ -261,10 +268,10 @@ def _obs_for(params, gauss_params, sym, w, v):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "Lc", "num_slots", "shift", "use_fused"),
+    static_argnames=("mode", "Lc", "num_slots", "use_fused"),
 )
 def _resident_dispatch(params, gauss_params, sym_dev, w_dev, v_dev,
-                       starts, lens, *, mode, Lc, num_slots, shift,
+                       starts, lens, *, mode, Lc, num_slots,
                        use_fused):
     """One resident-decode dispatch: gather the row group's halo
     windows from the device-resident table, decode, and run-length-pack
@@ -312,11 +319,7 @@ def _resident_dispatch(params, gauss_params, sym_dev, w_dev, v_dev,
             )
             bh, _ = dp.backward_scaled(params.log_trans, obs, lens)
             paths = jnp.argmax(dp.posterior_scaled(ah, bh), axis=-1)
-    paths = paths.astype(jnp.int32)
-    fallback = paths if S > 255 else paths.astype(jnp.uint8)
-    if num_slots == 0:
-        return None, fallback
-    return _rle_pack(paths, lens, num_slots, shift), fallback
+    return _pack_for_transport(paths, lens, S, Lc, num_slots)
 
 
 def _next_pow2(n: int) -> int:
@@ -442,7 +445,7 @@ class _ResidentDecoder:
                 None if self.val_dev is None else self.val_dev[ti],
                 jnp.asarray(s), jnp.asarray(l),
                 mode=self.mode, Lc=Lc, num_slots=num_slots,
-                shift=shift, use_fused=use_fused,
+                use_fused=use_fused,
             )
 
         def consume(lo, hi, result):
@@ -472,10 +475,14 @@ def _make_decoder_factory(params, gauss_params, weight_arrays,
 
     # prestaged covers a weightless decode only: decode-time weight
     # arrays are caller inputs that need not equal the cached training
-    # weights, so any weighted decode takes the upload path
+    # weights, so any weighted decode takes the upload path.  The
+    # TEHMM_DECODE_RESIDENT=off kill switch applies here too — it must
+    # disable EVERY resident path, cached or uploaded.
     if prestaged is not None and weight_arrays is None and (
         gauss_params is None or prestaged.val_flat is not None
-    ):
+    ) and os.environ.get(
+        "TEHMM_DECODE_RESIDENT", "auto"
+    ).lower() not in ("0", "off", "false"):
         def prestaged_factory(mats, value_arrays):
             return _ResidentDecoder(
                 params, mats, value_arrays, weight_arrays,

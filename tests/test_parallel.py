@@ -1077,3 +1077,54 @@ class TestFitStagingCacheDecode:
         m.release_staging()
         fresh, _ = m.decode_tables(tabs, chunk_len=128, halo=32)
         np.testing.assert_array_equal(cached[0], fresh[0])
+
+    def test_score_mesh_multi_tile_blocks(self, rng, make_hmm,
+                                          monkeypatch):
+        """round-5 review: the sharded scorer builds obs per [block,T]
+        tile inside the mesh computation (no whole-sequence obs).
+        Force several tiles per device and check == plain score."""
+        import tehmm_tpu.parallel.seqpar as sp
+        from tehmm_tpu.io.trackdata import TrackTable
+        from tehmm_tpu.models.hmm import MultitrackHmm
+        from tehmm_tpu.io.trackxml import Track, TrackList
+        from tehmm_tpu.io.category import CategoryMap
+        from tehmm_tpu.parallel.mesh import make_data_mesh
+
+        S = 3
+        params = _params(make_hmm(S, 2, 5))
+        tl = TrackList()
+        tl.add(Track(name="a", path="a.bed"))
+        tl.add(Track(name="b", path="b.bed"))
+        model = MultitrackHmm(
+            params, tl,
+            {"a": CategoryMap(), "b": CategoryMap()},
+            [str(i) for i in range(S)],
+        )
+        L = 5003                      # with block=64 and D=8: NB ~ 10
+        tab = TrackTable(
+            "chr1", 0, L,
+            rng.randint(1, 5, size=(L, 2)).astype(np.uint8),
+        )
+        want = model.score([tab])
+        orig = sp.score_table_seqpar
+
+        def small_block(params, table, mesh, gauss_params=None):
+            # shrink the tile so several compose per device
+            sym = np.asarray(getattr(table, "symbols", table))
+            import tehmm_tpu.parallel.seqpar as s2
+            Lt = len(sym)
+            D = 8
+            block = 64
+            Lc = -(-Lt // (D * block)) * block
+            sym_p = np.zeros((Lc * D,) + sym.shape[1:], sym.dtype)
+            sym_p[:Lt] = sym
+            sym_sh = s2._shard_over_data(
+                sym_p.reshape(D, Lc, *sym.shape[1:]), mesh
+            )
+            return float(s2._loglik_seqpar_symbols(
+                params.log_start, params.log_trans, params.log_em,
+                sym_sh, None, Lt, mesh, block, False, None, None,
+            ))
+
+        got = small_block(params, tab, make_data_mesh(8))
+        np.testing.assert_allclose(got, want, rtol=2e-5)

@@ -234,7 +234,6 @@ def main() -> None:
           f"pos/s); loglik {res.logliks[0]/1e6:.3f} -> "
           f"{res.logliks[-1]/1e6:.3f} (x1e6)", flush=True)
 
-    stream_rate = None
     if args.compareStreaming:
         # A/B/A protocol (round-4 VERDICT weak #7: a single ordered
         # pair is confounded by warm compiles / tunnel state — the
@@ -252,6 +251,7 @@ def main() -> None:
                 td.tables, max_iterations=args.iters,
                 convergence_tol=0.0, chunk_len=args.chunk,
                 max_device_bytes=budget,
+                retain_staging=False,   # main model's cache is enough
             )
             return res2, time.perf_counter() - t0
 
@@ -304,9 +304,12 @@ def main() -> None:
     print(f"base accuracy vs planted truth (greedy {S}->{TRUE_S} "
           f"mapping): {acc:.4f}", flush=True)
 
-    # the optional --compareStreaming re-train is a side experiment,
-    # not part of the fixtures->load->train->decode->write pipeline
-    total = sum(v for k, v in stages.items() if k != "train_streamed")
+    # the optional --compareStreaming A/B/A re-trains are a side
+    # experiment, not part of the fixtures->load->train->decode->write
+    # pipeline — exclude every arm from the end-to-end total
+    _side = {"train_resident_A1", "train_streamed_B",
+             "train_resident_A2"}
+    total = sum(v for k, v in stages.items() if k not in _side)
     print(json.dumps({
         "metric": "genome_scale_end_to_end",
         "positions": N, "tracks": args.tracks, "states": S,
