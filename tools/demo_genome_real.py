@@ -105,11 +105,13 @@ def _write_bigwig_track(path, rng, n, states, starts, lens):
 
 
 def _greedy_state_map(paths, truth, S):
-    """Map each learned state to its majority planted state."""
-    conf = np.zeros((S, TRUE_S), np.int64)
+    """Map each learned state to its majority planted state
+    (bincount: np.add.at is ~6x slower at genome scale)."""
+    conf = np.zeros(S * TRUE_S, np.int64)
     for p, t in zip(paths, truth):
-        np.add.at(conf, (p, t), 1)
-    return conf.argmax(axis=1)
+        flat = p.astype(np.int64) * TRUE_S + t
+        conf += np.bincount(flat, minlength=S * TRUE_S)
+    return conf.reshape(S, TRUE_S).argmax(axis=1)
 
 
 def main() -> None:
