@@ -266,3 +266,23 @@ def test_rle_transport_overflow_on_chip(rng):
     for b in range(B):
         n = int(len_np[b])
         np.testing.assert_array_equal(got[b, :n], ref[b, :n])
+
+
+def test_fit_staging_cache_decode_on_chip(rng):
+    """round-5: decode_tables on the tables fit() just trained on
+    gathers from the retained device batch (no re-upload) — and must
+    be bit-identical to the upload-path decode on the real chip."""
+    from tehmm_tpu.io.trackdata import TrackTable
+
+    S, T, V = 8, 3, 6
+    L = 1 << 18
+    sym = rng.randint(1, V, size=(L, T)).astype(np.uint8)
+    tab = TrackTable("chr1", 0, L, sym)
+    m = _mk_model(S, T, V, seed=5)
+    m.fit([tab], max_iterations=2, convergence_tol=0.0,
+          chunk_len=1024)
+    assert m._prestaged_for([tab]) is not None
+    cached, _ = m.decode_tables([tab], chunk_len=4096, halo=256)
+    m.release_staging()
+    fresh, _ = m.decode_tables([tab], chunk_len=4096, halo=256)
+    np.testing.assert_array_equal(cached[0], fresh[0])
