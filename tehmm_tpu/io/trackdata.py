@@ -448,29 +448,44 @@ def _paint_track(
                 np.log(np.maximum(v, 1e-9)) / np.log(track.log_scale)
             )
 
+        from tehmm_tpu import native as _native
+
+        mm = _native.nanminmax(vals)
         with np.errstate(invalid="ignore"):
             # shift+scale/log+floor is monotone (either direction for
             # negative scale / base < 1), so the global bin range comes
             # from the transformed value extremes
-            b0 = fb_of(np.float64(np.nanmin(vals)))
-            b1 = fb_of(np.float64(np.nanmax(vals)))
+            if mm is not None:
+                vmin, vmax = mm
+            else:
+                vmin, vmax = np.nanmin(vals), np.nanmax(vals)
+            b0 = fb_of(np.float64(vmin))
+            b1 = fb_of(np.float64(vmax))
         bmin = int(min(b0, b1))             # covered.any() holds
         span = int(max(b0, b1)) - bmin + 1
         if span <= (1 << 22):
-            bins = np.empty(L, np.int32)
-            present = np.zeros(span, bool)
-            BLK = 1 << 24
-            with np.errstate(invalid="ignore"):
-                for lo in range(0, L, BLK):
-                    fb = fb_of(vals[lo : lo + BLK])
-                    fb -= bmin
-                    # sentinel bin `span` for NaN rows -> background
-                    fb[np.isnan(fb)] = span
-                    blk = fb.astype(np.int32)
-                    bins[lo : lo + len(blk)] = blk
-                    present |= np.bincount(
-                        blk, minlength=span + 1
-                    )[:span].astype(bool)
+            nb = _native.bin_scale(
+                vals, shift, track.scale, track.log_scale, bmin, span
+            )
+            if nb is not None:
+                # fused C++ pass, identical f64 math (round-5: the
+                # NumPy chain below was ~35 s of the 250M x 15 load)
+                bins, present = nb
+            else:
+                bins = np.empty(L, np.int32)
+                present = np.zeros(span, bool)
+                BLK = 1 << 24
+                with np.errstate(invalid="ignore"):
+                    for lo in range(0, L, BLK):
+                        fb = fb_of(vals[lo : lo + BLK])
+                        fb -= bmin
+                        # sentinel bin `span` for NaN -> background
+                        fb[np.isnan(fb)] = span
+                        blk = fb.astype(np.int32)
+                        bins[lo : lo + len(blk)] = blk
+                        present |= np.bincount(
+                            blk, minlength=span + 1
+                        )[:span].astype(bool)
             lut = np.empty(span + 1, np.uint16)
             lut[span] = bg                  # NaN rows -> background
             for b in np.nonzero(present)[0]:

@@ -111,6 +111,17 @@ def _build() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int32,
         ]
+    lib.bin_scale_f64.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32,
+    ]
+    lib.nanminmax_f64.restype = ctypes.c_int32
+    lib.nanminmax_f64.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int32,
+    ]
     return lib
 
 
@@ -358,3 +369,50 @@ def fasta_index(path: str):
         return names, data_start, seq_len, line_base, line_full
     finally:
         lib.fasta_index_free(h)
+
+
+def bin_scale(vals: np.ndarray, shift: float, scale, log_scale,
+              bmin: int, span: int, n_threads: int = 0):
+    """Scale-bin a numeric track column in one fused multithreaded
+    pass (identical f64 math to category.bin_value; NaN -> sentinel
+    bin ``span``).  Returns (bins int32[L], present bool[span]) or
+    None when the native library is unavailable."""
+    lib = _get()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, np.float64)
+    n = len(vals)
+    bins = np.empty(n, np.int32)
+    present = np.zeros(span + 1, np.uint8)
+    if n_threads <= 0:
+        n_threads = max(1, min(8, os.cpu_count() or 1))
+    lib.bin_scale_f64(
+        vals.ctypes.data, n, float(shift),
+        float(scale) if scale is not None else 0.0,
+        float(log_scale) if log_scale is not None else 0.0,
+        int(bmin), int(span),
+        bins.ctypes.data, present.ctypes.data, n_threads,
+    )
+    return bins, present[:span].astype(bool)
+
+
+def nanminmax(vals: np.ndarray, n_threads: int = 0):
+    """(nanmin, nanmax) of a float64 column in one threaded pass, or
+    None when the native library is unavailable or all values are
+    NaN (callers fall back to numpy, whose all-NaN warning semantics
+    they may rely on)."""
+    lib = _get()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, np.float64)
+    if n_threads <= 0:
+        n_threads = max(1, min(8, os.cpu_count() or 1))
+    mn = ctypes.c_double()
+    mx = ctypes.c_double()
+    rc = lib.nanminmax_f64(
+        vals.ctypes.data, len(vals),
+        ctypes.byref(mn), ctypes.byref(mx), n_threads,
+    )
+    if rc != 0:
+        return None
+    return mn.value, mx.value

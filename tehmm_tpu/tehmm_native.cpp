@@ -498,4 +498,94 @@ int bigwig_paint_blocks(const uint8_t* blob, const int64_t* offs,
     return 0;
 }
 
+// ---------------------------------------------------------------------
+// Scale-binned numeric-track binning (round-5).
+//
+// Replaces the NumPy block loop in io/trackdata (round-5 profile: the
+// f64 add/mul/floor/isnan/astype/bincount chain was ~35 s of the 70 s
+// 250M x 15 load).  One fused multithreaded pass with the IDENTICAL
+// f64 math as category.bin_value: v = x + shift, then
+// floor(v * scale) or floor(log(max(v, 1e-9)) / log(log_base)).
+// NaN inputs bin to the `span` sentinel; `present[b]` marks occupied
+// non-sentinel bins (concurrent byte writes of 1 are benign).
+void bin_scale_f64(const double* vals, int64_t n, double shift,
+                   double scale, double log_base, int32_t bmin,
+                   int32_t span, int32_t* bins, uint8_t* present,
+                   int32_t n_threads) {
+    const bool use_log = log_base != 0.0;
+    const double log_den = use_log ? std::log(log_base) : 1.0;
+    auto work = [&](int tid) {
+        int64_t chunk = (n + n_threads - 1) / n_threads;
+        int64_t lo = (int64_t)tid * chunk;
+        int64_t hi = lo + chunk < n ? lo + chunk : n;
+        for (int64_t i = lo; i < hi; ++i) {
+            double v = vals[i];
+            int32_t b;
+            if (std::isnan(v)) {
+                b = span;
+            } else {
+                v += shift;
+                double fb = use_log
+                    ? std::floor(std::log(v < 1e-9 ? 1e-9 : v)
+                                 / log_den)
+                    : std::floor(v * scale);
+                b = (int32_t)(fb - (double)bmin);
+                present[b] = 1;
+            }
+            bins[i] = b;
+        }
+    };
+    if (n_threads <= 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> threads;
+        for (int t = 0; t < n_threads; ++t) threads.emplace_back(work, t);
+        for (auto& th : threads) th.join();
+    }
+}
+
+// NaN-skipping min/max in one threaded pass (numpy's nanmin+nanmax
+// cost two full sweeps each on genome-scale columns).  Returns 0 when
+// at least one finite-or-infinite (non-NaN) value was seen.
+int32_t nanminmax_f64(const double* vals, int64_t n, double* out_min,
+                      double* out_max, int32_t n_threads) {
+    std::vector<double> mins(n_threads, 0.0), maxs(n_threads, 0.0);
+    std::vector<uint8_t> seen(n_threads, 0);
+    auto work = [&](int tid) {
+        int64_t chunk = (n + n_threads - 1) / n_threads;
+        int64_t lo = (int64_t)tid * chunk;
+        int64_t hi = lo + chunk < n ? lo + chunk : n;
+        double mn = 0.0, mx = 0.0;
+        bool any = false;
+        for (int64_t i = lo; i < hi; ++i) {
+            double v = vals[i];
+            if (std::isnan(v)) continue;
+            if (!any) { mn = mx = v; any = true; }
+            else if (v < mn) mn = v;
+            else if (v > mx) mx = v;
+        }
+        mins[tid] = mn; maxs[tid] = mx; seen[tid] = any;
+    };
+    if (n_threads <= 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> threads;
+        for (int t = 0; t < n_threads; ++t) threads.emplace_back(work, t);
+        for (auto& th : threads) th.join();
+    }
+    bool any = false;
+    double mn = 0.0, mx = 0.0;
+    for (int t = 0; t < n_threads; ++t) {
+        if (!seen[t]) continue;
+        if (!any) { mn = mins[t]; mx = maxs[t]; any = true; }
+        else {
+            if (mins[t] < mn) mn = mins[t];
+            if (maxs[t] > mx) mx = maxs[t];
+        }
+    }
+    *out_min = mn;
+    *out_max = mx;
+    return any ? 0 : -1;
+}
+
 }  // extern "C"

@@ -140,3 +140,80 @@ json.dump(td.category_maps["t"].to_dict()["map"],
         map_py = json.load(open(tmp_path / "map.json"))
         np.testing.assert_array_equal(sym_native, sym_py)
         assert map_native == map_py
+
+
+class TestBinScaleNative:
+    """round-5: the fused C++ scale-binning pass must reproduce the
+    NumPy block loop (identical f64 math to category.bin_value)."""
+
+    def _numpy_ref(self, vals, shift, scale, log_scale, bmin, span):
+        def fb_of(x):
+            v = x + shift
+            if scale is not None:
+                return np.floor(v * scale)
+            return np.floor(
+                np.log(np.maximum(v, 1e-9)) / np.log(log_scale)
+            )
+
+        with np.errstate(invalid="ignore"):
+            fb = fb_of(vals.astype(np.float64))
+            fb -= bmin
+            fb[np.isnan(fb)] = span
+            bins = fb.astype(np.int32)
+        present = np.zeros(span, bool)
+        occ = np.unique(bins)
+        present[occ[occ < span]] = True
+        return bins, present
+
+    @pytest.mark.parametrize(
+        "shift,scale,log_scale",
+        [(0.0, 2.0, None), (3.5, 0.25, None), (-1.0, -0.5, None),
+         (0.0, None, 2.0), (2.0, None, 10.0), (0.0, None, 0.5)],
+    )
+    def test_matches_numpy(self, shift, scale, log_scale):
+        from tehmm_tpu import native
+
+        if not native.available():
+            pytest.skip("no native lib")
+        rng = np.random.RandomState(0)
+        vals = rng.randn(100_000).astype(np.float64) * 10
+        vals[rng.rand(len(vals)) < 0.2] = np.nan
+        vals[:100] = np.arange(100) * 0.5      # exact bin edges
+
+        def fb_of(x):
+            v = x + shift
+            if scale is not None:
+                return np.floor(v * scale)
+            return np.floor(
+                np.log(np.maximum(v, 1e-9)) / np.log(log_scale)
+            )
+
+        with np.errstate(invalid="ignore"):
+            b0 = fb_of(np.float64(np.nanmin(vals)))
+            b1 = fb_of(np.float64(np.nanmax(vals)))
+        bmin = int(min(b0, b1))
+        span = int(max(b0, b1)) - bmin + 1
+
+        got = native.bin_scale(
+            vals, shift, scale, log_scale, bmin, span
+        )
+        assert got is not None
+        want_bins, want_present = self._numpy_ref(
+            vals, shift, scale, log_scale, bmin, span
+        )
+        np.testing.assert_array_equal(got[0], want_bins)
+        np.testing.assert_array_equal(got[1], want_present)
+
+    def test_nanminmax_matches_numpy(self):
+        from tehmm_tpu import native
+
+        if not native.available():
+            pytest.skip("no native lib")
+        rng = np.random.RandomState(3)
+        vals = rng.randn(1_000_003) * 100
+        vals[rng.rand(len(vals)) < 0.3] = np.nan
+        got = native.nanminmax(vals)
+        assert got is not None
+        assert got[0] == np.nanmin(vals)
+        assert got[1] == np.nanmax(vals)
+        assert native.nanminmax(np.full(100, np.nan)) is None
