@@ -273,6 +273,13 @@ def load_track_data(
             chrom, start, end = iv[0], int(iv[1]), int(iv[2])
             L = end - start
 
+            # native-kernel thread budget per painting worker: the
+            # workers already span the cores, so each native call gets
+            # cores/n_workers threads (8x oversubscription otherwise)
+            nat_threads = max(
+                1, (_os.cpu_count() or 1) // max(n_workers, 1)
+            )
+
             def paint_one(t_idx):
                 track = tracks[t_idx]
                 src = sources[track.name]
@@ -282,7 +289,7 @@ def load_track_data(
                     )
                 return _paint_track(
                     track, maps[track.name], src, chrom, start, end,
-                    bool(update_maps),
+                    bool(update_maps), native_threads=nat_threads,
                 )
 
             if pool is not None:
@@ -343,6 +350,7 @@ def _paint_track(
     start: int,
     end: int,
     update: bool,
+    native_threads: int = 0,
 ) -> np.ndarray:
     L = end - start
 
@@ -450,7 +458,7 @@ def _paint_track(
 
         from tehmm_tpu import native as _native
 
-        mm = _native.nanminmax(vals)
+        mm = _native.nanminmax(vals, n_threads=native_threads)
         with np.errstate(invalid="ignore"):
             # shift+scale/log+floor is monotone (either direction for
             # negative scale / base < 1), so the global bin range comes
@@ -465,7 +473,8 @@ def _paint_track(
         span = int(max(b0, b1)) - bmin + 1
         if span <= (1 << 22):
             nb = _native.bin_scale(
-                vals, shift, track.scale, track.log_scale, bmin, span
+                vals, shift, track.scale, track.log_scale, bmin,
+                span, n_threads=native_threads,
             )
             if nb is not None:
                 # fused C++ pass, identical f64 math (round-5: the

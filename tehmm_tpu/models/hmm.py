@@ -532,12 +532,22 @@ class MultitrackHmm:
             # on tunneled runtimes (BASELINE round-4), so a genome-
             # scale staging that overlaps the first compile turns a
             # ~5s upload into minutes.  Back-to-back it runs at the
-            # full isolated rate.
+            # full isolated rate.  The INFO line attributes train-stage
+            # wall to the transport (tunnel rates swing 0.03-1.2 GB/s
+            # with congestion — BASELINE round-5 transport study).
+            stage_t0 = time.time()
             jax.block_until_ready([
                 a for a in (symbols, lengths, obs_weights,
                             gauss_values)
                 if a is not None
             ])
+            stage_dt = time.time() - stage_t0
+            logger.info(
+                "staged %.2f GB of training inputs in %.1fs "
+                "(%.2f GB/s H2D)",
+                staged_bytes / 1e9, stage_dt,
+                staged_bytes / 1e9 / max(stage_dt, 1e-9),
+            )
 
         # Oversized device-resident batches are cut into pass-blocks so
         # the E-step's working set (obs/one-hot/alpha/beta, ~400B per

@@ -113,7 +113,7 @@ def _build() -> ctypes.CDLL | None:
         ]
     lib.bin_scale_f64.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
-        ctypes.c_double, ctypes.c_double, ctypes.c_int32,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int32,
     ]
@@ -374,9 +374,11 @@ def fasta_index(path: str):
 def bin_scale(vals: np.ndarray, shift: float, scale, log_scale,
               bmin: int, span: int, n_threads: int = 0):
     """Scale-bin a numeric track column in one fused multithreaded
-    pass (identical f64 math to category.bin_value; NaN -> sentinel
-    bin ``span``).  Returns (bins int32[L], present bool[span]) or
-    None when the native library is unavailable."""
+    pass (identical f64 math to category.bin_value; NaN or any
+    transform landing outside [0, span) -> sentinel bin ``span``).
+    Precedence matches io/trackdata's fb_of: ``scale`` wins when both
+    scale and log_scale are set.  Returns (bins int32[L], present
+    bool[span]) or None when the native library is unavailable."""
     lib = _get()
     if lib is None:
         return None
@@ -389,7 +391,9 @@ def bin_scale(vals: np.ndarray, shift: float, scale, log_scale,
     lib.bin_scale_f64(
         vals.ctypes.data, n, float(shift),
         float(scale) if scale is not None else 0.0,
-        float(log_scale) if log_scale is not None else 0.0,
+        # fb_of precedence: log only when scale is absent
+        0.0 if scale is not None
+        else float(log_scale) if log_scale is not None else 0.0,
         int(bmin), int(span),
         bins.ctypes.data, present.ctypes.data, n_threads,
     )

@@ -506,10 +506,14 @@ int bigwig_paint_blocks(const uint8_t* blob, const int64_t* offs,
 // 250M x 15 load).  One fused multithreaded pass with the IDENTICAL
 // f64 math as category.bin_value: v = x + shift, then
 // floor(v * scale) or floor(log(max(v, 1e-9)) / log(log_base)).
-// NaN inputs bin to the `span` sentinel; `present[b]` marks occupied
-// non-sentinel bins (concurrent byte writes of 1 are benign).
+// NaN inputs — and ANY transform whose bin lands outside [0, span)
+// (NaN/inf results, or callers whose bmin/span disagree with the
+// data) — map to the `span` sentinel: present[] is written only for
+// validated in-range bins, so no input can write out of bounds.
+// `bmin` is int64: transformed extremes of genome signal tracks can
+// exceed int32.  Concurrent present[b]=1 byte writes are benign.
 void bin_scale_f64(const double* vals, int64_t n, double shift,
-                   double scale, double log_base, int32_t bmin,
+                   double scale, double log_base, int64_t bmin,
                    int32_t span, int32_t* bins, uint8_t* present,
                    int32_t n_threads) {
     const bool use_log = log_base != 0.0;
@@ -520,17 +524,19 @@ void bin_scale_f64(const double* vals, int64_t n, double shift,
         int64_t hi = lo + chunk < n ? lo + chunk : n;
         for (int64_t i = lo; i < hi; ++i) {
             double v = vals[i];
-            int32_t b;
-            if (std::isnan(v)) {
-                b = span;
-            } else {
+            int32_t b = span;
+            if (!std::isnan(v)) {
                 v += shift;
                 double fb = use_log
                     ? std::floor(std::log(v < 1e-9 ? 1e-9 : v)
                                  / log_den)
                     : std::floor(v * scale);
-                b = (int32_t)(fb - (double)bmin);
-                present[b] = 1;
+                double fbb = fb - (double)bmin;
+                // NaN/inf fbb fails both comparisons -> sentinel
+                if (fbb >= 0.0 && fbb < (double)span) {
+                    b = (int32_t)fbb;
+                    present[b] = 1;
+                }
             }
             bins[i] = b;
         }

@@ -142,21 +142,25 @@ json.dump(td.category_maps["t"].to_dict()["map"],
         assert map_native == map_py
 
 
+def _fb_of(x, shift, scale, log_scale):
+    """The reference transform, verbatim from io/trackdata's fb_of
+    (scale takes precedence when both are set) — the ONE definition
+    both the parity reference and the range computation use."""
+    v = x + shift
+    if scale is not None:
+        return np.floor(v * scale)
+    return np.floor(np.log(np.maximum(v, 1e-9)) / np.log(log_scale))
+
+
 class TestBinScaleNative:
     """round-5: the fused C++ scale-binning pass must reproduce the
     NumPy block loop (identical f64 math to category.bin_value)."""
 
     def _numpy_ref(self, vals, shift, scale, log_scale, bmin, span):
-        def fb_of(x):
-            v = x + shift
-            if scale is not None:
-                return np.floor(v * scale)
-            return np.floor(
-                np.log(np.maximum(v, 1e-9)) / np.log(log_scale)
-            )
-
         with np.errstate(invalid="ignore"):
-            fb = fb_of(vals.astype(np.float64))
+            fb = _fb_of(
+                vals.astype(np.float64), shift, scale, log_scale
+            )
             fb -= bmin
             fb[np.isnan(fb)] = span
             bins = fb.astype(np.int32)
@@ -165,10 +169,22 @@ class TestBinScaleNative:
         present[occ[occ < span]] = True
         return bins, present
 
+    def _range(self, vals, shift, scale, log_scale):
+        with np.errstate(invalid="ignore"):
+            b0 = _fb_of(
+                np.float64(np.nanmin(vals)), shift, scale, log_scale
+            )
+            b1 = _fb_of(
+                np.float64(np.nanmax(vals)), shift, scale, log_scale
+            )
+        bmin = int(min(b0, b1))
+        return bmin, int(max(b0, b1)) - bmin + 1
+
     @pytest.mark.parametrize(
         "shift,scale,log_scale",
         [(0.0, 2.0, None), (3.5, 0.25, None), (-1.0, -0.5, None),
-         (0.0, None, 2.0), (2.0, None, 10.0), (0.0, None, 0.5)],
+         (0.0, None, 2.0), (2.0, None, 10.0), (0.0, None, 0.5),
+         (0.0, 2.0, 10.0)],   # BOTH set: scale must win (precedence)
     )
     def test_matches_numpy(self, shift, scale, log_scale):
         from tehmm_tpu import native
@@ -180,20 +196,7 @@ class TestBinScaleNative:
         vals[rng.rand(len(vals)) < 0.2] = np.nan
         vals[:100] = np.arange(100) * 0.5      # exact bin edges
 
-        def fb_of(x):
-            v = x + shift
-            if scale is not None:
-                return np.floor(v * scale)
-            return np.floor(
-                np.log(np.maximum(v, 1e-9)) / np.log(log_scale)
-            )
-
-        with np.errstate(invalid="ignore"):
-            b0 = fb_of(np.float64(np.nanmin(vals)))
-            b1 = fb_of(np.float64(np.nanmax(vals)))
-        bmin = int(min(b0, b1))
-        span = int(max(b0, b1)) - bmin + 1
-
+        bmin, span = self._range(vals, shift, scale, log_scale)
         got = native.bin_scale(
             vals, shift, scale, log_scale, bmin, span
         )
@@ -203,6 +206,22 @@ class TestBinScaleNative:
         )
         np.testing.assert_array_equal(got[0], want_bins)
         np.testing.assert_array_equal(got[1], want_present)
+
+    def test_out_of_range_bins_hit_sentinel_not_heap(self):
+        """A caller whose bmin/span disagree with the data (or int64
+        extremes) must get sentinel bins, never out-of-bounds
+        present[] writes."""
+        from tehmm_tpu import native
+
+        if not native.available():
+            pytest.skip("no native lib")
+        vals = np.array([1e12, -1e12, 5.0, np.nan], np.float64)
+        # bmin far above the data and a 64-bit bmin
+        got = native.bin_scale(vals, 0.0, 1.0, None, 3 << 32, 10)
+        assert got is not None
+        bins, present = got
+        np.testing.assert_array_equal(bins, [10, 10, 10, 10])
+        assert not present.any()
 
     def test_nanminmax_matches_numpy(self):
         from tehmm_tpu import native
