@@ -44,7 +44,20 @@ def main(argv: list[str] | None = None) -> int:
               file=sys.stderr)
         return 2
     mod = importlib.import_module(mod_name)
-    return mod.main(rest)
+    try:
+        return mod.main(rest)
+    except BrokenPipeError:
+        # downstream pager/head closed the pipe (e.g. `view m | head`)
+        # — standard Unix CLI behavior is a silent clean exit, not a
+        # traceback.  Detach stdout so interpreter shutdown doesn't
+        # re-raise on flush.
+        import os
+
+        try:
+            sys.stdout.close()
+        except BrokenPipeError:
+            os.dup2(os.open(os.devnull, os.O_WRONLY), 1)
+        return 0
 
 
 if __name__ == "__main__":
