@@ -45,19 +45,23 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     mod = importlib.import_module(mod_name)
     try:
-        return mod.main(rest)
+        rc = mod.main(rest)
+        # flush HERE so a tail still sitting in the stdout buffer when
+        # a pager closed the pipe raises where this handler can catch
+        # it (interpreter-shutdown flush would print an ignored-
+        # exception message and exit 120 instead)
+        sys.stdout.flush()
+        return rc
     except BrokenPipeError:
         # downstream pager/head closed the pipe (e.g. `view m | head`)
-        # — standard Unix CLI behavior is a silent clean exit, not a
-        # traceback.  Detach stdout so interpreter shutdown doesn't
-        # re-raise on flush.
+        # — no traceback, and exit 141 (128+SIGPIPE, the Unix
+        # convention) so wrapping scripts can distinguish truncated
+        # from complete output.  Redirect stdout to devnull so the
+        # interpreter's exit-time flush cannot re-raise.
         import os
 
-        try:
-            sys.stdout.close()
-        except BrokenPipeError:
-            os.dup2(os.open(os.devnull, os.O_WRONLY), 1)
-        return 0
+        os.dup2(os.open(os.devnull, os.O_WRONLY), 1)
+        return 141
 
 
 if __name__ == "__main__":

@@ -153,10 +153,13 @@ class BigWigFile:
         return out
 
     # ------------------------------------------------------------------
-    def values(self, chrom: str, start: int, end: int) -> np.ndarray:
+    def values(self, chrom: str, start: int, end: int,
+               n_threads: int = 0) -> np.ndarray:
         """Per-base values over [start, end); NaN where uncovered
         (matches bx-python BigWigFile.get semantics used by the
-        reference)."""
+        reference).  ``n_threads``: native decode thread budget
+        (0 = library default; loaders running several tracks
+        concurrently pass their per-worker share)."""
         if chrom not in self.chroms:
             return np.full(end - start, np.nan, dtype=np.float64)
         chrom_id, chrom_size = self.chroms[chrom]
@@ -189,6 +192,7 @@ class BigWigFile:
                 self.uncompress_buf_size > 0,
                 max(int(self.uncompress_buf_size), 1),
                 chrom_id, start, end, out,
+                n_threads=n_threads or None,
             ):
                 return out
 

@@ -267,25 +267,29 @@ def load_track_data(
 
     from tehmm_tpu import native
 
+    # Native-kernel thread budget for the painting workers' calls
+    # (BigWig decode, minmax, binning).  0 = library default
+    # (min(8, cores) per call).  A bracketed A/B on the 250M x 15 load
+    # could NOT distinguish this from a divided cores/worker budget —
+    # run-to-run wall swung 25-94 s for identical code (shared-host
+    # contention), so the simpler default stands; tracks finish at
+    # different times and BED/FASTA painters use no native threads, so
+    # nominally "oversubscribed" calls often land on idle cores anyway.
+    nat_threads = 0
+
     tables: list[TrackTable] = []
     try:
         for iv in intervals:
             chrom, start, end = iv[0], int(iv[1]), int(iv[2])
             L = end - start
 
-            # native-kernel thread budget per painting worker: the
-            # workers already span the cores, so each native call gets
-            # cores/n_workers threads (8x oversubscription otherwise)
-            nat_threads = max(
-                1, (_os.cpu_count() or 1) // max(n_workers, 1)
-            )
-
             def paint_one(t_idx):
                 track = tracks[t_idx]
                 src = sources[track.name]
                 if track.distribution == "gaussian":
                     return _paint_track_gauss(
-                        track, src, chrom, start, end
+                        track, src, chrom, start, end,
+                        native_threads=nat_threads,
                     )
                 return _paint_track(
                     track, maps[track.name], src, chrom, start, end,
@@ -422,7 +426,9 @@ def _paint_track(
         return col
 
     # BigWig: numeric per-base values (NaN = uncovered)
-    vals = src.values(chrom, start, end)  # float array [L], NaN uncovered
+    vals = src.values(          # float array [L], NaN uncovered
+        chrom, start, end, n_threads=native_threads
+    )
     covered = ~np.isnan(vals)
     if not covered.any():
         return new_col()
@@ -526,7 +532,8 @@ def _gauss_transform(track: Track, v: np.ndarray) -> np.ndarray:
 
 
 def _paint_track_gauss(
-    track: Track, src, chrom: str, start: int, end: int
+    track: Track, src, chrom: str, start: int, end: int,
+    native_threads: int = 0,
 ) -> np.ndarray:
     """Continuous values of a gaussian track over one interval.
 
@@ -564,7 +571,9 @@ def _paint_track_gauss(
                 _gauss_transform(track, v)
         return col
 
-    vals = src.values(chrom, start, end).astype(np.float32)
+    vals = src.values(
+        chrom, start, end, n_threads=native_threads
+    ).astype(np.float32)
     covered = ~np.isnan(vals)
     col[covered] = _gauss_transform(track, vals[covered])
     return col
